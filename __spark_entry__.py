@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin shim over ``kmeans_with_mapreduce_cuda_spark.plans.REGISTRY`` -- the
+single source of truth mapping SURVEY.md §2's operator inventory to
+(PySpark implementation, DuckDB oracle SQL) pairs.
 """
 
 from __future__ import annotations
@@ -13,26 +11,39 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from kmeans_with_mapreduce_cuda_spark.operators.kmeans import (
+    lloyd_2d,
+    seed_centroids_2d,
+)
+from kmeans_with_mapreduce_cuda_spark.plans import REGISTRY
+from kmeans_with_mapreduce_cuda_spark.sources import points_from_lineitem, points_xy
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: full K-Means (the reference's entire pipeline,
+    kmeans_with_mapreduce-cuda.cu:27-137) on the sf0.001 lineitem
+    projection -- seeded Forgy init, 5 Lloyd iterations, k=8 -- returning
+    the final centroid DataFrame (k rows: cluster_id, x, y, n).
+    """
+    sf_dir = "/root/testdata/sf0.001"
+    # Seeding needs per-row identity (one-time pass); iteration runs on the
+    # id-free projection so the hot loop is a narrow scan + one shuffle.
+    init = seed_centroids_2d(points_from_lineitem(spark, sf_dir), k=8, seed=42)
+    pts = points_xy(spark, sf_dir).cache()
+    cents = lloyd_2d(pts, init, max_iter=5)
+    from kmeans_with_mapreduce_cuda_spark.operators.kmeans import assign_2d, update_2d
+
+    final = update_2d(assign_2d(pts, cents)).select(
+        "cluster_id", "cx", "cy", "n"
+    )
+    return final
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: q.fn for name, q in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB ANSI-SQL twin for every SQL-expressible query."""
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}

@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's flagship operators at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Headline queries:
+- kmeans_df      : pure-DataFrame Lloyd's, k=15, 10 iterations, ~600k 2-D
+                   points (the reference's whole pipeline at 60x its N;
+                   BASELINE.md bench point).
+- kmeans_mllib   : MLlib KMeans over the 64-dim embeddings table.
+- tpch_q1        : filter + grouped multi-aggregate (scan-bound).
+- join_agg       : orders x lineitem shuffle join + agg.
+- window_topk    : partitioned window top-k.
+- dedup_exact    : content-hash dedup over documents.
+- ngram_jaccard  : shingle-overlap near-dup pairs.
+- sim_topk       : brute-force cosine top-10 over embeddings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    from kmeans_with_mapreduce_cuda_spark import get_spark
+    from kmeans_with_mapreduce_cuda_spark.operators.kmeans import lloyd_2d
+    from kmeans_with_mapreduce_cuda_spark.operators.kmeans_mllib import fit_kmeans
+    from kmeans_with_mapreduce_cuda_spark.plans import REGISTRY
+    from kmeans_with_mapreduce_cuda_spark.sources import load_table, points_xy
+
+    spark = get_spark(app_name="bench")
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # Warm the JVM/file cache with a trivial count (not reported).
+    points = points_xy(spark, SF_DIR).cache()
+    n_points = points.count()
+
+    init15 = [
+        (float(2 + 3 * i), float(4000 + 6500 * i)) for i in range(15)
+    ]  # fixed spread across the (quantity, extendedprice) plane
+    timed("kmeans_df", lambda: lloyd_2d(points, init15, max_iter=10, tol=0.0))
+
+    emb = load_table(spark, SF_DIR, "embeddings").cache()
+    emb.count()
+    timed(
+        "kmeans_mllib",
+        lambda: fit_kmeans(emb, k=15, max_iter=10, tol=0.0, seed=42),
+    )
+
+    def run_registry(name: str):
+        # exhaust the result without collecting rows to the driver
+        REGISTRY[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    timed("tpch_q1", lambda: run_registry("rel_filter_agg"))
+    timed("join_agg", lambda: run_registry("rel_join_shuffle"))
+    timed("window_topk", lambda: run_registry("rel_window_topk"))
+    timed("dedup_exact", lambda: run_registry("dedup_exact_keep"))
+    timed("ngram_jaccard", lambda: run_registry("dedup_ngram_jaccard"))
+    timed("sim_topk", lambda: run_registry("sim_topk_bruteforce"))
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_points": n_points,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

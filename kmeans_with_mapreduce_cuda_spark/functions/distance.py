@@ -1,0 +1,61 @@
+"""Distance / vector Column expressions.
+
+Reference parity: squared Euclidean distance, no sqrt
+(``distance`` at kmeans_mapreduce_core.cu:8-17).  The reference does it on
+uint64 pairs; we generalize to doubles and to n-D ``array<double>``
+columns so the same expression covers the 64-dim embeddings table.
+
+Everything here is a pure Column expression: JVM-side, inside
+whole-stage codegen, no Python in the loop.  ``F.zip_with`` /
+``F.aggregate`` are higher-order functions evaluated by Catalyst, not UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def sq_dist_2d(
+    x1: Column | str, y1: Column | str, x2: Column | float, y2: Column | float
+) -> Column:
+    """(x1-x2)^2 + (y1-y2)^2 -- kmeans_mapreduce_core.cu:8-17, float semantics."""
+    x1, y1 = _c(x1), _c(y1)
+    x2 = F.lit(x2) if isinstance(x2, (int, float)) else x2
+    y2 = F.lit(y2) if isinstance(y2, (int, float)) else y2
+    dx, dy = x1 - x2, y1 - y2
+    return dx * dx + dy * dy
+
+
+def sq_dist_arrays(a: Column | str, b: Column | str) -> Column:
+    """Squared Euclidean distance between two array<double> columns."""
+    a, b = _c(a), _c(b)
+    return F.aggregate(
+        F.zip_with(a, b, lambda p, q: (p - q) * (p - q)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def dot_product(a: Column | str, b: Column | str) -> Column:
+    a, b = _c(a), _c(b)
+    return F.aggregate(
+        F.zip_with(a, b, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    a = _c(a)
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """dot(a,b) / (|a| * |b|); computed in double precision."""
+    a, b = _c(a), _c(b)
+    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))

@@ -1,0 +1,65 @@
+"""Text-analysis Column expressions for the documents table: tokenizing,
+shingling, quality metrics, language-ID heuristics.  All JVM-side
+(split / regexp / higher-order functions) -- no Python UDFs, so they
+whole-stage-codegen and scale linearly with input bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny multilingual stopword lists for the heuristic language ID.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "no"],
+    "de": ["der", "die", "und", "das", "in", "von", "zu", "mit", "den", "ist"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "une"],
+}
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization of trimmed, lower-cased text -> array<string>."""
+    return F.split(F.trim(F.lower(_c(text))), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """n-gram word shingles as strings: array of ``w_i w_i+1 ... w_i+n-1``.
+
+    Built with TRANSFORM over token indices + SLICE + ARRAY_JOIN; filters
+    the ragged tail so every shingle has exactly n words.
+    """
+    toks = tokens(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+
+def char_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Character n-grams of the lower-cased text (for language ID /
+    SimHash shingling)."""
+    s = F.lower(_c(text))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.substr(s, i, F.lit(n)))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are punctuation."""
+    t = _c(text)
+    stripped = F.regexp_replace(t, r"[^\w\s]", "")
+    return (F.length(t) - F.length(stripped)) / F.greatest(F.length(t), F.lit(1))
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang``."""
+    toks = tokens(text)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits / F.greatest(F.size(toks), F.lit(1))

@@ -1,0 +1,251 @@
+"""K-Means primitive layer: each reference MapReduce stage as an explicit,
+oracle-checkable DataFrame transformation.
+
+Reference pipeline per iteration (kmeans_mapreduce_core.cu:237-259):
+  map: nearest-centroid assignment           (:21-35)   -> assign_2d/assign_nd
+  shuffle: thrust sort by cluster_id         (:248)     -> implicit in groupBy
+  segment index: per-key [start,len)         (:71-107)  -> implicit (hash agg)
+  reduce: per-cluster sum/mean               (:108-139) -> update_2d / update_nd
+  driver loop x ITERATIONS                   (:237)     -> lloyd_2d / lloyd_nd
+
+Physical shape (why this scales to 100 TB):
+- Centroids are k literal values baked into a projection -- the "broadcast"
+  is the query plan itself.  Assignment is a pure narrow map: zero joins,
+  zero shuffles, whole-stage codegen end to end.
+- The only shuffle per iteration is the groupBy(cluster_id) update, which
+  does map-side partial aggregation (Spark's analog of the reference's
+  shared-memory block reduction, :108-139) so the shuffle carries
+  k * num_partitions rows, not N.
+- Per iteration exactly k rows cross to the driver -- same boundary as the
+  reference's per-iteration cluster_info D2H copy (:250-251).
+
+Semantics choices (SURVEY.md §2.1 fine print): float means (the documented
+algorithm, README.md:43-61, not the racy block-partial reduce), ties to the
+lowest cluster_id (strict < at :27), empty clusters keep the previous
+centroid, seeded deterministic init (not the wall-clock RNG with its
+inclusive-bound off-by-one, random_num_generator.hpp:17-28).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.distance import sq_dist_2d, sq_dist_arrays
+from ..functions.hashing import stable_sample_key
+
+#: 2-D centroids: ordered list of (x, y); index == cluster_id.
+Centroids2D = Sequence[tuple[float, float]]
+#: n-D centroids: ordered list of coordinate vectors; index == cluster_id.
+CentroidsND = Sequence[Sequence[float]]
+
+
+# ---------------------------------------------------------------------------
+# Map stage: nearest-centroid assignment (O3 + O4)
+# ---------------------------------------------------------------------------
+
+def assign_2d(
+    points: DataFrame,
+    centroids: Centroids2D,
+    x: str = "x",
+    y: str = "y",
+    out: str = "cluster_id",
+    keep_dist: bool = False,
+) -> DataFrame:
+    """Assign each point to its nearest centroid (squared Euclidean).
+
+    The k distances are one literal array expression; argmin-with-
+    ties-to-lowest-id is ``array_position(d, array_min(d)) - 1`` (first
+    occurrence == lowest index == reference's strict ``<`` at
+    kmeans_mapreduce_core.cu:27).  Narrow transformation: no shuffle.
+    """
+    dists = F.array(*[sq_dist_2d(x, y, float(cx), float(cy)) for cx, cy in centroids])
+    d = points.withColumn("_dists", dists)
+    d = d.withColumn(
+        out, (F.array_position("_dists", F.array_min("_dists")) - 1).cast("int")
+    )
+    if keep_dist:
+        d = d.withColumn("_mindist", F.array_min("_dists"))
+    return d.drop("_dists")
+
+
+def assign_nd(
+    points: DataFrame,
+    centroids: CentroidsND,
+    features: str = "embedding",
+    out: str = "cluster_id",
+    keep_dist: bool = False,
+) -> DataFrame:
+    """n-D variant over an array<float/double> column (embeddings table)."""
+    feats = F.col(features).cast("array<double>")
+    dists = F.array(
+        *[
+            sq_dist_arrays(feats, F.array(*[F.lit(float(v)) for v in c]))
+            for c in centroids
+        ]
+    )
+    d = points.withColumn("_dists", dists)
+    d = d.withColumn(
+        out, (F.array_position("_dists", F.array_min("_dists")) - 1).cast("int")
+    )
+    if keep_dist:
+        d = d.withColumn("_mindist", F.array_min("_dists"))
+    return d.drop("_dists")
+
+
+# ---------------------------------------------------------------------------
+# Reduce stage: per-cluster mean (O7 + O8/O9)
+# ---------------------------------------------------------------------------
+
+def update_2d(
+    assigned: DataFrame, x: str = "x", y: str = "y", cluster: str = "cluster_id"
+) -> DataFrame:
+    """groupBy(cluster).agg(avg, count): Spark's partial+final hash
+    aggregation IS the reference's two-level block reduction
+    (kmeans_mapreduce_core.cu:108-139) -- map-side combine shrinks the
+    shuffle to k rows per partition.
+    """
+    return assigned.groupBy(cluster).agg(
+        F.avg(x).alias("cx"), F.avg(y).alias("cy"), F.count(F.lit(1)).alias("n")
+    )
+
+
+def update_nd(
+    assigned: DataFrame,
+    dim: int,
+    features: str = "embedding",
+    cluster: str = "cluster_id",
+) -> DataFrame:
+    """Per-cluster element-wise mean of an array column.
+
+    Projects each dimension to its own column first so the aggregation is
+    a plain multi-column avg with map-side combine -- the shuffle carries
+    k * partitions rows of d doubles, never the N x d explode that a
+    posexplode formulation would pay.
+    """
+    feats = F.col(features).cast("array<double>")
+    proj = assigned.select(
+        cluster, *[feats.getItem(i).alias(f"_f{i}") for i in range(dim)]
+    )
+    aggs = [F.avg(f"_f{i}").alias(f"c{i}") for i in range(dim)]
+    return proj.groupBy(cluster).agg(*aggs, F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# One step + driver loop (O12)
+# ---------------------------------------------------------------------------
+
+def kmeans_step_2d(
+    points: DataFrame, centroids: Centroids2D, x: str = "x", y: str = "y"
+) -> list[tuple[float, float]]:
+    """One assign+update step; returns the new centroid list (k rows to
+    the driver -- the same tiny boundary as the reference's cluster_info
+    copy).  Empty clusters keep their previous centroid.
+    """
+    rows = update_2d(assign_2d(points, centroids, x, y), x, y).collect()
+    new = {int(r["cluster_id"]): (float(r["cx"]), float(r["cy"])) for r in rows}
+    return [new.get(i, tuple(map(float, centroids[i]))) for i in range(len(centroids))]
+
+
+def lloyd_2d(
+    points: DataFrame,
+    init: Centroids2D,
+    max_iter: int = 20,
+    tol: float = 1e-6,
+    x: str = "x",
+    y: str = "y",
+) -> list[tuple[float, float]]:
+    """Lloyd's iterations with an actual convergence test (the reference's
+    README documents one but the loop is a fixed 999 rounds,
+    config.cuh:11 vs README.md:20-22 -- we expose both maxIter and tol).
+
+    ``points`` is cached by the caller (device-resident analog,
+    kmeans_mapreduce_core.cu:232-235); each iteration re-bakes the k new
+    centroid literals into the plan, so lineage stays one stage deep and
+    needs no checkpointing.
+    """
+    cents = [tuple(map(float, c)) for c in init]
+    for _ in range(max_iter):
+        new = kmeans_step_2d(points, cents, x, y)
+        shift = max(
+            math.hypot(nx - ox, ny - oy) for (nx, ny), (ox, oy) in zip(new, cents)
+        )
+        cents = new
+        if shift <= tol:
+            break
+    return cents
+
+
+def lloyd_nd(
+    points: DataFrame,
+    init: CentroidsND,
+    max_iter: int = 20,
+    tol: float = 1e-6,
+    features: str = "embedding",
+) -> list[list[float]]:
+    """n-D Lloyd loop over an array column."""
+    cents = [list(map(float, c)) for c in init]
+    dim = len(cents[0])
+    for _ in range(max_iter):
+        rows = update_nd(assign_nd(points, cents, features), dim, features).collect()
+        new_map = {
+            int(r["cluster_id"]): [float(r[f"c{i}"]) for i in range(dim)] for r in rows
+        }
+        new = [new_map.get(i, cents[i]) for i in range(len(cents))]
+        shift = max(
+            math.sqrt(sum((a - b) ** 2 for a, b in zip(nc, oc)))
+            for nc, oc in zip(new, cents)
+        )
+        cents = new
+        if shift <= tol:
+            break
+    return cents
+
+
+def sse_2d(
+    points: DataFrame, centroids: Centroids2D, x: str = "x", y: str = "y"
+) -> float:
+    """Sum of squared distances to assigned centroids (Lloyd's monotone
+    objective -- the property tests assert it never increases)."""
+    a = assign_2d(points, centroids, x, y, keep_dist=True)
+    return float(a.agg(F.sum("_mindist")).collect()[0][0])
+
+
+# ---------------------------------------------------------------------------
+# Seeding (O2)
+# ---------------------------------------------------------------------------
+
+def seed_centroids_2d(
+    points: DataFrame, k: int, seed: int = 42, key: str = "id", x: str = "x", y: str = "y"
+) -> list[tuple[float, float]]:
+    """Deterministic Forgy init: k rows by md5-order of the key column --
+    uniform-ish, seeded, WITHOUT replacement, and reproducible across
+    engines (replaces random_num_generator.hpp:17-28; fixes its inclusive
+    upper bound and with-replacement draws, SURVEY.md §2.1).
+    """
+    rows = (
+        points.select(key, x, y, stable_sample_key(key, seed).alias("_k"))
+        .orderBy("_k", key)
+        .limit(k)
+        .collect()
+    )
+    return [(float(r[x]), float(r[y])) for r in rows]
+
+
+def seed_centroids_nd(
+    points: DataFrame, k: int, seed: int = 42, key: str = "vec_id", features: str = "embedding"
+) -> list[list[float]]:
+    rows = (
+        points.select(
+            F.col(features).cast("array<double>").alias("_f"),
+            stable_sample_key(key, seed).alias("_k"),
+            key,
+        )
+        .orderBy("_k", key)
+        .limit(k)
+        .collect()
+    )
+    return [[float(v) for v in r["_f"]] for r in rows]

@@ -1,0 +1,67 @@
+"""Library layer: MLlib KMeans over DataFrames (BASELINE.json's named
+approach -- "MapReduce-based K-means is directly replaceable with Spark
+MLlib's distributed KMeans over DataFrames").
+
+MLlib's implementation is the scale path: distance computation in the
+JVM with norm-based pruning, k-means|| parallel init (a strict upgrade on
+the reference's Forgy init, kmeans_with_mapreduce-cuda.cu:12-19), native
+empty-cluster handling, and tol-based convergence the reference documents
+but never implements (README.md:20-22 vs config.cuh:11).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.ml.clustering import KMeans, KMeansModel
+from pyspark.ml.functions import array_to_vector
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class KMeansResult:
+    model: KMeansModel
+    centroids: list[list[float]]
+    sse: float  # training cost == sum of squared distances
+    iterations: int
+
+
+def fit_kmeans(
+    df: DataFrame,
+    k: int,
+    features: str = "embedding",
+    max_iter: int = 20,
+    tol: float = 1e-4,
+    seed: int = 42,
+    init_mode: str = "k-means||",
+) -> KMeansResult:
+    """Fit MLlib KMeans on an array<float/double> column.
+
+    ``array_to_vector`` is a JVM expression (not a UDF), so the
+    array->Vector bridge adds no Python round-trip.
+    """
+    vecs = df.select(
+        array_to_vector(F.col(features).cast("array<double>")).alias("features")
+    )
+    km = KMeans(
+        k=k, maxIter=max_iter, tol=tol, seed=seed, initMode=init_mode,
+        featuresCol="features",
+    )
+    model = km.fit(vecs)
+    summary = model.summary
+    return KMeansResult(
+        model=model,
+        centroids=[list(map(float, c)) for c in model.clusterCenters()],
+        sse=float(summary.trainingCost),
+        iterations=int(summary.numIter),
+    )
+
+
+def predict_kmeans(
+    model: KMeansModel, df: DataFrame, features: str = "embedding", out: str = "cluster_id"
+) -> DataFrame:
+    vecs = df.withColumn(
+        "features", array_to_vector(F.col(features).cast("array<double>"))
+    )
+    return model.transform(vecs).withColumnRenamed("prediction", out).drop("features")

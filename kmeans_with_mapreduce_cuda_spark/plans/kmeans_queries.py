@@ -1,0 +1,275 @@
+"""SURVEY.md §2.1 operator inventory as oracle-checked queries (O1-O14).
+
+Each query is the Spark-first re-expression of one reference operator,
+with a DuckDB ANSI-SQL twin.  The points relation is the deterministic
+lineitem (quantity, extendedprice) projection (FIXTURES.md §1 analog).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long, md5_long_sql
+from ..operators.kmeans import assign_2d, update_2d
+from ..sources.readers import points_from_lineitem
+from .registry import (
+    INIT_CENTROIDS_2D,
+    POINTS_SQL,
+    ROUND_CENT,
+    assign_sql,
+    cents_sql,
+    query,
+)
+
+SEED = 42
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return points_from_lineitem(spark, sf_dir)
+
+
+# --- O1: scan + row cap (kmeans_with_mapreduce-cuda.cu:52-70) --------------
+
+@query(
+    "o01_scan_limit",
+    oracle=f"WITH points AS ({POINTS_SQL}) "
+    "SELECT id, x, y FROM points ORDER BY id LIMIT 1000",
+    doc="O1 scan: projection + deterministic first-N (NUM_INPUT row cap, "
+    "config.cuh:12).  Pushdown check: only 3 lineitem columns are read.",
+)
+def o01_scan_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _points(spark, sf_dir).orderBy("id").limit(1000)
+
+
+# --- O2: seeded k-sample (kmeans_with_mapreduce-cuda.cu:12-19) -------------
+
+@query(
+    "o02_seed_sample",
+    oracle=f"WITH points AS ({POINTS_SQL}) "
+    f"SELECT id, x, y FROM points ORDER BY {md5_long_sql('id', f'seed{SEED}:')}, id "
+    "LIMIT 8",
+    doc="O2 Forgy seeding, made deterministic + engine-portable: k rows by "
+    "md5-order (fixes the reference RNG's inclusive bound and "
+    "with-replacement draws, random_num_generator.hpp:17-28).",
+)
+def o02_seed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _points(spark, sf_dir)
+    return (
+        p.select("id", "x", "y", md5_long("id", f"seed{SEED}:").alias("_k"))
+        .orderBy("_k", "id")
+        .limit(8)
+        .drop("_k")
+    )
+
+
+# --- O3: squared-Euclidean distance expr (kmeans_mapreduce_core.cu:8-17) ---
+
+_PX, _PY = 25.0, 60000.0
+
+@query(
+    "o03_distance_expr",
+    oracle=f"WITH points AS ({POINTS_SQL}) "
+    f"SELECT id, round((x - {_PX!r}) * (x - {_PX!r}) + (y - {_PY!r}) * (y - {_PY!r}), 2)"
+    " AS dist FROM points",
+    doc="O3 distance as a scalar column expression: (x1-x2)^2 + (y1-y2)^2, "
+    "no sqrt -- float semantics of kmeans_mapreduce_core.cu:8-17.",
+)
+def o03_distance_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _points(spark, sf_dir)
+    dx, dy = F.col("x") - F.lit(_PX), F.col("y") - F.lit(_PY)
+    return p.select("id", F.round(dx * dx + dy * dy, 2).alias("dist"))
+
+
+# --- O4+O5: map stage -- nearest-centroid argmin (core.cu:21-44) -----------
+
+@query(
+    "o04_assign_argmin",
+    oracle=f"WITH points AS ({POINTS_SQL}), cents AS {cents_sql(INIT_CENTROIDS_2D)} "
+    + assign_sql(),
+    doc="O4 map: per-point argmin over k broadcast centroid literals; ties "
+    "to lowest cluster_id (strict < at kmeans_mapreduce_core.cu:27). "
+    "Spark plan: pure projection, zero joins/shuffles; the oracle uses the "
+    "independent cross-join+row_number formulation.",
+)
+def o04_assign_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return assign_2d(_points(spark, sf_dir), INIT_CENTROIDS_2D).select(
+        "id", "x", "y", "cluster_id"
+    )
+
+
+# --- O6: shuffle sort by key (thrust::sort, core.cu:248) -------------------
+
+@query(
+    "o06_sort_by_key",
+    oracle=f"""
+    WITH points AS ({POINTS_SQL}), cents AS {cents_sql(INIT_CENTROIDS_2D)},
+    assigned AS ({assign_sql()})
+    SELECT id, cluster_id,
+           ROW_NUMBER() OVER (ORDER BY cluster_id, id) AS pos
+    FROM assigned
+    """,
+    doc="O6 shuffle-sort parity: global order by (key, id) exposed as a "
+    "rank so the order-insensitive hash still checks ordering semantics. "
+    "In the engine proper the sort is implicit in groupBy's shuffle; "
+    "thrust::sort at kmeans_mapreduce_core.cu:248.",
+)
+def o06_sort_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    a = assign_2d(_points(spark, sf_dir), INIT_CENTROIDS_2D)
+    w = Window.orderBy("cluster_id", "id")
+    return a.select("id", "cluster_id", F.row_number().over(w).alias("pos"))
+
+
+# --- O7: group boundaries == per-key counts (core.cu:71-107) ---------------
+
+@query(
+    "o07_group_counts",
+    oracle=f"""
+    WITH points AS ({POINTS_SQL}), cents AS {cents_sql(INIT_CENTROIDS_2D)},
+    assigned AS ({assign_sql()})
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS n
+    FROM assigned GROUP BY cluster_id
+    """,
+    doc="O7 segment index: per-cluster cardinalities (the reference's "
+    "ClusterInfo start/len table, kmeans_mapreduce_core.cu:71-107, is "
+    "exactly groupBy(key).count() modulo physical layout).",
+)
+def o07_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = assign_2d(_points(spark, sf_dir), INIT_CENTROIDS_2D)
+    return a.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- O8/O9: reduce -- per-cluster mean (core.cu:54-69, 108-139) ------------
+
+_UPDATE_SQL = f"""
+    WITH points AS ({POINTS_SQL}), cents AS {cents_sql(INIT_CENTROIDS_2D)},
+    assigned AS ({assign_sql()})
+    SELECT cluster_id, round(avg(x), {ROUND_CENT}) AS cx,
+           round(avg(y), {ROUND_CENT}) AS cy,
+           CAST(count(*) AS BIGINT) AS n
+    FROM assigned GROUP BY cluster_id
+"""
+
+@query(
+    "o08_centroid_update",
+    oracle=_UPDATE_SQL,
+    doc="O8/O9 reduce: one full assign+update K-Means step -> new "
+    "centroids.  Float means (the documented semantics, README.md:58), "
+    "not the reference's racy block-partial mean (SURVEY.md §2.1). "
+    "Spark's partial+final hash agg is the two-level tree reduction of "
+    "kmeans_mapreduce_core.cu:108-139.",
+)
+def o08_centroid_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = assign_2d(_points(spark, sf_dir), INIT_CENTROIDS_2D)
+    u = update_2d(a)
+    return u.select(
+        "cluster_id",
+        F.round("cx", ROUND_CENT).alias("cx"),
+        F.round("cy", ROUND_CENT).alias("cy"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+# --- O12: iteration -- two full steps, rounded between rounds --------------
+
+def _two_step_sql() -> str:
+    """Iterated SQL: round centroids to ROUND_CENT between rounds in BOTH
+    engines so float drift cannot flip a boundary assignment.  Empty
+    clusters keep the previous centroid (COALESCE against the init)."""
+    return f"""
+    WITH points AS ({POINTS_SQL}),
+    cents0 AS (SELECT * FROM {cents_sql(INIT_CENTROIDS_2D)}),
+    assign1 AS ({assign_sql('points', 'cents0')}),
+    agg1 AS (
+        SELECT cluster_id, round(avg(x), {ROUND_CENT}) AS cx,
+               round(avg(y), {ROUND_CENT}) AS cy
+        FROM assign1 GROUP BY cluster_id
+    ),
+    cents1 AS (
+        SELECT c0.cluster_id, COALESCE(a.cx, c0.cx) AS cx,
+               COALESCE(a.cy, c0.cy) AS cy
+        FROM cents0 c0 LEFT JOIN agg1 a ON c0.cluster_id = a.cluster_id
+    ),
+    assign2 AS ({assign_sql('points', 'cents1')})
+    SELECT cluster_id, round(avg(x), {ROUND_CENT}) AS cx,
+           round(avg(y), {ROUND_CENT}) AS cy,
+           CAST(count(*) AS BIGINT) AS n
+    FROM assign2 GROUP BY cluster_id
+    """
+
+
+@query(
+    "o12_kmeans_two_steps",
+    oracle=_two_step_sql(),
+    doc="O12 iterative refinement: two full Lloyd steps (assign -> mean -> "
+    "re-assign -> mean), centroids rounded between rounds in both engines "
+    "for cross-engine determinism.  The reference iterates a fixed 999x "
+    "(config.cuh:11); the unchecked lloyd_2d exposes maxIter + tol.",
+)
+def o12_kmeans_two_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _points(spark, sf_dir)
+    # step 1 (collect k rounded centroids -- the per-iteration driver
+    # boundary, kmeans_mapreduce_core.cu:250-251)
+    u1 = update_2d(assign_2d(p, INIT_CENTROIDS_2D)).select(
+        "cluster_id",
+        F.round("cx", ROUND_CENT).alias("cx"),
+        F.round("cy", ROUND_CENT).alias("cy"),
+    )
+    got = {int(r["cluster_id"]): (r["cx"], r["cy"]) for r in u1.collect()}
+    cents1 = [got.get(i, c) for i, c in enumerate(INIT_CENTROIDS_2D)]
+    # step 2
+    u2 = update_2d(assign_2d(p, cents1))
+    return u2.select(
+        "cluster_id",
+        F.round("cx", ROUND_CENT).alias("cx"),
+        F.round("cy", ROUND_CENT).alias("cy"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+# --- O13: sink format (kmeans_with_mapreduce-cuda.cu:105-121) --------------
+
+@query(
+    "o13_sink_format",
+    oracle=f"""
+    WITH u AS ({_UPDATE_SQL})
+    SELECT printf('Point: (%d,%d)', CAST(floor(cx) AS BIGINT),
+                  CAST(floor(cy) AS BIGINT)) AS line
+    FROM u
+    """,
+    doc="O13 sink: centroids formatted as the reference's 'Point: (x,y)' "
+    "lines (operator<< at config.cuh:21-25); floor() in both engines "
+    "because SQL casts round while Spark casts truncate.",
+)
+def o13_sink_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = o08_centroid_update(spark, sf_dir)
+    return u.select(
+        F.format_string(
+            "Point: (%d,%d)",
+            F.floor("cx").cast("bigint"),
+            F.floor("cy").cast("bigint"),
+        ).alias("line")
+    )
+
+
+# --- O3/O14: SSE objective (timing/quality instrumentation) ----------------
+
+@query(
+    "o14_sse",
+    oracle=f"""
+    WITH points AS ({POINTS_SQL}), cents AS {cents_sql(INIT_CENTROIDS_2D)}
+    SELECT CAST(round(sum(mind) / 1000000.0) AS BIGINT) AS sse_millions FROM (
+        SELECT min((p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy)) AS mind
+        FROM points p CROSS JOIN cents c GROUP BY p.id
+    )
+    """,
+    doc="Clustering objective: total SSE to nearest centroid, reported in "
+    "millions so cross-engine float-summation order cannot move the hash.",
+)
+def o14_sse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = assign_2d(_points(spark, sf_dir), INIT_CENTROIDS_2D, keep_dist=True)
+    return a.agg(
+        F.round(F.sum("_mindist") / 1000000.0).cast("bigint").alias("sse_millions")
+    )

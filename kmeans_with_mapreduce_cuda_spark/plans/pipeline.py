@@ -1,0 +1,334 @@
+"""LLM-training-data pipeline queries (the north-star extensions in
+BASELINE.json): deduplication, similarity search, text analysis over the
+``documents`` / ``embeddings`` tables.  Each has a DuckDB oracle where
+SQL-expressible; scale notes in each docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import STOPWORDS, tokens
+from ..sources.readers import load_table
+from .registry import query
+
+
+# --- Exact deduplication -----------------------------------------------------
+
+@query(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(doc_id) AS BIGINT) AS canonical_doc_id
+    FROM documents GROUP BY md5(text) HAVING count(*) > 1
+    """,
+    doc="Exact dedup, group view: content-hash duplicate groups with the "
+    "kept (min doc_id) canonical row.  Hash-groupBy shuffles 16-byte "
+    "digests, never document bodies -- the pattern that survives 100 TB.",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").cast("bigint").alias("canonical_doc_id"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+@query(
+    "dedup_exact_keep",
+    oracle="""
+    SELECT doc_id, lang, source FROM (
+        SELECT doc_id, lang, source,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+    doc="Exact dedup, survivor view: keep the lowest doc_id per content "
+    "hash (deterministic canonical selection -- dropDuplicates() keeps an "
+    "arbitrary row, so we use the explicit window formulation).",
+)
+def dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "source")
+    )
+
+
+# --- N-gram Jaccard near-dedup ----------------------------------------------
+
+_SHINGLE_SQL = """
+        SELECT doc_id, unnest(list_distinct([
+            list_aggregate(toks[i:i+2], 'string_agg', ' ')
+            FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)
+        ])) AS shingle
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+              FROM documents WHERE doc_id < 300)
+"""
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    pair_overlap AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+    FROM pair_overlap
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
+    """,
+    doc="Near-dup detection: exact 3-gram-shingle Jaccard >= 0.2 over "
+    "candidate pairs that share a shingle (explode -> self-equi-join -> "
+    "count).  This is the exact oracle the MinHash/LSH path approximates; "
+    "restricted to doc_id < 300 because all-pairs is quadratic -- at scale "
+    "use dedup_minhash_lsh.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    toks = tokens("text")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0)))
+    sh = F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, 3), " "))
+    )
+    shingles = d.select("doc_id", F.explode(sh).alias("shingle"))
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    overlap = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("inter").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("inter")
+    )
+    return (
+        overlap.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .where(jac >= 0.2)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --- Text analysis -----------------------------------------------------------
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS INTEGER)
+               AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           round(CAST(length(text) AS DOUBLE)
+                 / len(regexp_split_to_array(trim(lower(text)), '\\s+')), 4)
+               AS chars_per_token
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokenization, chars-per-token ratio. "
+    "Pure string expressions -- codegen'd, linear in input bytes.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    nt = F.size(tokens("text"))
+    return d.select(
+        "doc_id",
+        nt.alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        F.round(F.length("text").cast("double") / nt, 4).alias("chars_per_token"),
+    )
+
+
+_SW = STOPWORDS["en"]
+_SW_SQL = ", ".join(f"'{w}'" for w in _SW)
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+               CAST(length(text) AS DOUBLE) AS len,
+               CAST(length(regexp_replace(text, '[^a-zA-Z0-9_ \\t\\n]', '', 'g'))
+                    AS DOUBLE) AS len_clean
+        FROM documents
+    )
+    SELECT doc_id,
+           round(1.0 - len_clean / len, 6) AS punct_ratio,
+           round(CAST(len(list_filter(toks, w -> list_contains([{_SW_SQL}], w)))
+                      AS DOUBLE) / greatest(len(toks), 1), 6) AS stopword_ratio,
+           CAST(len < 100 OR len > 20000 AS BOOLEAN) AS len_flag
+    FROM t
+    """,
+    doc="Quality scoring: punctuation ratio, English-stopword ratio, "
+    "length flag -- the heuristic pre-filters of a training-data pipeline.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    ln = F.length("text").cast("double")
+    ln_clean = F.length(
+        F.regexp_replace("text", r"[^a-zA-Z0-9_ \t\n]", "")
+    ).cast("double")
+    sw = F.array(*[F.lit(w) for w in _SW])
+    sw_hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return d.select(
+        "doc_id",
+        F.round(F.lit(1.0) - ln_clean / ln, 6).alias("punct_ratio"),
+        F.round(
+            sw_hits.cast("double") / F.greatest(F.size(toks), F.lit(1)), 6
+        ).alias("stopword_ratio"),
+        ((ln < 100) | (ln > 20000)).alias("len_flag"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(toks, w -> list_contains([{words}], w)))"
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang AS lang_actual,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang_actual,
+               {_lang_score_sql('en')} AS s_en, {_lang_score_sql('es')} AS s_es,
+               {_lang_score_sql('de')} AS s_de, {_lang_score_sql('fr')} AS s_fr
+        FROM t
+    )
+    SELECT doc_id, lang_actual,
+           CASE greatest(s_en, s_es, s_de, s_fr)
+               WHEN s_en THEN 'en' WHEN s_es THEN 'es'
+               WHEN s_de THEN 'de' ELSE 'fr' END AS lang_pred
+    FROM scored
+    """,
+    doc="Heuristic language ID: stopword-hit scoring per candidate "
+    "language, argmax with a fixed tie order (en > es > de > fr).",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+
+    def score(lang: str):
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+    s = {lang: score(lang) for lang in ("en", "es", "de", "fr")}
+    best = F.greatest(*s.values())
+    pred = (
+        F.when(s["en"] == best, "en")
+        .when(s["es"] == best, "es")
+        .when(s["de"] == best, "de")
+        .otherwise("fr")
+    )
+    return d.select(
+        "doc_id", F.col("lang").alias("lang_actual"), pred.alias("lang_pred")
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+    doc="Document fingerprint: md5 of whitespace-normalized, lower-cased "
+    "text -- the canonical-form hash used for fuzzy-exact dedup.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return d.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+# --- Similarity search (brute-force oracle path) -----------------------------
+
+_QUERY_IDS = (0, 7, 42)
+
+@query(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+               FROM embeddings WHERE vec_id IN {_QUERY_IDS}),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+    SELECT q_id, vec_id AS neighbor_id, cos_sim, rank FROM (
+        SELECT q.q_id, c.vec_id,
+               round(list_dot_product(q.q_emb, c.emb)
+                     / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                        * sqrt(list_dot_product(c.emb, c.emb))), 6) AS cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.q_id
+                   ORDER BY list_dot_product(q.q_emb, c.emb)
+                        / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                           * sqrt(list_dot_product(c.emb, c.emb))) DESC,
+                        c.vec_id
+               ) AS rank
+        FROM q CROSS JOIN c
+        WHERE q.q_id <> c.vec_id
+    ) WHERE rank <= 10
+    """,
+    doc="Brute-force cosine top-10 for 3 query vectors: broadcast the tiny "
+    "query side, JVM-side dot product (zip_with + aggregate), window "
+    "top-k with deterministic tie-break.  The exact baseline the ANN/IVF "
+    "path is measured against.",
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    cand = e.select(F.col("vec_id"), emb.alias("emb"))
+    q = cand.where(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    dot = F.aggregate(
+        F.zip_with("q_emb", "emb", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    sim = dot / (nrm("q_emb") * nrm("emb"))
+    w = Window.partitionBy("q_id").orderBy(F.col("_sim").desc(), F.col("vec_id"))
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .where(F.col("q_id") != F.col("vec_id"))
+        .withColumn("_sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("_sim", 6).alias("cos_sim"),
+            "rank",
+        )
+    )

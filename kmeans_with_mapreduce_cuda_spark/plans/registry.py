@@ -1,0 +1,100 @@
+"""Query registry: the single source of truth wiring SURVEY.md §2's
+operator inventory to (a) a PySpark implementation, (b) an ANSI-SQL
+DuckDB oracle, (c) the driver contract in ``__spark_entry__.py`` and
+(d) ``bench.py``.
+
+Determinism discipline (SURVEY.md §7 "hard parts"):
+- no RNG inside checked queries -- seeding uses md5-order (engine-portable);
+- argmin ties break to the lowest cluster_id in both engines;
+- computed floats are rounded (ROUND_CENT decimals for centroid means,
+  per-query for wide-magnitude values) in BOTH engines so the driver's
+  value-hash agrees;
+- every aggregate/computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: decimals kept on centroid means in checked queries (both engines).
+ROUND_CENT = 4
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB; None -> rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def query(name: str, oracle: str | None = None, doc: str = ""):
+    """Decorator registering a (spark, sf_dir) -> DataFrame callable."""
+
+    def wrap(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc or fn.__doc__ or "")
+        return fn
+
+    return wrap
+
+
+# ---------------------------------------------------------------------------
+# Shared literals (k=8 fixed initial centroids on the lineitem
+# (quantity, extendedprice) plane -- FIXTURES.md §2's deterministic seed).
+# ---------------------------------------------------------------------------
+
+INIT_CENTROIDS_2D: list[tuple[float, float]] = [
+    (5.0, 20000.0),
+    (15.0, 40000.0),
+    (25.0, 60000.0),
+    (35.0, 80000.0),
+    (45.0, 100000.0),
+    (10.0, 90000.0),
+    (30.0, 30000.0),
+    (48.0, 55000.0),
+]
+
+K2D = len(INIT_CENTROIDS_2D)
+
+
+def cents_sql(cents: Sequence[tuple[float, float]]) -> str:
+    """Literal centroid relation (cluster_id, cx, cy) as a SQL fragment."""
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS cluster_id, "
+        f"CAST({cx!r} AS DOUBLE) AS cx, CAST({cy!r} AS DOUBLE) AS cy"
+        for i, (cx, cy) in enumerate(cents)
+    )
+    return f"({rows})"
+
+
+POINTS_SQL = (
+    "SELECT CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber, "
+    "l_quantity, l_extendedprice) AS BIGINT) AS id, "
+    "CAST(l_quantity AS DOUBLE) AS x, "
+    "CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem"
+)
+
+
+def assign_sql(points_cte: str = "points", cents_cte: str = "cents") -> str:
+    """SQL argmin assignment: cross join + row_number ordered by
+    (dist, cluster_id) -- the reference's ties-to-lowest-id semantics
+    (strict < at kmeans_mapreduce_core.cu:27)."""
+    return f"""
+        SELECT id, x, y, cluster_id FROM (
+            SELECT p.id, p.x, p.y, c.cluster_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.id
+                       ORDER BY (p.x - c.cx) * (p.x - c.cx)
+                              + (p.y - c.cy) * (p.y - c.cy), c.cluster_id
+                   ) AS rn
+            FROM {points_cte} p CROSS JOIN {cents_cte} c
+        ) WHERE rn = 1
+    """

@@ -1,0 +1,360 @@
+"""Relational breadth queries (SURVEY.md §2.2): filters, joins, window
+functions, grouping sets, set ops, string/date/JSON functions -- the
+categories the reference lacks entirely, free in Spark, each with a
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.readers import load_table
+from .registry import query
+
+
+# --- Filter + aggregate (TPC-H Q1 shape) -----------------------------------
+
+@query(
+    "rel_filter_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 4) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Filter + multi-aggregate grouping (TPC-H Q1 shape).  The filter "
+    "and the 6-column projection both push into the parquet scan.",
+)
+def rel_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- Broadcast (dimension) join chain ---------------------------------------
+
+@query(
+    "rel_join_broadcast",
+    oracle="""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(avg(c.c_acctbal), 4) AS avg_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    doc="Dimension-join chain: nation/region are broadcast (tiny dims -> "
+    "BroadcastHashJoin, no shuffle of the fact side).  The reference's "
+    "only 'join' is the broadcast argmin of O4.",
+)
+def rel_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+# --- Large shuffle join (fact-to-fact) --------------------------------------
+
+@query(
+    "rel_join_shuffle",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Fact-to-fact equi-join: both sides shuffle on the key "
+    "(sort-merge/shuffled-hash chosen by AQE); filter pushes below the "
+    "join on the orders side.",
+)
+def rel_join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+# --- Semi / anti joins -------------------------------------------------------
+
+@query(
+    "rel_join_semi_anti",
+    oracle="""
+    SELECT 'with_orders' AS side, CAST(count(*) AS BIGINT) AS n FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'without_orders' AS side, CAST(count(*) AS BIGINT) AS n FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Left-semi and left-anti joins (EXISTS / NOT EXISTS).",
+)
+def rel_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("with_orders").alias("side"), "n")
+    )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("without_orders").alias("side"), "n")
+    )
+    return semi.unionAll(anti)
+
+
+# --- Window functions --------------------------------------------------------
+
+@query(
+    "rel_window_topk",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, rank FROM (
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.c_custkey
+                   ORDER BY o.o_totalprice DESC, o.o_orderkey
+               ) AS rank
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    ) WHERE rank <= 3
+    """,
+    doc="Window top-k per group (row_number over partitioned desc order, "
+    "deterministic tie-break on the key).",
+)
+def rel_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+    )
+
+
+@query(
+    "rel_window_lag",
+    oracle="""
+    SELECT user_id, event_id, gap_s FROM (
+        SELECT user_id, event_id,
+               CAST(date_diff('second',
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    ts) AS BIGINT) AS gap_s
+        FROM events
+    ) WHERE gap_s IS NOT NULL
+    """,
+    doc="lag() over event time per user -- inter-event gaps.  The "
+    "reference's adjacent-row compare (kmeans_mapreduce_core.cu:82) is "
+    "this same primitive over the sorted shuffle output.",
+)
+def rel_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap = (F.unix_timestamp("ts") - F.unix_timestamp(prev)).cast("bigint")
+    return (
+        e.select("user_id", "event_id", gap.alias("gap_s"))
+        .where(F.col("gap_s").isNotNull())
+    )
+
+
+# --- Grouping sets / rollup --------------------------------------------------
+
+@query(
+    "rel_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP grouping sets (subtotals + grand total; NULL marks the "
+    "rolled-up level in both engines).",
+)
+def rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --- Set operations ----------------------------------------------------------
+
+@query(
+    "rel_set_ops",
+    oracle="""
+    WITH buyers AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+    rich AS (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000)
+    SELECT 'intersect' AS op, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT custkey FROM buyers INTERSECT SELECT custkey FROM rich)
+    UNION ALL
+    SELECT 'except' AS op, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT custkey FROM rich EXCEPT SELECT custkey FROM buyers)
+    UNION ALL
+    SELECT 'union' AS op, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT custkey FROM buyers UNION SELECT custkey FROM rich)
+    """,
+    doc="Set operations: INTERSECT / EXCEPT / UNION (distinct semantics).",
+)
+def rel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    ).distinct()
+    rich = load_table(spark, sf_dir, "customer").where(
+        F.col("c_acctbal") > 5000
+    ).select(F.col("c_custkey").alias("custkey"))
+
+    def one(op: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(op).alias("op"), "n"
+        )
+
+    return (
+        one("intersect", o.intersect(rich))
+        .unionAll(one("except", rich.exceptAll(o).distinct()))
+        .unionAll(one("union", o.union(rich).distinct()))
+    )
+
+
+# --- String / date / JSON functions -----------------------------------------
+
+@query(
+    "rel_string_funcs",
+    oracle="""
+    SELECT doc_id,
+           upper(substr(text, 1, 12)) AS head,
+           CAST(length(text) AS BIGINT) AS len,
+           CAST(length(replace(text, ' ', '')) AS BIGINT) AS len_nospace,
+           source || ':' || lang AS tag
+    FROM documents WHERE doc_id < 200
+    """,
+    doc="String functions: upper/substr/length/replace/concat.",
+)
+def rel_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 12)).alias("head"),
+        F.length("text").cast("bigint").alias("len"),
+        F.length(F.regexp_replace("text", " ", "")).cast("bigint").alias("len_nospace"),
+        F.concat_ws(":", "source", "lang").alias("tag"),
+    )
+
+
+@query(
+    "rel_date_funcs",
+    oracle="""
+    SELECT CAST(strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS VARCHAR)
+               AS hour_str,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Date/time functions: truncate-to-hour aggregation over the events "
+    "table (timestamps stringified identically in both engines).",
+)
+def rel_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_str"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "rel_json_funcs",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+    """,
+    doc="JSON extraction from the events.props string column.",
+)
+def rel_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.get_json_object("props", "$.k").cast("bigint").alias("k")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- Array functions over embeddings ----------------------------------------
+
+@query(
+    "rel_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           round(list_sum(embedding::DOUBLE[]), 4) AS vec_sum
+    FROM embeddings WHERE vec_id < 100
+    """,
+    doc="Array functions: size / element access / element sum over the "
+    "array<float> embedding column (higher-order AGGREGATE, no UDF).",
+)
+def rel_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    emb = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(emb.getItem(0), 6).alias("first_val"),
+        F.round(
+            F.aggregate(emb, F.lit(0.0), lambda acc, v: acc + v), 4
+        ).alias("vec_sum"),
+    )

@@ -1,0 +1,45 @@
+"""SparkSession factory tuned for the local[32] harness but configured
+the way a large cluster run would be: AQE on (skew-join handling is the
+Spark analog of the reference's per-cluster "Loading Balancing" grids,
+kmeans_mapreduce_core.cu:195-207), Arrow for any Python exchange,
+shuffle partitions sized to the parallelism.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+MB = 1024 * 1024
+
+
+def get_spark(
+    app_name: str = "kmeans-mapreduce-spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    On a real cluster only the conf lines matter -- drop the ``master``.
+    ``spark.sql.shuffle.partitions`` defaults to the core count here; at
+    100 TB you would size it so post-shuffle partitions land ~128-256 MB
+    (AQE coalescing then trims small ones automatically).
+    """
+    cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle = str(shuffle_partitions or max(int(cpus), 8))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * MB))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * MB))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,128 @@
+"""Sources: the reference's text scanner re-expressed declaratively, plus
+the parquet catalog for the driver fixtures.
+
+Reference parity: the CUDA driver reads the first NUM_INPUT lines of a
+whitespace-separated 2-column integer file with ``istringstream >>``
+(kmeans_with_mapreduce-cuda.cu:52-70, NUM_INPUT config.cuh:12).  Here that
+is a ``spark.read.text`` scan + a split/cast projection; the row cap is a
+``limit``.  At scale you would never cap by "first N file lines" (it is
+inherently sequential); the parity path coalesces to one partition only
+when a strict first-N is requested on a small file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Every fixture table the driver materializes (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan for one fixture table.  Column pruning + predicate
+    pushdown reach the scan because callers select/filter on the returned
+    DataFrame before any action (check ``.explain``: ReadSchema/PushedFilters).
+
+    The events table carries TIMESTAMP(NANOS) which Spark's parquet reader
+    rejects; read nanos as long (legacy conf) and rebuild a proper
+    timestamp column at microsecond precision.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all fixture tables as temp views for ``spark.sql``."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def read_points_text(
+    spark: SparkSession, path: str, limit: int | None = None
+) -> DataFrame:
+    """Whitespace-separated 2-column integer text -> DataFrame[id,x,y].
+
+    Mirrors the reference scanner (kmeans_with_mapreduce-cuda.cu:52-70):
+    any run of whitespace separates the two coordinates; only the first
+    ``limit`` lines are kept when given (NUM_INPUT semantics).  ``id`` is
+    the file line number (the reference's implicit array index).
+    """
+    df = spark.read.text(path)
+    if limit is not None:
+        # Strict "first N lines" is a sequential notion; do it on a single
+        # partition (parity path -- small files only).  The scale path is
+        # parquet without a cap.
+        df = df.coalesce(1)
+    # try_cast, not cast: ANSI mode (Spark 4 default) makes a plain cast
+    # throw on malformed lines; the reference scanner just yields garbage
+    # coords -- we drop such lines instead.
+    parts = F.split(F.trim(F.col("value")), r"\s+")
+    out = (
+        df.select(
+            (F.monotonically_increasing_id()).alias("id"),
+            parts.getItem(0).try_cast("long").alias("x"),
+            parts.getItem(1).try_cast("long").alias("y"),
+        )
+        .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+    if limit is not None:
+        out = out.limit(limit)
+    return out
+
+
+def points_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Id-free 2-D points projection for iteration/bench paths: a plain
+    narrow scan (no window, no sort), fully parallel.  Use
+    :func:`points_from_lineitem` only where per-row identity is needed
+    (the oracle parity queries)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+    )
+
+
+def points_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The harness's 2-D points relation: a deterministic projection of
+    lineitem (FIXTURES.md §1 analog) on the (quantity, extendedprice)
+    plane.
+
+    ``id`` must be unique for the per-row oracle checks, and the synthetic
+    lineitem has duplicate natural keys, so it is a row_number over a total
+    order (ties beyond the full sort key are value-identical, hence
+    engine-independent).  The global-sort window is parity-harness-only:
+    the engine operators (assign/update/lloyd) never reference ``id``, so
+    the 100 TB path carries no global sort.
+    """
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.orderBy(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    return li.select(
+        F.row_number().over(w).cast("bigint").alias("id"),
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+    )

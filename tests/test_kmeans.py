@@ -1,0 +1,148 @@
+"""K-Means property + golden tests (SURVEY.md §5's designed strategy --
+the reference has no test suite, only a non-reproducible golden file).
+
+Golden: a NumPy Lloyd's implementation with identical semantics
+(squared-Euclidean, ties to lowest cluster_id, float means, empty cluster
+keeps previous centroid) must produce the same centroids as lloyd_2d.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kmeans_with_mapreduce_cuda_spark.operators.kmeans import (
+    assign_2d,
+    kmeans_step_2d,
+    lloyd_2d,
+    lloyd_nd,
+    seed_centroids_2d,
+    seed_centroids_nd,
+    sse_2d,
+    update_2d,
+)
+from kmeans_with_mapreduce_cuda_spark.sources.readers import (
+    load_table,
+    points_from_lineitem,
+)
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    return points_from_lineitem(spark, SF_DIR).cache()
+
+
+@pytest.fixture(scope="module")
+def xy(points):
+    pdf = points.select("x", "y").toPandas()
+    return np.column_stack([pdf["x"].to_numpy(), pdf["y"].to_numpy()])
+
+
+def numpy_lloyd(xy: np.ndarray, init, max_iter: int, tol: float = 1e-6):
+    """Reference Lloyd's with our documented semantics."""
+    cents = np.array(init, dtype=np.float64)
+    for _ in range(max_iter):
+        d = ((xy[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)  # argmin takes first (lowest id) on ties
+        new = cents.copy()
+        for i in range(len(cents)):
+            m = lab == i
+            if m.any():
+                new[i] = xy[m].mean(axis=0)
+        shift = np.sqrt(((new - cents) ** 2).sum(axis=1)).max()
+        cents = new
+        if shift <= tol:
+            break
+    return cents
+
+
+INIT4 = [(10.0, 20000.0), (25.0, 50000.0), (40.0, 80000.0), (15.0, 95000.0)]
+
+
+def test_golden_vs_numpy(points, xy):
+    got = np.array(lloyd_2d(points, INIT4, max_iter=8))
+    exp = numpy_lloyd(xy, INIT4, max_iter=8)
+    assert np.allclose(got, exp, rtol=1e-9, atol=1e-6), f"\n{got}\nvs\n{exp}"
+
+
+def test_sse_monotone(points):
+    cents = INIT4
+    prev = sse_2d(points, cents)
+    for _ in range(5):
+        cents = kmeans_step_2d(points, cents)
+        cur = sse_2d(points, cents)
+        assert cur <= prev + 1e-6
+        prev = cur
+
+
+def test_every_point_assigned_once(points):
+    n = points.count()
+    a = assign_2d(points, INIT4)
+    assert a.count() == n
+    counts = update_2d(a).agg(F.sum("n")).collect()[0][0]
+    assert counts == n
+    bad = a.where((F.col("cluster_id") < 0) | (F.col("cluster_id") >= len(INIT4)))
+    assert bad.count() == 0
+
+
+def test_centroids_within_bbox(points):
+    cents = lloyd_2d(points, INIT4, max_iter=5)
+    row = points.agg(
+        F.min("x"), F.max("x"), F.min("y"), F.max("y")
+    ).collect()[0]
+    for cx, cy in cents:
+        assert row[0] <= cx <= row[1]
+        assert row[2] <= cy <= row[3]
+
+
+def test_permutation_invariance(points, spark):
+    """Row order must not change the result (the reference's thrust sort
+    is non-stable for the same reason)."""
+    shuffled = points.orderBy(F.md5(F.col("id").cast("string")))
+    a = kmeans_step_2d(points, INIT4)
+    b = kmeans_step_2d(shuffled, INIT4)
+    assert np.allclose(np.array(a), np.array(b), rtol=1e-9)
+
+
+def test_empty_cluster_keeps_previous(points):
+    """A centroid far outside the bounding box gets no points and must
+    survive unchanged."""
+    far = (1e9, 1e9)
+    cents = INIT4 + [far]
+    new = kmeans_step_2d(points, cents)
+    assert new[-1] == far
+
+
+def test_tie_breaks_to_lowest_id(spark):
+    """Two coincident centroids: every point must go to the lower id
+    (strict < at kmeans_mapreduce_core.cu:27)."""
+    df = spark.range(10).select(
+        F.col("id"),
+        (F.col("id") * 1.0).alias("x"),
+        (F.col("id") * 2.0).alias("y"),
+    )
+    a = assign_2d(df, [(5.0, 10.0), (5.0, 10.0)])
+    assert a.where(F.col("cluster_id") != 0).count() == 0
+
+
+def test_seed_deterministic(points):
+    s1 = seed_centroids_2d(points, k=5, seed=7)
+    s2 = seed_centroids_2d(points, k=5, seed=7)
+    s3 = seed_centroids_2d(points, k=5, seed=8)
+    assert s1 == s2
+    assert s1 != s3
+    assert len(set(s1)) == 5  # without replacement
+
+
+def test_lloyd_nd_embeddings(spark):
+    emb = load_table(spark, SF_DIR, "embeddings").cache()
+    init = seed_centroids_nd(emb, k=4, seed=42)
+    cents = lloyd_nd(emb, init, max_iter=3)
+    assert len(cents) == 4
+    assert all(len(c) == 64 for c in cents)
+    assert all(math.isfinite(v) for c in cents for v in c)
