@@ -55,17 +55,16 @@ def minhash_signature(
     (TRANSFORM + ARRAY_MIN), no UDF, fully codegen'd.
     """
     arr = _c(shingles)
+
+    def hash_fn(i: int):
+        # NB: a factory, not a default-arg lambda -- PySpark calls 2-param
+        # lambdas as (element, index), which would clobber the salt.
+        salt = f"mh{seed}_{i}:"
+        return lambda s: F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), s)), 1, 8), 16, 10
+        ).cast("bigint")
+
     sig = [
-        F.array_min(
-            F.transform(
-                arr,
-                lambda s, i=i: F.conv(
-                    F.substring(F.md5(F.concat(F.lit(f"mh{seed}_{i}:"), s)), 1, 8),
-                    16,
-                    10,
-                ).cast("bigint"),
-            )
-        )
-        for i in range(num_hashes)
+        F.array_min(F.transform(arr, hash_fn(i))) for i in range(num_hashes)
     ]
     return F.array(*sig)

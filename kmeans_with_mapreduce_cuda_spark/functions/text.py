@@ -38,16 +38,22 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     the ragged tail so every shingle has exactly n words.
     """
     toks = tokens(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    # guard: sequence(1, 0) DESCENDS in Spark, it is not empty -- short
+    # docs must yield zero shingles, not garbage slices.
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(F.size(toks) >= n, F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i, n), " ")
+    )).otherwise(F.array().cast("array<string>"))
 
 
 def char_ngrams(text: Column | str, n: int = 3) -> Column:
     """Character n-grams of the lower-cased text (for language ID /
     SimHash shingling)."""
     s = F.lower(_c(text))
-    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(0)))
-    return F.transform(idx, lambda i: F.substr(s, i, F.lit(n)))
+    idx = F.sequence(F.lit(1), F.length(s) - (n - 1))
+    return F.when(F.length(s) >= n, F.transform(
+        idx, lambda i: F.substr(s, i, F.lit(n))
+    )).otherwise(F.array().cast("array<string>"))
 
 
 def punct_ratio(text: Column | str) -> Column:

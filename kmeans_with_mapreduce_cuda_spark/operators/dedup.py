@@ -1,0 +1,175 @@
+"""Deduplication operators for the documents table: exact (content-hash),
+MinHash+LSH banding, SimHash, n-gram Jaccard.  North-star extensions --
+the reference has no dedup surface; these are the operators a 100 TB
+training-data pipeline runs before anything else.
+
+Scale design:
+- Exact dedup shuffles 16-byte digests, never bodies.
+- MinHash/LSH: per-doc signature is a narrow projection (md5 + ARRAY_MIN
+  higher-order exprs, fully codegen'd); the only shuffle is the band-key
+  self-join, whose fan-out is bounded by band collisions -- the standard
+  LSH trade: recall vs candidate count via (num_hashes, bands).
+- All hashes are md5-derived so results are engine-portable and
+  oracle-checkable (functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long, minhash_signature
+from ..functions.text import tokens, word_shingles
+
+#: default MinHash geometry: 16 hashes in 8 bands of 2 rows.
+NUM_HASHES = 16
+NUM_BANDS = 8
+
+
+def exact_dedup_keep_first(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id row per exact content hash (deterministic
+    canonical selection; dropDuplicates keeps an arbitrary row)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.md5(text_col)).orderBy(id_col)
+    return df.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") == 1
+    ).drop("_rn")
+
+
+def doc_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct n-gram word shingles per document -> (id, shingles array)."""
+    return df.select(
+        id_col, F.array_distinct(word_shingles(text_col, n)).alias("shingles")
+    ).where(F.size("shingles") > 0)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = NUM_HASHES,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-doc MinHash signature -> (id, sig: array<bigint>[num_hashes])."""
+    sh = doc_shingles(df, text_col, id_col, shingle_n)
+    return sh.select(
+        id_col, minhash_signature("shingles", num_hashes, seed).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = NUM_HASHES,
+    bands: int = NUM_BANDS,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH candidate pairs + signature-estimated Jaccard.
+
+    Banding: signature split into ``bands`` bands of r = num_hashes/bands
+    rows; docs colliding on any full band become a candidate pair.  The
+    self-join key is (band_idx, band values) so each band is one shuffle
+    key -- no all-pairs comparison anywhere.
+
+    Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b, est_jaccard =
+    fraction of agreeing signature positions (rounded to 6).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                *[F.col("sig")[b * r + j].alias(f"h{j}") for j in range(r)],
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col).alias("id"), F.col("sig"), F.explode(band_structs).alias("bk")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            "sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.round(agree.cast("double") / num_hashes, 6).alias("est_jaccard"),
+    )
+
+
+def token_hashes(text_col: str = "text", salt: str = "sh:") -> Column:
+    """md5-derived 32-bit hash per whitespace token -> array<bigint>.
+    Project this ONCE, then derive SimHash bits from the array (hashing is
+    the expensive part; the 16 bit-sums reuse the projected array).
+    """
+    return F.transform(
+        tokens(text_col),
+        lambda t: F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), t)), 1, 8), 16, 10
+        ).cast("bigint"),
+    )
+
+
+def simhash16_from_hashes(hashes: Column | str) -> Column:
+    """16-bit SimHash from a pre-projected token-hash array.
+
+    Bit j of the result is 1 iff sum over tokens of (+1 if hash bit j set
+    else -1) is > 0 (ties -> 0).  Pure higher-order expressions;
+    engine-portable for the DuckDB oracle.
+    """
+    hs = F.col(hashes) if isinstance(hashes, str) else hashes
+
+    def merge_fn(j: int):
+        # factory, not default-arg lambda: PySpark dispatches on arity.
+        return lambda acc, hv: (
+            acc + F.shiftright(hv, j).bitwiseAND(F.lit(1)) * 2 - 1
+        )
+
+    out = F.lit(0).cast("bigint")
+    for j in range(16):
+        s_j = F.aggregate(hs, F.lit(0).cast("bigint"), merge_fn(j))
+        out = out + F.when(s_j > 0, F.lit(2**j)).otherwise(F.lit(0))
+    return out.cast("bigint")
+
+
+def simhash16_sql(hashes_expr: str) -> str:
+    """DuckDB twin of :func:`simhash16_from_hashes` over a SQL list expr
+    of token hashes (pair it with :func:`token_hashes_sql`)."""
+    terms = []
+    for j in range(16):
+        s_j = f"list_sum([ ((hv >> {j}) & 1) * 2 - 1 FOR hv IN {hashes_expr} ])"
+        terms.append(f"CASE WHEN ({s_j}) > 0 THEN {2**j} ELSE 0 END")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def token_hashes_sql(text_expr: str = "text", salt: str = "sh:") -> str:
+    """DuckDB twin of :func:`token_hashes`."""
+    toks = f"regexp_split_to_array(trim(lower({text_expr})), '\\s+')"
+    h = f"CAST(('0x' || substr(md5('{salt}' || t), 1, 8)) AS BIGINT)"
+    return f"[ {h} FOR t IN {toks} ]"

@@ -1,0 +1,112 @@
+"""Similarity search over embedding columns: brute-force cosine top-k
+(exact baseline) and an IVF (inverted-file) ANN path that uses the
+K-Means operator as its coarse quantizer -- the standard scale design:
+cluster once, then probe only the nearest ``nprobe`` cells per query.
+
+At 100 TB the candidates side is partitioned by cell id, the query side
+is broadcast, and each probe touches ~nprobe/k of the data instead of
+all of it; recall vs speed is the (k, nprobe) dial.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.distance import cosine_similarity
+from .kmeans import CentroidsND, assign_nd, lloyd_nd, seed_centroids_nd
+
+
+def brute_force_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    features: str = "emb",
+    q_features: str = "q_emb",
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query side, JVM-side dot
+    products, window top-k with (similarity desc, id) tie order."""
+    sim = cosine_similarity(q_features, features)
+    w = Window.partitionBy(q_id_col).orderBy(F.col("_sim").desc(), F.col(id_col))
+    return (
+        candidates.crossJoin(F.broadcast(queries))
+        .where(F.col(q_id_col) != F.col(id_col))
+        .withColumn("_sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    n_cells: int = 16,
+    features: str = "embedding",
+    id_col: str = "vec_id",
+    max_iter: int = 5,
+    seed: int = 42,
+) -> tuple[DataFrame, CentroidsND]:
+    """Coarse-quantize: K-Means cells over the embedding column; returns
+    (df + cell_id column, cell centroids).  At scale you would persist the
+    assigned table partitioned/bucketed BY cell_id so probes prune files.
+    """
+    init = seed_centroids_nd(df, k=n_cells, seed=seed, key=id_col, features=features)
+    cents = lloyd_nd(df, init, max_iter=max_iter, features=features)
+    indexed = assign_nd(df, cents, features=features, out="cell_id")
+    return indexed, cents
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    cents: CentroidsND,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    features: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_features: str = "q_emb",
+) -> DataFrame:
+    """ANN top-k: route each query to its ``nprobe`` nearest cells, then
+    brute-force only within those cells (equi-join on cell_id -- the scan
+    prunes to nprobe/n_cells of the data instead of a full cross join).
+    """
+    # nprobe nearest cells per query, from the same k literal centroids.
+    q = queries
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col(q_features).cast("array<double>"),
+                    F.array(*[F.lit(float(v)) for v in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for c in cents
+        ]
+    )
+    # indices of the nprobe smallest distances (array_sort on (dist, idx))
+    pairs = F.transform(
+        dists, lambda d, i: F.struct(d.alias("d"), i.alias("cell"))
+    )
+    probe_cells = F.slice(
+        F.transform(F.array_sort(pairs), lambda s: s["cell"]), 1, nprobe
+    )
+    q = q.withColumn("_probe", probe_cells).withColumn(
+        "cell_id", F.explode("_probe")
+    ).drop("_probe")
+
+    sim = cosine_similarity(q_features, F.col(features).cast("array<double>"))
+    w = Window.partitionBy(q_id_col).orderBy(F.col("_sim").desc(), F.col(id_col))
+    return (
+        indexed.join(F.broadcast(q), "cell_id")
+        .where(F.col(q_id_col) != F.col(id_col))
+        .withColumn("_sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(q_id_col, id_col, F.round("_sim", 6).alias("cos_sim"), "rank")
+    )

@@ -98,6 +98,89 @@ def o04_assign_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- O4 n-D: nearest-centroid assignment over array<float> embeddings -----
+
+_K_ND = 4
+
+_ND_DIST = (
+    "list_sum([ (z[1] - z[2]) * (z[1] - z[2]) FOR z IN list_zip(e.emb, c.cemb) ])"
+)
+
+_ND_ASSIGN_SQL = f"""
+    WITH cents AS (
+        SELECT CAST(vec_id AS INTEGER) AS cluster_id, embedding::DOUBLE[] AS cemb
+        FROM embeddings WHERE vec_id < {_K_ND}
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    assigned AS (
+        SELECT vec_id, emb, cluster_id FROM (
+            SELECT e.vec_id, e.emb, c.cluster_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id ORDER BY {_ND_DIST}, c.cluster_id
+                   ) AS rn
+            FROM e CROSS JOIN cents c
+        ) WHERE rn = 1
+    )
+"""
+
+
+def _cents_nd(spark: SparkSession, sf_dir: str, k: int = _K_ND) -> list[list[float]]:
+    """Deterministic n-D seed centroids: the embeddings of vec_id < k
+    (tiny driver-side collect, the seeding boundary)."""
+    from ..sources.readers import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < k)
+        .orderBy("vec_id")
+        .collect()
+    )
+    return [[float(v) for v in r["embedding"]] for r in rows]
+
+
+@query(
+    "o04_assign_argmin_nd",
+    oracle=_ND_ASSIGN_SQL + "SELECT vec_id, cluster_id FROM assigned",
+    doc="O4 map stage generalized to n-D: nearest-centroid assignment over "
+    "the 64-dim embedding column (k=4 centroids = embeddings of vec_id<4). "
+    "Distance is a higher-order array expression (zip_with+aggregate), "
+    "JVM-side; same ties-to-lowest-id semantics as the 2-D path.",
+)
+def o04_assign_argmin_nd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmeans import assign_nd
+    from ..sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return assign_nd(e, _cents_nd(spark, sf_dir)).select("vec_id", "cluster_id")
+
+
+@query(
+    "o09_centroid_update_nd",
+    oracle=_ND_ASSIGN_SQL
+    + "SELECT cluster_id, "
+    + ", ".join(
+        f"round(avg(emb[{i + 1}]), 6) AS c{i}" for i in range(64)
+    )
+    + ", CAST(count(*) AS BIGINT) AS n FROM assigned GROUP BY cluster_id",
+    doc="O9 reduce generalized to n-D: per-cluster element-wise mean of the "
+    "64-dim embeddings.  Spark projects each dim to a column first so the "
+    "shuffle carries k x partitions rows (map-side combine), never the "
+    "N x 64 explode a posexplode formulation would.",
+)
+def o09_centroid_update_nd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmeans import assign_nd, update_nd
+    from ..sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = assign_nd(e, _cents_nd(spark, sf_dir))
+    u = update_nd(a, dim=64)
+    return u.select(
+        "cluster_id",
+        *[F.round(f"c{i}", 6).alias(f"c{i}") for i in range(64)],
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
 # --- O6: shuffle sort by key (thrust::sort, core.cu:248) -------------------
 
 @query(

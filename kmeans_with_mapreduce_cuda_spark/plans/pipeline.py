@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import STOPWORDS, tokens
+from ..operators.dedup import simhash16_sql, token_hashes_sql
 from ..sources.readers import load_table
 from .registry import query
 
@@ -269,6 +270,139 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
     return d.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+# --- MinHash + LSH near-dedup (md5-based, fully oracle-checkable) ------------
+
+def _minhash_sql(num_hashes: int = 16, bands: int = 8, seed: int = 42) -> str:
+    r = num_hashes // bands
+    h_cols = ", ".join(
+        f"list_min([ CAST(('0x' || substr(md5('mh{seed}_{j}:' || s), 1, 8)) AS BIGINT)"
+        f" FOR s IN shingles ]) AS h{j}"
+        for j in range(num_hashes)
+    )
+    band_arms = " UNION ALL ".join(
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b ON "
+        + " AND ".join(f"a.h{b * r + j} = b.h{b * r + j}" for j in range(r))
+        + " AND a.doc_id < b.doc_id"
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END" for j in range(num_hashes)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, list_distinct([
+            list_aggregate(toks[i:i+2], 'string_agg', ' ')
+            FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)
+        ]) AS shingles FROM toks
+    ),
+    sig AS (SELECT doc_id, {h_cols} FROM sh WHERE len(shingles) > 0),
+    cand AS ({band_arms}),
+    pairs AS (SELECT DISTINCT doc_a, doc_b FROM cand)
+    SELECT p.doc_a, p.doc_b, round(({agree}) / {num_hashes}.0, 6) AS est_jaccard
+    FROM pairs p JOIN sig a ON a.doc_id = p.doc_a JOIN sig b ON b.doc_id = p.doc_b
+    """
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_minhash_sql(),
+    doc="MinHash+LSH near-dup candidates: 16 md5-derived min-hashes over "
+    "3-gram shingles, 8 bands x 2 rows; pairs colliding on any band, with "
+    "signature-estimated Jaccard.  The self-join key is the band value -- "
+    "no all-pairs comparison; md5 hashing makes the whole path "
+    "reproducible in ANSI SQL (the usual MinHashLSH is engine-seeded).",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d)
+
+
+@query(
+    "text_simhash",
+    oracle=(
+        f"WITH h AS (SELECT doc_id, {token_hashes_sql('text')} AS hs "
+        f"FROM documents) "
+        f"SELECT doc_id, {simhash16_sql('hs')} AS simhash FROM h"
+    ),
+    doc="16-bit SimHash per document from md5 token hashes: bit j is the "
+    "sign of the +-1 vote sum over tokens.  Near-dup docs differ in few "
+    "bits; banding the 16 bits gives the LSH variant at scale.",
+)
+def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash16_from_hashes, token_hashes
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", token_hashes("text").alias("_hs")).select(
+        "doc_id", simhash16_from_hashes("_hs").alias("simhash")
+    )
+
+
+# --- Embedding-cosine near-dup ------------------------------------------------
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+               WHERE vec_id < 300)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.emb, b.emb)
+                 / (sqrt(list_dot_product(a.emb, a.emb))
+                    * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.emb, b.emb)
+          / (sqrt(list_dot_product(a.emb, a.emb))
+             * sqrt(list_dot_product(b.emb, b.emb))) >= 0.35
+    """,
+    doc="Embedding-cosine near-duplicate pairs (threshold 0.35) over a "
+    "bounded id range -- the exact oracle for embedding dedup.  At scale "
+    "the pair generation goes through the IVF cells (sim_ann_ivf) instead "
+    "of this quadratic join.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.distance import cosine_similarity
+
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    emb = F.col("embedding").cast("array<double>")
+    a = e.select(F.col("vec_id").alias("vec_a"), emb.alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), emb.alias("emb_b"))
+    sim = cosine_similarity("emb_a", "emb_b")
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .withColumn("_sim", sim)
+        .where(F.col("_sim") >= 0.35)
+        .select("vec_a", "vec_b", F.round("_sim", 6).alias("cos_sim"))
+    )
+
+
+# --- IVF ANN (rows-only: iterative K-Means inside) ----------------------------
+
+@query(
+    "sim_ann_ivf",
+    oracle=None,
+    doc="Approximate nearest neighbors via IVF: K-Means coarse quantizer "
+    "(8 cells, 3 Lloyd iterations, seeded) + per-query probing of the 3 "
+    "nearest cells, brute-force cosine only within probed cells.  "
+    "Non-SQL-expressible (iterative); correctness is covered by the "
+    "recall-vs-bruteforce property test (tests/test_similarity.py).",
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import build_ivf_index, ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    indexed, cents = build_ivf_index(e, n_cells=8, max_iter=3, seed=42)
+    q = e.where(F.col("vec_id").isin(0, 7, 42)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+    )
+    return ivf_topk(indexed, cents, q, k=10, nprobe=3)
 
 
 # --- Similarity search (brute-force oracle path) -----------------------------

@@ -202,6 +202,130 @@ def rel_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- As-of join ----------------------------------------------------------------
+
+@query(
+    "rel_asof_join",
+    oracle="""
+    WITH p AS (SELECT event_id AS pid, user_id, date_trunc('microseconds', ts) AS pts
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS cid, user_id, date_trunc('microseconds', ts) AS cts
+          FROM events WHERE event_type = 'click')
+    SELECT pid, user_id, cid FROM (
+        SELECT p.pid, p.user_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.pid ORDER BY c.cts DESC, c.cid DESC
+               ) AS rn
+        FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.cts <= p.pts
+    ) WHERE rn = 1
+    """,
+    doc="As-of join: for each purchase, the most recent click of the same "
+    "user at-or-before it.  Spark has no ASOF JOIN; the scalable "
+    "formulation is union-both-sides + one window pass (sort once, carry "
+    "the last right-side row forward) -- never the range-join explosion "
+    "the oracle uses.  Ties: latest ts, then highest click id.",
+)
+def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("eid"), F.lit(1).alias("side")
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("eid"), F.lit(0).alias("side")
+    )
+    u = p.unionAll(c)
+    # clicks (side 0) sort before purchases at equal ts -> '<=' semantics;
+    # within clicks, (ts, eid) ascending so 'last' is the tie-winner.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "eid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = F.last(
+        F.when(F.col("side") == 0, F.col("eid")), ignorenulls=True
+    ).over(w)
+    return (
+        u.withColumn("cid", carried)
+        .where(F.col("side") == 1)
+        .select(F.col("eid").alias("pid"), "user_id", "cid")
+    )
+
+
+# --- Range join (banded) --------------------------------------------------------
+
+@query(
+    "rel_range_join",
+    oracle="""
+    WITH v AS (SELECT user_id, date_trunc('microseconds', ts) AS vts
+               FROM events WHERE event_type = 'view'),
+    p AS (SELECT user_id, date_trunc('microseconds', ts) AS pts
+          FROM events WHERE event_type = 'purchase')
+    SELECT v.user_id AS user_id, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM v JOIN p ON p.user_id = v.user_id
+                 AND p.pts > v.vts AND p.pts <= v.vts + INTERVAL 1 HOUR
+    GROUP BY v.user_id
+    """,
+    doc="Temporal range join: (view, purchase) pairs of the same user "
+    "within one hour.  Spark-side uses band bucketing -- each view lands "
+    "in its hour bucket and the next (2 rows), purchases in one; the join "
+    "is then a plain equi-join on (user, bucket) + exact range filter. "
+    "Turns an inequality join into a shuffle-hash join whose fan-out is "
+    "bounded by the band width: the pattern that survives 100 TB.",
+)
+def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hour = 3600
+    v = e.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("vts"),
+        F.explode(
+            F.array(
+                F.floor(F.unix_timestamp("ts") / hour),
+                F.floor(F.unix_timestamp("ts") / hour) + 1,
+            )
+        ).alias("bucket"),
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+        F.floor(F.unix_timestamp("ts") / hour).alias("bucket"),
+    )
+    return (
+        v.join(p, (v.user_id == p.p_user) & (v.bucket == p.bucket))
+        .where(
+            (F.col("pts") > F.col("vts"))
+            & (F.col("pts") <= F.col("vts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# --- Scalar subquery --------------------------------------------------------------
+
+@query(
+    "rel_subquery_scalar",
+    oracle="""
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rich
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    GROUP BY c_mktsegment
+    """,
+    doc="Scalar subquery: customers above the global average balance, by "
+    "segment.  Spark side stays declarative (broadcast the 1-row agg and "
+    "cross join) -- no collect of the scalar to the driver.",
+)
+def rel_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    avg_bal = c.agg(F.avg("c_acctbal").alias("_avg"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg"))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_rich"))
+    )
+
+
 # --- Grouping sets / rollup --------------------------------------------------
 
 @query(
@@ -220,6 +344,25 @@ def rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "rel_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(avg(l_discount), 6) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE grouping sets: all 2^2 grouping combinations.",
+)
+def rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
         F.count(F.lit(1)).alias("n"),
     )
 

@@ -1,0 +1,87 @@
+"""Similarity + dedup property tests (oracle-less paths: IVF ANN recall,
+LSH candidate quality)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kmeans_with_mapreduce_cuda_spark.operators.dedup import minhash_lsh_pairs
+from kmeans_with_mapreduce_cuda_spark.operators.similarity import (
+    brute_force_topk,
+    build_ivf_index,
+    ivf_topk,
+)
+from kmeans_with_mapreduce_cuda_spark.sources.readers import load_table
+
+from conftest import SF_DIR
+
+QUERY_IDS = (0, 7, 42)
+K = 10
+
+
+def _queries(e):
+    return e.where(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+    )
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    e = load_table(spark, SF_DIR, "embeddings").cache()
+    q = _queries(e)
+
+    cand = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    exact = brute_force_topk(cand, q, k=K, features="emb")
+    exact_sets = {
+        r["q_id"]: set()
+        for r in exact.select("q_id").distinct().collect()
+    }
+    for r in exact.select("q_id", "vec_id").collect():
+        exact_sets[r["q_id"]].add(r["vec_id"])
+
+    indexed, cents = build_ivf_index(e, n_cells=8, max_iter=3, seed=42)
+    approx = ivf_topk(indexed, cents, q, k=K, nprobe=3)
+    approx_sets: dict[int, set] = {}
+    for r in approx.select("q_id", "vec_id").collect():
+        approx_sets.setdefault(r["q_id"], set()).add(r["vec_id"])
+
+    for qid, truth in exact_sets.items():
+        got = approx_sets.get(qid, set())
+        recall = len(got & truth) / len(truth)
+        # nprobe=3 of 8 cells on weakly-clustered data: expect decent recall
+        assert recall >= 0.4, f"q{qid}: recall {recall} ({got} vs {truth})"
+
+
+def test_ivf_probes_subset_of_data(spark):
+    """ANN must examine strictly fewer candidates than brute force."""
+    e = load_table(spark, SF_DIR, "embeddings").cache()
+    n = e.count()
+    indexed, cents = build_ivf_index(e, n_cells=8, max_iter=3, seed=42)
+    q = _queries(e)
+    probed = ivf_topk(indexed, cents, q, k=n, nprobe=3)  # k=n: keep all probed
+    per_q = probed.groupBy("q_id").count().collect()
+    for r in per_q:
+        assert r["count"] < n, "probe should prune candidates"
+
+
+def test_minhash_candidates_include_exact_dupes(spark):
+    """Exact duplicate texts always collide on every band -> every
+    exact-dup pair must be an LSH candidate with est_jaccard == 1."""
+    base = load_table(spark, SF_DIR, "documents").where(F.col("doc_id") < 50)
+    clones = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source",
+        "n_chars",
+    )
+    d = base.unionAll(clones)
+    expected = {(i, i + 100000) for i in range(50)}
+
+    cand = minhash_lsh_pairs(d)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in cand.collect()
+    }
+    for pair in expected:
+        assert pair in got, f"exact dup {pair} missed by LSH"
+        assert got[pair] == 1.0
