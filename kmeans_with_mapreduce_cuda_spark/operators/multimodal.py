@@ -1,0 +1,132 @@
+"""Multimodal columns: image/audio/video payloads as opaque ``binary``
+columns with typed metadata, plus Arrow-batched feature extraction.
+
+The container has no image/audio codecs, so the DECODE step is stubbed
+(deterministic fake behind an import-try -- see ``decode_image_batch``);
+everything Spark-side is real and tested: schema, partitioning, the
+mapInPandas batch shape, and the JVM-side metadata/magic-byte path.
+
+Scale notes: payload bytes never enter a shuffle -- metadata extraction
+is a narrow projection; feature extraction is mapInPandas (Arrow batches,
+one Python worker per core); downstream ops (dedup, ANN) run on the
+extracted features/digests, not the blobs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FEATURE_DIM = 16
+
+try:  # the real decoder would be PIL/libvips; absent in this container
+    from PIL import Image  # noqa: F401
+
+    HAS_IMAGE_CODEC = True
+except ImportError:
+    HAS_IMAGE_CODEC = False
+
+
+def sniff_media_type(payload: Column | str) -> Column:
+    """Magic-byte sniffing on a binary column -- pure JVM expressions
+    (hex of the first bytes), no Python."""
+    p = F.col(payload) if isinstance(payload, str) else payload
+    head8 = F.hex(F.substring(p, 1, 8))
+    return (
+        F.when(head8.startswith("89504E47"), "image/png")
+        .when(head8.startswith("FFD8FF"), "image/jpeg")
+        .when(head8.startswith("47494638"), "image/gif")
+        .when(head8.startswith("52494646"), "audio/wav")  # RIFF
+        .when(head8.startswith("494433"), "audio/mp3")  # ID3
+        .when(head8.startswith("255044462D"), "application/pdf")
+        .otherwise("application/octet-stream")
+    )
+
+
+def payload_metadata(payload: Column | str) -> Column:
+    """Typed metadata struct for an opaque payload: byte length, md5
+    digest, sniffed media type.  Narrow projection; the digest is what
+    exact dedup shuffles instead of the blob."""
+    p = F.col(payload) if isinstance(payload, str) else payload
+    return F.struct(
+        F.octet_length(p).alias("n_bytes"),
+        F.md5(p).alias("digest"),
+        sniff_media_type(p).alias("media_type"),
+    )
+
+
+def documents_as_binary(docs: DataFrame) -> DataFrame:
+    """Fixture adapter: treat each document's text bytes as an opaque
+    payload column (the fixtures ship no real image bytes; the plumbing
+    is payload-agnostic)."""
+    return docs.select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+
+#: output schema of the decode stub: what a real decoder would emit.
+DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("features", ArrayType(FloatType())),
+        StructField("decode_status", StringType()),
+    ]
+)
+
+
+def decode_and_featurize(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Decode + feature-extract via mapInPandas (Arrow batches).
+
+    With a real codec installed this would decode the image and pool
+    pixel statistics; without one it emits a DETERMINISTIC FAKE:
+    width/height derived from the byte length, features = a rolling-hash
+    byte histogram.  The Spark-side contract (schema, batching,
+    partition-parallelism) is identical either way.
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            payloads = pdf[payload_col]
+            n = payloads.str.len().fillna(0).astype("int64")
+            if HAS_IMAGE_CODEC:
+                raise NotImplementedError(
+                    "real decode path requires an image codec; "
+                    "container ships none (see module docstring)"
+                )
+            feats = []
+            for b in payloads:
+                b = b or b""
+                counts = np.zeros(FEATURE_DIM, dtype=np.float32)
+                for i, byte in enumerate(b[:4096]):
+                    counts[(byte + i) % FEATURE_DIM] += 1.0
+                total = counts.sum() or 1.0
+                feats.append((counts / total).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": (n % 640 + 1).astype("int32"),
+                    "height": (n % 480 + 1).astype("int32"),
+                    "channels": np.full(len(pdf), 3, dtype="int32"),
+                    "features": feats,
+                    "decode_status": "stub",
+                }
+            )
+
+    return df.mapInPandas(batches, schema=DECODE_SCHEMA)

@@ -405,6 +405,73 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(indexed, cents, q, k=10, nprobe=3)
 
 
+# --- Multimodal binary columns -------------------------------------------------
+
+@query(
+    "mm_payload_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest,
+           'application/octet-stream' AS media_type
+    FROM documents
+    """,
+    doc="Multimodal metadata: opaque binary payload -> typed metadata "
+    "struct (byte length, md5 digest, magic-byte media type) as pure JVM "
+    "expressions.  Fixture payloads are text bytes, so the sniffed type "
+    "is the octet-stream fallback; digests are what dedup shuffles "
+    "instead of blobs.  (Spark md5(binary) == DuckDB md5(text) for UTF-8 "
+    "text payloads.)",
+)
+def mm_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import documents_as_binary, payload_metadata
+
+    d = documents_as_binary(load_table(spark, sf_dir, "documents"))
+    return d.select("doc_id", payload_metadata("payload").alias("m")).select(
+        "doc_id",
+        F.col("m.n_bytes").cast("bigint").alias("n_bytes"),
+        F.col("m.digest").alias("digest"),
+        F.col("m.media_type").alias("media_type"),
+    )
+
+
+@query(
+    "mm_decode_features",
+    oracle=None,
+    doc="Multimodal decode + feature extraction via mapInPandas (Arrow "
+    "batches).  The codec is STUBBED (no image libs in the container; "
+    "deterministic fake features from byte histograms) -- the Spark-side "
+    "plumbing (schema, batching, parallelism) is real and tested "
+    "(tests/test_multimodal.py asserts determinism + batch-size "
+    "invariance).  Rows-only check: Python code is not SQL-expressible.",
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import decode_and_featurize, documents_as_binary
+
+    d = documents_as_binary(load_table(spark, sf_dir, "documents"))
+    return decode_and_featurize(d)
+
+
+# --- Generic MapReduce UDF surface ----------------------------------------------
+
+@query(
+    "udf_mapreduce_kmeans_step",
+    oracle=None,
+    doc="The reference's user extensibility hook (typed mapper/reducer "
+    "pair, kmeans_mapreduce_core.cu:21-35 + :54-69) exercised end-to-end: "
+    "one K-Means step through the generic Arrow-batched map_reduce "
+    "operator.  Equality with the native Column-expression path is "
+    "asserted in tests/test_map_reduce.py; rows-only here (Python hook "
+    "is not SQL-expressible).",
+)
+def udf_mapreduce_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.map_reduce import kmeans_step_mapreduce
+    from ..sources.readers import points_xy
+    from .registry import INIT_CENTROIDS_2D
+
+    return kmeans_step_mapreduce(points_xy(spark, sf_dir), INIT_CENTROIDS_2D)
+
+
 # --- Similarity search (brute-force oracle path) -----------------------------
 
 _QUERY_IDS = (0, 7, 42)

@@ -1,0 +1,6 @@
+from .streams import (  # noqa: F401
+    hourly_counts_stream,
+    read_events_stream,
+    sessionize_stream,
+    stream_assign_kmeans,
+)

@@ -1,0 +1,173 @@
+"""Structured Streaming layer over the events table.
+
+The reference is strictly batch (fixed device arrays, SURVEY.md §2.2);
+this module adds the streaming capabilities a production pipeline needs,
+kept symmetrical with the batch queries so results are cross-checkable:
+
+- ``hourly_counts_stream``  : watermarked event-time window agg -- the
+  streaming twin of the batch ``rel_date_funcs`` query.
+- ``stream_assign_kmeans``  : stateless nearest-centroid scoring of a
+  point stream against fixed centroids (the map stage of the reference
+  as a continuous operator).
+- ``sessionize_stream``     : custom stateful operator via
+  ``applyInPandasWithState`` -- per-user session windows with a 30 min
+  inactivity gap (the kind of operator Spark has no built-in for).
+
+Tests drive these with ``trigger(availableNow=True)`` + memory sink and
+assert equality with the batch equivalents.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: raw parquet schema of events (ts is TIMESTAMP(NANOS) -> read as long).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file-source stream (one file = one batch here;
+    in production this is a directory watched for new files, or Kafka).
+    ts arrives as nanos-long (see sources.readers.load_table) and is
+    rebuilt at microsecond precision.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file stream source wants a directory; glob-filter to the one table
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Event-time windowed counts with a watermark: late rows beyond the
+    watermark are dropped and window state is evictable -- bounded state
+    at any scale."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_str"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def stream_assign_kmeans(
+    points_stream: DataFrame,
+    centroids: list[tuple[float, float]],
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Continuous nearest-centroid scoring: the same literal-centroid
+    argmin projection as the batch path (operators.kmeans.assign_2d) --
+    stateless, so it runs unchanged on a stream."""
+    from ..operators.kmeans import assign_2d
+
+    return assign_2d(points_stream, centroids, x=x, y=y)
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+GAP_US = 30 * 60 * 1_000_000  # 30 min inactivity closes a session
+
+
+def _sessionize_group(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Stateful flatMap: accumulate per-user event times, emit a session
+    row whenever a gap > 30 min splits them.  State = (start, last, n) of
+    the open session."""
+    (user_id,) = key
+    if state.exists:
+        start_us, last_us, n = state.get
+    else:
+        start_us = last_us = -1
+        n = 0
+
+    out = []
+    for pdf in pdfs:
+        ts_us = (
+            pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+        ).sort_values()
+        for t in ts_us:
+            t = int(t)
+            if start_us < 0:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us > GAP_US:
+                out.append((user_id, start_us, last_us, n))
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us = t
+                n += 1
+    state.update((start_us, last_us, n))
+    if out:
+        df = pd.DataFrame(
+            out, columns=["user_id", "session_start", "session_end", "n_events"]
+        )
+        df["session_start"] = pd.to_datetime(df["session_start"], unit="us")
+        df["session_end"] = pd.to_datetime(df["session_end"], unit="us")
+        yield df
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user 30-min-gap sessionization via
+    applyInPandasWithState.  Emits CLOSED sessions; the open tail stays
+    in state (bounded: one tuple per user)."""
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_group,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
