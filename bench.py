@@ -42,7 +42,9 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     # Warm the JVM/file cache with a trivial count (not reported).
-    points = points_xy(spark, SF_DIR).cache()
+    # 8 cache partitions: measured sweet spot for the iteration loop on
+    # local[32] (3 file partitions underuse cores; 32 is task-overhead).
+    points = points_xy(spark, SF_DIR).repartition(8).cache()
     n_points = points.count()
 
     init15 = [

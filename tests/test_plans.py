@@ -1,0 +1,90 @@
+"""Physical-plan audits: the scale claims in docstrings, asserted.
+
+These read ``explain(formatted)`` output -- if a refactor sneaks a
+shuffle into the assign path or un-broadcasts a dimension join, these
+fail before any benchmark regresses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kmeans_with_mapreduce_cuda_spark.operators.kmeans import assign_2d, update_2d
+from kmeans_with_mapreduce_cuda_spark.plans import REGISTRY
+from kmeans_with_mapreduce_cuda_spark.sources.readers import load_table, points_xy
+
+from conftest import SF_DIR
+
+INIT4 = [(10.0, 20000.0), (25.0, 50000.0), (40.0, 80000.0), (15.0, 95000.0)]
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_assign_is_shuffle_free(spark):
+    """The map stage must be a pure projection: no join, no exchange."""
+    plan = plan_of(assign_2d(points_xy(spark, SF_DIR), INIT4))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "* Project" in plan  # '*' prefix == whole-stage codegen
+
+
+def test_kmeans_step_single_shuffle(spark):
+    """One iteration = exactly one exchange (the k-row update shuffle)
+    with a partial_avg below it (map-side combine)."""
+    import re
+
+    plan = plan_of(update_2d(assign_2d(points_xy(spark, SF_DIR), INIT4)))
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges == 1, plan
+    assert "partial_avg" in plan, plan
+
+
+def test_scan_prunes_columns(spark):
+    """points_xy projects 2 of 11 lineitem columns; the parquet ReadSchema
+    must contain only those."""
+    plan = plan_of(points_xy(spark, SF_DIR))
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read, plan
+    line = read[0]
+    assert "l_quantity" in line and "l_extendedprice" in line
+    assert "l_orderkey" not in line and "l_shipdate" not in line
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """rel_filter_agg's shipdate predicate must appear in PushedFilters."""
+    plan = plan_of(REGISTRY["rel_filter_agg"].fn(spark, SF_DIR))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "l_shipdate" in pushed[0], plan
+
+
+def test_dimension_join_broadcasts(spark):
+    """nation/region joins must be BroadcastHashJoin, never sort-merge."""
+    plan = plan_of(REGISTRY["rel_join_broadcast"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_topk_similarity_broadcasts_queries(spark):
+    """sim_topk_bruteforce must broadcast the 3-row query side."""
+    plan = plan_of(REGISTRY["sim_topk_bruteforce"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_range_join_is_equi_join(spark):
+    """The banded range join must compile to a hash/merge EQUI join on
+    (user, bucket), not a nested-loop inequality join."""
+    plan = plan_of(REGISTRY["rel_range_join"].fn(spark, SF_DIR))
+    assert "NestedLoop" not in plan, plan
+
+
+def test_events_filter_pushdown(spark):
+    """Predicate on a rebuilt-timestamp table still pushes the
+    event_type filter to the scan."""
+    e = load_table(spark, SF_DIR, "events").where(F.col("event_type") == "click")
+    plan = plan_of(e)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "event_type" in pushed[0], plan
