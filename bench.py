@@ -50,6 +50,9 @@ def main() -> None:
     init15 = [
         (float(2 + 3 * i), float(4000 + 6500 * i)) for i in range(15)
     ]  # fixed spread across the (quantity, extendedprice) plane
+    # one throwaway step first: JIT/codegen warm-up so the measurement is
+    # steady-state iteration cost, not first-compile latency
+    lloyd_2d(points, init15, max_iter=1, tol=0.0)
     timed("kmeans_df", lambda: lloyd_2d(points, init15, max_iter=10, tol=0.0))
 
     emb = load_table(spark, SF_DIR, "embeddings").cache()

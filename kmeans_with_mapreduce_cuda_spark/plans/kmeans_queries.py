@@ -257,59 +257,84 @@ def o08_centroid_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- O12: iteration -- two full steps, rounded between rounds --------------
 
-def _two_step_sql() -> str:
-    """Iterated SQL: round centroids to ROUND_CENT between rounds in BOTH
-    engines so float drift cannot flip a boundary assignment.  Empty
-    clusters keep the previous centroid (COALESCE against the init)."""
-    return f"""
-    WITH points AS ({POINTS_SQL}),
-    cents0 AS (SELECT * FROM {cents_sql(INIT_CENTROIDS_2D)}),
-    assign1 AS ({assign_sql('points', 'cents0')}),
-    agg1 AS (
-        SELECT cluster_id, round(avg(x), {ROUND_CENT}) AS cx,
-               round(avg(y), {ROUND_CENT}) AS cy
-        FROM assign1 GROUP BY cluster_id
-    ),
-    cents1 AS (
-        SELECT c0.cluster_id, COALESCE(a.cx, c0.cx) AS cx,
-               COALESCE(a.cy, c0.cy) AS cy
-        FROM cents0 c0 LEFT JOIN agg1 a ON c0.cluster_id = a.cluster_id
-    ),
-    assign2 AS ({assign_sql('points', 'cents1')})
+def _iterated_sql(n_steps: int) -> str:
+    """n Lloyd steps as one SQL query (programmatically chained CTEs):
+    round centroids to ROUND_CENT between rounds in BOTH engines so float
+    drift cannot flip a boundary assignment.  Empty clusters keep the
+    previous centroid (COALESCE against the prior round)."""
+    ctes = [
+        f"points AS ({POINTS_SQL})",
+        f"cents0 AS (SELECT * FROM {cents_sql(INIT_CENTROIDS_2D)})",
+    ]
+    for i in range(1, n_steps):
+        ctes.append(f"assign{i} AS ({assign_sql('points', f'cents{i - 1}')})")
+        ctes.append(
+            f"agg{i} AS (SELECT cluster_id, round(avg(x), {ROUND_CENT}) AS cx, "
+            f"round(avg(y), {ROUND_CENT}) AS cy FROM assign{i} GROUP BY cluster_id)"
+        )
+        ctes.append(
+            f"cents{i} AS (SELECT c.cluster_id, COALESCE(a.cx, c.cx) AS cx, "
+            f"COALESCE(a.cy, c.cy) AS cy FROM cents{i - 1} c "
+            f"LEFT JOIN agg{i} a ON c.cluster_id = a.cluster_id)"
+        )
+    ctes.append(
+        f"assign{n_steps} AS ({assign_sql('points', f'cents{n_steps - 1}')})"
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
     SELECT cluster_id, round(avg(x), {ROUND_CENT}) AS cx,
            round(avg(y), {ROUND_CENT}) AS cy,
            CAST(count(*) AS BIGINT) AS n
-    FROM assign2 GROUP BY cluster_id
+    FROM assign{n_steps} GROUP BY cluster_id
     """
+    )
+
+
+def _iterated_spark(spark: SparkSession, sf_dir: str, n_steps: int) -> DataFrame:
+    """Spark twin of :func:`_iterated_sql`: collect k rounded centroids
+    between rounds (the reference's per-iteration driver boundary,
+    kmeans_mapreduce_core.cu:250-251)."""
+    p = _points(spark, sf_dir)
+    cents = list(INIT_CENTROIDS_2D)
+    for _ in range(n_steps - 1):
+        u = update_2d(assign_2d(p, cents)).select(
+            "cluster_id",
+            F.round("cx", ROUND_CENT).alias("cx"),
+            F.round("cy", ROUND_CENT).alias("cy"),
+        )
+        got = {int(r["cluster_id"]): (r["cx"], r["cy"]) for r in u.collect()}
+        cents = [got.get(i, c) for i, c in enumerate(cents)]
+    u = update_2d(assign_2d(p, cents))
+    return u.select(
+        "cluster_id",
+        F.round("cx", ROUND_CENT).alias("cx"),
+        F.round("cy", ROUND_CENT).alias("cy"),
+        F.col("n").cast("bigint").alias("n"),
+    )
 
 
 @query(
     "o12_kmeans_two_steps",
-    oracle=_two_step_sql(),
+    oracle=_iterated_sql(2),
     doc="O12 iterative refinement: two full Lloyd steps (assign -> mean -> "
     "re-assign -> mean), centroids rounded between rounds in both engines "
     "for cross-engine determinism.  The reference iterates a fixed 999x "
     "(config.cuh:11); the unchecked lloyd_2d exposes maxIter + tol.",
 )
 def o12_kmeans_two_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _points(spark, sf_dir)
-    # step 1 (collect k rounded centroids -- the per-iteration driver
-    # boundary, kmeans_mapreduce_core.cu:250-251)
-    u1 = update_2d(assign_2d(p, INIT_CENTROIDS_2D)).select(
-        "cluster_id",
-        F.round("cx", ROUND_CENT).alias("cx"),
-        F.round("cy", ROUND_CENT).alias("cy"),
-    )
-    got = {int(r["cluster_id"]): (r["cx"], r["cy"]) for r in u1.collect()}
-    cents1 = [got.get(i, c) for i, c in enumerate(INIT_CENTROIDS_2D)]
-    # step 2
-    u2 = update_2d(assign_2d(p, cents1))
-    return u2.select(
-        "cluster_id",
-        F.round("cx", ROUND_CENT).alias("cx"),
-        F.round("cy", ROUND_CENT).alias("cy"),
-        F.col("n").cast("bigint").alias("n"),
-    )
+    return _iterated_spark(spark, sf_dir, 2)
+
+
+@query(
+    "o12_kmeans_five_steps",
+    oracle=_iterated_sql(5),
+    doc="O12 at depth: five chained Lloyd steps, SQL oracle generated "
+    "programmatically (one CTE pair per round).  Exercises convergence "
+    "behavior: by round 5 most centroids have locked so the oracle also "
+    "checks empty-cluster retention (COALESCE) under drift.",
+)
+def o12_kmeans_five_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _iterated_spark(spark, sf_dir, 5)
 
 
 # --- O13: sink format (kmeans_with_mapreduce-cuda.cu:105-121) --------------

@@ -1,0 +1,73 @@
+"""Source/sink tests: the reference-format text scanner (O1) and
+'Point: (x,y)' sink (O13) through real files, plus format breadth
+(CSV/JSON round-trips -- free via spark.read/write, asserted anyway)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from kmeans_with_mapreduce_cuda_spark.sources import (
+    format_centroids,
+    load_table,
+    read_points_text,
+    write_centroids_text,
+)
+
+from conftest import SF_DIR
+
+
+def _write_birchlike(path: str, n: int = 100) -> None:
+    with open(path, "w") as f:
+        for i in range(n):
+            # mixed whitespace, like the reference's istringstream >> scan
+            f.write(f"  {i * 37 % 1000}\t{i * 91 % 1000}\n")
+        f.write("garbage line\n")
+        f.write("\n")
+
+
+def test_read_points_text_parity(spark, tmp_path):
+    """First-N semantics + malformed-line tolerance (the reference reads
+    NUM_INPUT lines and would parse garbage; we drop bad lines)."""
+    p = str(tmp_path / "birch.txt")
+    _write_birchlike(p)
+    pts = read_points_text(spark, p, limit=50)
+    assert pts.count() == 50
+    rows = {r["id"]: (r["x"], r["y"]) for r in pts.collect()}
+    assert rows[0] == (0, 0)
+    assert rows[2] == (74, 182)
+    # no limit: 100 good rows survive, 2 bad lines dropped
+    assert read_points_text(spark, p).count() == 100
+
+
+def test_centroid_sink_format(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(0, 10.9, 20.1), (1, 5.0, 7.0)], ["cluster_id", "x", "y"]
+    )
+    lines = {r["line"] for r in format_centroids(df).collect()}
+    # reference truncates (uint64 store): 10.9 -> 10
+    assert lines == {"Point: (10,20)", "Point: (5,7)"}
+
+    out = str(tmp_path / "out")
+    write_centroids_text(df, out)
+    txt = open(glob.glob(os.path.join(out, "part-*"))[0]).read()
+    assert sorted(txt.strip().splitlines()) == sorted(lines)
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    """Format breadth: the same relation written and re-read as CSV and
+    JSON survives with values intact."""
+    src = load_table(spark, SF_DIR, "nation")
+    csv_dir, json_dir = str(tmp_path / "csv"), str(tmp_path / "json")
+    src.write.mode("overwrite").option("header", True).csv(csv_dir)
+    src.write.mode("overwrite").json(json_dir)
+
+    csv_back = (
+        spark.read.option("header", True).option("inferSchema", True).csv(csv_dir)
+    )
+    json_back = spark.read.json(json_dir)
+    want = {(r["n_nationkey"], r["n_name"]) for r in src.collect()}
+    assert {(r["n_nationkey"], r["n_name"]) for r in csv_back.collect()} == want
+    assert {(r["n_nationkey"], r["n_name"]) for r in json_back.collect()} == want
