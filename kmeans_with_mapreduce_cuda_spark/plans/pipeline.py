@@ -272,6 +272,69 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.md5(norm).alias("fingerprint"))
 
 
+# --- N-gram frequency ---------------------------------------------------------
+
+@query(
+    "text_ngram_freq",
+    oracle="""
+    WITH grams AS (
+        SELECT unnest([
+            list_aggregate(toks[i:i+1], 'string_agg', ' ')
+            FOR i IN range(1, greatest(len(toks) - 1, 0) + 1)
+        ]) AS gram
+        FROM (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+              FROM documents)
+    )
+    SELECT gram, n, rank FROM (
+        SELECT gram, CAST(count(*) AS BIGINT) AS n,
+               ROW_NUMBER() OVER (ORDER BY count(*) DESC, gram) AS rank
+        FROM grams GROUP BY gram
+    ) WHERE rank <= 20
+    """,
+    doc="Corpus-level top-20 word bigrams: explode shingles -> count -> "
+    "deterministic top-k ((count desc, gram) tie order).  The shuffle "
+    "carries (gram, partial count) pairs -- map-side combine keeps it "
+    "bounded by vocabulary, not corpus size.",
+)
+def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.text import word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(F.explode(word_shingles("text", 2)).alias("gram"))
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), "gram")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+    )
+
+
+# --- MLlib library layer (rows-only: engine-internal init/iteration) ----------
+
+@query(
+    "kmeans_mllib_sizes",
+    oracle=None,
+    doc="Library layer: MLlib KMeans (k=8, seeded, k-means|| init) over "
+    "the embeddings table; returns per-cluster sizes.  Engine-internal "
+    "RNG makes it non-oracle-expressible; the DataFrame-primitive path "
+    "covers the checked equivalent (o04/o09), and test_kmeans_mllib "
+    "asserts SSE parity between the two implementations.",
+)
+def kmeans_mllib_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmeans_mllib import fit_kmeans, predict_kmeans
+
+    e = load_table(spark, sf_dir, "embeddings")
+    res = fit_kmeans(e, k=8, max_iter=10, seed=42)
+    pred = predict_kmeans(res.model, e)
+    return (
+        pred.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cluster_id")
+    )
+
+
 # --- MinHash + LSH near-dedup (md5-based, fully oracle-checkable) ------------
 
 def _minhash_sql(num_hashes: int = 16, bands: int = 8, seed: int = 42) -> str:

@@ -405,6 +405,131 @@ def rel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Pivot --------------------------------------------------------------------
+
+@query(
+    "rel_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 2)
+               AS rev_f,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END), 2)
+               AS rev_o
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Pivot: revenue by returnflag spread across linestatus columns "
+    "(df.pivot with an explicit value list -- never let pivot scan for "
+    "distinct values at scale; the oracle is the CASE-sum expansion).",
+)
+def rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_extendedprice"), 2))
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("F").alias("rev_f"),
+        F.col("O").alias("rev_o"),
+    )
+
+
+# --- Percentiles / histogram ----------------------------------------------------
+
+@query(
+    "rel_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles per group (Spark `percentile` == "
+    "DuckDB `quantile_cont`).  At 100 TB prefer approx_percentile "
+    "(t-digest, mergeable) -- exact percentile materializes per-group "
+    "sorted values.",
+)
+def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+    )
+
+
+@query(
+    "rel_histogram",
+    oracle="""
+    SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(l_discount), 6) AS avg_disc
+    FROM lineitem GROUP BY 1
+    """,
+    doc="Width-10 histogram over quantity: floor-division binning "
+    "(portable, pushdown-friendly; one shuffle of #bins rows).",
+)
+def rel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.floor(F.col("l_quantity") / 10).cast("bigint").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+
+
+# --- Batch sessionization (SQL twin of streaming.sessionize_stream) -------------
+
+@query(
+    "rel_sessionize_batch",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts
+               FROM events),
+    g AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN ts - lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        FROM e
+    ),
+    s AS (
+        SELECT user_id, ts,
+               sum(brk) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sid
+        FROM g
+    )
+    SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS VARCHAR)
+               AS session_start_s
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="Sessionization as a batch query: 30-min-gap breaks via lag, "
+    "session ids via running sum, one group-by -- the SQL-checkable twin "
+    "of streaming.sessionize_stream (same gap rule, same sessions).",
+)
+def rel_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = (
+        F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        > 30 * 60 * 1_000_000
+    ).cast("int")
+    g = e.select("user_id", "event_id", "ts", F.coalesce(brk, F.lit(0)).alias("brk"))
+    sid = F.sum("brk").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = g.withColumn("sid", sid)
+    return s.groupBy("user_id", F.col("sid").cast("bigint").alias("session_id")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start_s"),
+    )
+
+
 # --- String / date / JSON functions -----------------------------------------
 
 @query(

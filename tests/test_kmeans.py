@@ -146,3 +146,36 @@ def test_lloyd_nd_embeddings(spark):
     assert len(cents) == 4
     assert all(len(c) == 64 for c in cents)
     assert all(math.isfinite(v) for c in cents for v in c)
+
+
+def test_mllib_parity_with_primitive_path(spark):
+    """Library layer sanity: MLlib KMeans on embeddings reaches an SSE in
+    the same ballpark as the primitive lloyd_nd (same k, both seeded) and
+    assigns every row."""
+    from kmeans_with_mapreduce_cuda_spark.operators.kmeans_mllib import (
+        fit_kmeans,
+        predict_kmeans,
+    )
+    from kmeans_with_mapreduce_cuda_spark.operators.kmeans import (
+        assign_nd,
+        seed_centroids_nd,
+        lloyd_nd,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").cache()
+    n = emb.count()
+    k = 8
+
+    res = fit_kmeans(emb, k=k, max_iter=10, seed=42)
+    assert len(res.centroids) == k and len(res.centroids[0]) == 64
+    assert res.sse > 0 and res.iterations >= 1
+
+    pred = predict_kmeans(res.model, emb)
+    assert pred.count() == n
+
+    init = seed_centroids_nd(emb, k=k, seed=42)
+    prim = lloyd_nd(emb, init, max_iter=10)
+    a = assign_nd(emb, prim, keep_dist=True)
+    prim_sse = a.agg(F.sum("_mindist")).collect()[0][0]
+    ratio = res.sse / prim_sse
+    assert 0.5 < ratio < 2.0, (res.sse, prim_sse)
