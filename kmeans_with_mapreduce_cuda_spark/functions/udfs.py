@@ -1,0 +1,40 @@
+"""Pandas (vectorized) UDF examples -- the slow-path escape hatch.
+
+The engine's rule: hot paths are Column expressions (JVM, codegen);
+``@pandas_udf`` (Arrow-batched, ~10-100x faster than row-at-a-time
+Python UDFs) is for logic expressions can't say.  These exist to cover
+the scalar-UDF surface and to pin the equivalence contract: the test
+suite asserts each UDF matches its pure-expression twin exactly.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+@pandas_udf("double")
+def punct_ratio_udf(text: pd.Series) -> pd.Series:
+    """Vectorized twin of functions.text.punct_ratio."""
+    total = text.str.len().clip(lower=1)
+    clean = text.str.replace(r"[^\w\s]", "", regex=True).str.len()
+    return (total - clean) / total
+
+
+@pandas_udf("int")
+def token_count_udf(text: pd.Series) -> pd.Series:
+    """Vectorized twin of functions.text.token_count."""
+    return (
+        text.str.strip().str.lower().str.split(r"\s+", regex=True).str.len()
+    ).astype("int32")
+
+
+def quality_features_udf(text: Column | str) -> Column:
+    """Struct of UDF-computed quality features (demo composition)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.struct(
+        punct_ratio_udf(c).alias("punct_ratio"),
+        token_count_udf(c).alias("n_tokens"),
+    )

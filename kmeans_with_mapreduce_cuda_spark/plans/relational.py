@@ -405,6 +405,35 @@ def rel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- SQL-interface parity: one ANSI string, two engines -----------------------
+
+_ANSI_Q3 = """
+    SELECT o.o_orderkey AS orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           c.c_mktsegment AS mktsegment
+    FROM customer c, orders o, lineitem l
+    WHERE c.c_custkey = o.o_custkey
+      AND l.l_orderkey = o.o_orderkey
+      AND o.o_orderstatus = 'O'
+    GROUP BY o.o_orderkey, c.c_mktsegment
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+"""
+
+@query(
+    "rel_ansi_sql_verbatim",
+    oracle=_ANSI_Q3,
+    doc="SQL-interface parity (TPC-H Q3 shape): the IDENTICAL ANSI string "
+    "runs on spark.sql() and on DuckDB -- the engine's SQL surface, not "
+    "just the DataFrame API, matches the oracle dialect verbatim.",
+)
+def rel_ansi_sql_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_ANSI_Q3)
+
+
 # --- Pivot --------------------------------------------------------------------
 
 @query(

@@ -28,3 +28,14 @@ def format_centroids(df: DataFrame, x: str = "x", y: str = "y") -> DataFrame:
 def write_centroids_text(df: DataFrame, path: str, x: str = "x", y: str = "y") -> None:
     """Write k centroid lines as text (k is tiny -> single partition)."""
     format_centroids(df, x, y).coalesce(1).write.mode("overwrite").text(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Hive-style partitioned parquet sink (e.g. the IVF index persisted
+    BY cell_id, or assignments BY cluster_id): readers filtering on the
+    partition column prune whole directories -- the scan never opens
+    non-matching files.  Partition pruning is asserted in
+    tests/test_sources.py."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)

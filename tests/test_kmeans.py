@@ -179,3 +179,18 @@ def test_mllib_parity_with_primitive_path(spark):
     prim_sse = a.agg(F.sum("_mindist")).collect()[0][0]
     ratio = res.sse / prim_sse
     assert 0.5 < ratio < 2.0, (res.sse, prim_sse)
+
+
+def test_assign_k1_and_empty_input(spark, points):
+    """Degenerate shapes: k=1 assigns everything to cluster 0; an empty
+    input yields an empty assignment and a step that keeps all centroids."""
+    one = assign_2d(points, [(0.0, 0.0)])
+    assert one.where(F.col("cluster_id") != 0).count() == 0
+
+    empty = points.where(F.lit(False))
+    assert assign_2d(empty, INIT4).count() == 0
+    assert kmeans_step_2d(empty, INIT4) == [tuple(c) for c in INIT4]
+
+
+def test_lloyd_zero_iterations_returns_init(points):
+    assert lloyd_2d(points, INIT4, max_iter=0) == [tuple(c) for c in INIT4]

@@ -71,3 +71,54 @@ def test_csv_json_roundtrip(spark, tmp_path):
     want = {(r["n_nationkey"], r["n_name"]) for r in src.collect()}
     assert {(r["n_nationkey"], r["n_name"]) for r in csv_back.collect()} == want
     assert {(r["n_nationkey"], r["n_name"]) for r in json_back.collect()} == want
+
+
+def test_partitioned_sink_prunes(spark, tmp_path):
+    """Partitioned parquet written BY cluster_id must (a) round-trip and
+    (b) prune partitions when filtered on the partition column."""
+    from kmeans_with_mapreduce_cuda_spark.operators.kmeans import assign_2d
+    from kmeans_with_mapreduce_cuda_spark.sources.readers import points_xy
+    from kmeans_with_mapreduce_cuda_spark.sources.writers import (
+        write_partitioned_parquet,
+    )
+
+    cents = [(10.0, 20000.0), (25.0, 50000.0), (40.0, 80000.0)]
+    a = assign_2d(points_xy(spark, SF_DIR), cents)
+    out = str(tmp_path / "by_cluster")
+    write_partitioned_parquet(a, out, ["cluster_id"])
+
+    back = spark.read.parquet(out)
+    assert back.count() == a.count()
+
+    one = back.where(F.col("cluster_id") == 1)
+    want = a.where(F.col("cluster_id") == 1).count()
+    assert one.count() == want
+    plan = one._sc._jvm.PythonSQLUtils.explainString(
+        one._jdf.queryExecution(), "formatted"
+    )
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "cluster_id" in pf[0], plan
+
+
+def test_pandas_udfs_match_expressions(spark):
+    """The vectorized UDF escape hatch must agree with the expression twins."""
+    from kmeans_with_mapreduce_cuda_spark.functions.text import (
+        punct_ratio,
+        token_count,
+    )
+    from kmeans_with_mapreduce_cuda_spark.functions.udfs import (
+        punct_ratio_udf,
+        token_count_udf,
+    )
+
+    d = load_table(spark, SF_DIR, "documents").limit(200)
+    rows = d.select(
+        "doc_id",
+        F.round(punct_ratio("text"), 9).alias("pr_expr"),
+        F.round(punct_ratio_udf(F.col("text")), 9).alias("pr_udf"),
+        token_count("text").alias("tc_expr"),
+        token_count_udf(F.col("text")).alias("tc_udf"),
+    ).collect()
+    for r in rows:
+        assert r["tc_expr"] == r["tc_udf"], r
+        assert abs(r["pr_expr"] - r["pr_udf"]) < 1e-9, r
