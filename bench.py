@@ -62,6 +62,26 @@ def main() -> None:
         lambda: fit_kmeans(emb, k=15, max_iter=10, tol=0.0, seed=42),
     )
 
+    # BASELINE.md parity point: the reference's own workload shape
+    # (birch1, first 10k rows, k=15).  20 iterations timed; the reference
+    # does 999 at 1.33 ms/iter on a GPU -- Spark's fixed per-job overhead
+    # dominates at N=10^4, which is why the headline is sf0.1 above.
+    from kmeans_with_mapreduce_cuda_spark.sources import read_points_text
+
+    birch_path = "/root/reference/data/birch1.txt"
+    if os.path.exists(birch_path):
+        birch = read_points_text(spark, birch_path, limit=10_000).cache()
+        birch.count()
+        init_b = [
+            (float(100_000 + 60_000 * i), float(100_000 + 55_000 * (i % 4)))
+            for i in range(15)
+        ]
+        lloyd_2d(birch, init_b, max_iter=1, tol=0.0)  # warm
+        timed(
+            "kmeans_birch10k_20iter",
+            lambda: lloyd_2d(birch, init_b, max_iter=20, tol=0.0),
+        )
+
     def run_registry(name: str):
         # exhaust the result without collecting rows to the driver
         REGISTRY[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()

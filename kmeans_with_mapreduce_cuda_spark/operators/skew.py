@@ -1,0 +1,76 @@
+"""Skew-resilient aggregation: salted two-stage groupBy.
+
+AQE's skew-join handling covers joins; a groupBy whose key distribution
+is pathological (one key = 50% of 100 TB) still funnels one reducer.
+Salting splits each key into ``n_salts`` sub-keys, partially aggregates,
+then combines -- two small shuffles instead of one hot one.  This is the
+Spark-native generalization of the reference's per-cluster grid sizing
+("Loading Balancing", kmeans_mapreduce_core.cu:195-207 + README.md:55-58):
+give heavy keys proportionally more reducers.
+
+Only algebraic aggregates (sum/count/min/max, avg via sum+count) can be
+re-combined; the API takes them by name to keep misuse impossible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: (partial expr builder, final combine builder) per supported aggregate.
+_ALGEBRAIC = {
+    "sum": (lambda c: F.sum(c), lambda p: F.sum(p)),
+    "count": (lambda c: F.count(c), lambda p: F.sum(p)),
+    "min": (lambda c: F.min(c), lambda p: F.min(p)),
+    "max": (lambda c: F.max(c), lambda p: F.max(p)),
+}
+
+
+def salted_groupby(
+    df: DataFrame,
+    key: str | list[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """``aggs``: out_name -> (fn, col) with fn in sum/count/min/max/avg.
+
+    Salt is derived from a hash of the whole row (deterministic given the
+    row, uniform across salts), so heavy keys spread over ``n_salts``
+    partial groups.  avg decomposes into sum+count and recombines
+    exactly.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    # expand avg into algebraic parts
+    plan: dict[str, tuple[str, str]] = {}
+    finals: dict[str, str] = {}  # out -> expression over partials
+    for out, (fn, col) in aggs.items():
+        if fn == "avg":
+            plan[f"_{out}_sum"] = ("sum", col)
+            plan[f"_{out}_cnt"] = ("count", col)
+            finals[out] = f"avg:{out}"
+        elif fn in _ALGEBRAIC:
+            plan[f"_{out}"] = (fn, col)
+            finals[out] = f"plain:{out}"
+        else:
+            raise ValueError(f"non-algebraic aggregate {fn!r} cannot be salted")
+
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    salted = df.withColumn("_salt", salt)
+
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[
+            _ALGEBRAIC[fn][0](F.col(col)).alias(name)
+            for name, (fn, col) in plan.items()
+        ]
+    )
+
+    combine_exprs = []
+    for out, kind in finals.items():
+        if kind.startswith("avg:"):
+            combine_exprs.append(
+                (F.sum(f"_{out}_sum") / F.sum(f"_{out}_cnt")).alias(out)
+            )
+        else:
+            fn = plan[f"_{out}"][0]
+            combine_exprs.append(_ALGEBRAIC[fn][1](F.col(f"_{out}")).alias(out))
+    return partial.groupBy(*keys).agg(*combine_exprs)

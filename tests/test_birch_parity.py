@@ -1,0 +1,64 @@
+"""End-to-end parity on the reference's OWN dataset: birch1.txt, first
+10,000 rows (NUM_INPUT, config.cuh:12), k=15 (NUM_OUTPUT, config.cuh:14)
+-- the exact workload of `./kmeans_with_mapreduce-cuda data/birch1.txt`,
+checked against a NumPy Lloyd's with the documented semantics.
+
+(The reference's golden file data/birch1.txt.output is NOT comparable:
+its run is wall-clock-seeded and its reduce kernel races -- SURVEY.md
+§2.1.  Determinism here comes from seeded md5-order Forgy init.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from kmeans_with_mapreduce_cuda_spark.operators.kmeans import (
+    lloyd_2d,
+    seed_centroids_2d,
+    sse_2d,
+)
+from kmeans_with_mapreduce_cuda_spark.sources import read_points_text
+
+BIRCH = "/root/reference/data/birch1.txt"
+N_INPUT = 10_000  # config.cuh:12
+K = 15  # config.cuh:14
+
+
+@pytest.fixture(scope="module")
+def birch(spark):
+    df = read_points_text(spark, BIRCH, limit=N_INPUT).cache()
+    assert df.count() == N_INPUT
+    return df
+
+
+def test_birch_lloyd_matches_numpy(spark, birch):
+    init = seed_centroids_2d(birch, k=K, seed=42)
+    got = np.array(lloyd_2d(birch, init, max_iter=10))
+
+    pdf = birch.select("x", "y").toPandas()
+    xy = pdf.to_numpy(dtype=np.float64)
+    cents = np.array(init, dtype=np.float64)
+    for _ in range(10):
+        d = ((xy[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)
+        new = cents.copy()
+        for i in range(K):
+            m = lab == i
+            if m.any():
+                new[i] = xy[m].mean(axis=0)
+        if np.sqrt(((new - cents) ** 2).sum(axis=1)).max() <= 1e-6:
+            cents = new
+            break
+        cents = new
+
+    assert np.allclose(got, cents, rtol=1e-9, atol=1e-6)
+
+
+def test_birch_sse_improves_substantially(spark, birch):
+    """Clustering quality sanity on the real benchmark: 10 rounds must
+    cut SSE by a large factor from the seeded init."""
+    init = seed_centroids_2d(birch, k=K, seed=42)
+    before = sse_2d(birch, init)
+    after = sse_2d(birch, lloyd_2d(birch, init, max_iter=10))
+    assert after < before * 0.5
