@@ -541,6 +541,7 @@ def rel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "of streaming.sessionize_stream (same gap rule, same sessions).",
 )
 def rel_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # naive-ts parity
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     brk = (
@@ -599,6 +600,9 @@ def rel_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "table (timestamps stringified identically in both engines).",
 )
 def rel_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DuckDB timestamps are naive; render ours in UTC regardless of the
+    # caller session's timezone so hour-truncation/strings agree.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(
