@@ -1,4 +1,5 @@
 from .streams import (  # noqa: F401
+    StreamingKMeans,
     hourly_counts_stream,
     read_events_stream,
     sessionize_stream,

@@ -96,6 +96,62 @@ def stream_assign_kmeans(
     return assign_2d(points_stream, centroids, x=x, y=y)
 
 
+class StreamingKMeans:
+    """Incremental (mini-batch) K-Means over a point stream via
+    foreachBatch: each micro-batch is assigned with the CURRENT centroids
+    (the same literal-argmin projection as batch), its per-cluster
+    means/counts are merged into the running state with count weighting:
+
+        c_new = (n_old * c_old + n_batch * mean_batch) / (n_old + n_batch)
+
+    Driver state is k (centroid, count) pairs -- the identical tiny
+    boundary as the batch loop; executors never hold state, so the
+    operator scales with the batch, not the history.  An optional decay
+    in [0, 1] down-weights history per batch (decay=1 -> running mean
+    over all data; decay=0 -> forget history, pure per-batch means).
+    """
+
+    def __init__(
+        self,
+        init: list[tuple[float, float]],
+        x: str = "x",
+        y: str = "y",
+        decay: float = 1.0,
+    ) -> None:
+        self.centroids = [tuple(map(float, c)) for c in init]
+        self.counts = [0.0] * len(init)
+        self.x, self.y = x, y
+        self.decay = float(decay)
+
+    def update_with_batch(self, batch_df: DataFrame) -> None:
+        from ..operators.kmeans import assign_2d, update_2d
+
+        rows = update_2d(
+            assign_2d(batch_df, self.centroids, self.x, self.y),
+            self.x,
+            self.y,
+        ).collect()
+        for r in rows:
+            i = int(r["cluster_id"])
+            bx, by, bn = float(r["cx"]), float(r["cy"]), float(r["n"])
+            n_old = self.counts[i] * self.decay
+            tot = n_old + bn
+            cx, cy = self.centroids[i]
+            self.centroids[i] = (
+                (n_old * cx + bn * bx) / tot,
+                (n_old * cy + bn * by) / tot,
+            )
+            self.counts[i] = tot
+
+    def foreach_batch(self):
+        def fn(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            self.update_with_batch(batch_df)
+
+        return fn
+
+
 SESSION_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

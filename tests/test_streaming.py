@@ -110,3 +110,45 @@ def test_sessionize_stream_runs_and_is_sane(spark):
     assert len(got) == total_sessions - n_users, (
         f"closed sessions {len(got)} != total {total_sessions} - open {n_users}"
     )
+
+
+def test_streaming_kmeans_foreachbatch(spark):
+    """Incremental K-Means: driving the whole events stream through
+    foreachBatch with decay=1 must equal ONE batch K-Means step (count-
+    weighted running means over all data == global per-cluster means)."""
+    from kmeans_with_mapreduce_cuda_spark.operators.kmeans import (
+        assign_2d,
+        update_2d,
+    )
+    from kmeans_with_mapreduce_cuda_spark.streaming import StreamingKMeans
+
+    cents = [(3.0, 50.0), (11.0, 400.0)]
+
+    def as_points(df):
+        return df.select(
+            F.col("user_id").cast("double").alias("x"),
+            F.col("value").alias("y"),
+        )
+
+    sk = StreamingKMeans(cents, decay=1.0)
+    q = (
+        as_points(read_events_stream(spark, SF_DIR))
+        .writeStream.foreachBatch(sk.foreach_batch())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = as_points(load_table(spark, SF_DIR, "events"))
+    exp = {
+        int(r["cluster_id"]): (r["cx"], r["cy"], r["n"])
+        for r in update_2d(assign_2d(batch, cents)).collect()
+    }
+    n_total = batch.count()
+    assert abs(sum(sk.counts) - n_total) < 1e-9
+    for i, (cx, cy) in enumerate(sk.centroids):
+        if i in exp:
+            ex, ey, en = exp[i]
+            # single availableNow batch -> exact equality with one step
+            assert abs(cx - ex) < 1e-9 and abs(cy - ey) < 1e-9, (i, (cx, cy), exp[i])
+            assert abs(sk.counts[i] - en) < 1e-9
