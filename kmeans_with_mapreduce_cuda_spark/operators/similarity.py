@@ -58,6 +58,15 @@ def build_ivf_index(
     return indexed, cents
 
 
+def persist_ivf_index(indexed: DataFrame, path: str) -> None:
+    """Persist the IVF-indexed table partitioned BY cell_id: a probe that
+    filters on cell_id then prunes whole directories -- at 100 TB each
+    query touches nprobe/n_cells of the files, nothing else is opened."""
+    from ..sources.writers import write_partitioned_parquet
+
+    write_partitioned_parquet(indexed, path, ["cell_id"])
+
+
 def ivf_topk(
     indexed: DataFrame,
     cents: CentroidsND,

@@ -362,6 +362,48 @@ def o13_sink_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Elbow: SSE by k (model-selection instrumentation) ---------------------
+
+def _sse_sql_for(cents) -> str:
+    return f"""
+        SELECT CAST(round(sum(mind) / 1000000.0) AS BIGINT) FROM (
+            SELECT min((p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy))
+                AS mind
+            FROM points p CROSS JOIN {cents_sql(cents)} c GROUP BY p.id
+        )
+    """
+
+
+@query(
+    "o14_sse_by_k",
+    oracle=f"""
+    WITH points AS ({POINTS_SQL})
+    SELECT 4 AS k, ({_sse_sql_for(INIT_CENTROIDS_2D[:4])}) AS sse_millions
+    UNION ALL
+    SELECT 8 AS k, ({_sse_sql_for(INIT_CENTROIDS_2D)}) AS sse_millions
+    """,
+    doc="Elbow-curve instrumentation: SSE at k=4 vs k=8 (prefixes of the "
+    "fixed centroid set) in one result -- the model-selection sweep a "
+    "KMeans library exposes, fully oracle-checked.  More centroids can "
+    "only lower SSE; the property is implied by the values.",
+)
+def o14_sse_by_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmeans import assign_2d
+
+    p = _points(spark, sf_dir)
+
+    def sse_df(k: int) -> DataFrame:
+        a = assign_2d(p, INIT_CENTROIDS_2D[:k], keep_dist=True)
+        return a.agg(
+            F.lit(k).alias("k"),
+            F.round(F.sum("_mindist") / 1000000.0).cast("bigint").alias(
+                "sse_millions"
+            ),
+        )
+
+    return sse_df(4).unionAll(sse_df(8))
+
+
 # --- O3/O14: SSE objective (timing/quality instrumentation) ----------------
 
 @query(

@@ -85,3 +85,25 @@ def test_minhash_candidates_include_exact_dupes(spark):
     for pair in expected:
         assert pair in got, f"exact dup {pair} missed by LSH"
         assert got[pair] == 1.0
+
+
+def test_ivf_index_persists_and_prunes(spark, tmp_path):
+    """Persisted IVF index: reading one cell back prunes partitions."""
+    from kmeans_with_mapreduce_cuda_spark.operators.similarity import (
+        build_ivf_index,
+        persist_ivf_index,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    indexed, _ = build_ivf_index(e, n_cells=4, max_iter=2, seed=42)
+    out = str(tmp_path / "ivf")
+    persist_ivf_index(indexed, out)
+
+    back = spark.read.parquet(out)
+    assert back.count() == e.count()
+    cell = back.where(F.col("cell_id") == 2)
+    plan = cell._sc._jvm.PythonSQLUtils.explainString(
+        cell._jdf.queryExecution(), "formatted"
+    )
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "cell_id" in pf[0]

@@ -68,9 +68,13 @@ def test_csv_json_roundtrip(spark, tmp_path):
         spark.read.option("header", True).option("inferSchema", True).csv(csv_dir)
     )
     json_back = spark.read.json(json_dir)
+    orc_dir = str(tmp_path / "orc")
+    src.write.mode("overwrite").orc(orc_dir)
+    orc_back = spark.read.orc(orc_dir)
     want = {(r["n_nationkey"], r["n_name"]) for r in src.collect()}
     assert {(r["n_nationkey"], r["n_name"]) for r in csv_back.collect()} == want
     assert {(r["n_nationkey"], r["n_name"]) for r in json_back.collect()} == want
+    assert {(r["n_nationkey"], r["n_name"]) for r in orc_back.collect()} == want
 
 
 def test_partitioned_sink_prunes(spark, tmp_path):
