@@ -52,20 +52,28 @@ CentroidsND = Sequence[Sequence[float]]
 def iteration_confs(spark, shuffle_partitions: int = 8):
     """Loop-tuned session confs for the iterative path: AQE off (its
     per-job re-planning costs ~0.15 s and buys nothing on a k-row
-    shuffle) and a narrow reduce stage (post-combine the shuffle carries
+    shuffle), a narrow reduce stage (post-combine the shuffle carries
     k rows per map partition; 32 reduce tasks for 15 keys is pure task-
-    launch overhead).  Restores prior values on exit.  Measured on sf0.1:
-    0.59 -> 0.14 s/iteration.
+    launch overhead), and whole-stage codegen OFF: every iteration bakes
+    new centroid literals into the plan, so each Janino compile
+    (~0.3 s) is thrown away after one job -- expression-level codegen
+    alone runs the 600k-row pass at the same speed without the per-
+    iteration compile.  Restores prior values on exit.  Measured on
+    sf0.1: 0.62 -> 0.33 s/iteration cold (warm same-trajectory runs hit
+    the Janino cache either way).
     """
     old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    old_ws = spark.conf.get("spark.sql.codegen.wholeStage")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
     try:
         yield
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        spark.conf.set("spark.sql.codegen.wholeStage", old_ws)
 
 
 def _dists_sql_2d(centroids: Centroids2D, x: str, y: str) -> str:

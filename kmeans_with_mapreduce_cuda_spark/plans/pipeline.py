@@ -108,8 +108,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i, 3), " "))
     )
-    shingles = d.select("doc_id", F.explode(sh).alias("shingle"))
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # Materialize the per-doc shingle array ONCE: three consumers (both
+    # join sides + sizes) would otherwise each re-run the string-heavy
+    # shingle expression (and each get their own codegen compile).
+    arrs = d.select("doc_id", sh.alias("_sh")).persist()
+    shingles = arrs.select("doc_id", F.explode("_sh").alias("shingle"))
+    sizes = arrs.select("doc_id", F.size("_sh").alias("n"))
     a = shingles.alias("a")
     b = shingles.alias("b")
     overlap = (
