@@ -600,3 +600,39 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# --- Python UDTF surface ------------------------------------------------------
+
+@query(
+    "udtf_shingles",
+    oracle=r"""
+    SELECT doc_id, CAST(s.pos AS INTEGER) AS pos, s.shingle AS shingle
+    FROM (
+      SELECT doc_id, unnest([ {'pos': i - 1,
+               'shingle': list_aggregate(toks[i:i+2], 'string_agg', ' ')}
+             FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)]) AS s
+      FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+            FROM documents WHERE doc_id < 100)
+    )
+    """,
+    doc="Python UDTF via SQL LATERAL: one doc row -> one row per 3-gram "
+    "shingle, with its position.  The dynamic version of the reference "
+    "mapper's fixed NUM_PAIRS multi-emit slots (config.cuh:13, "
+    "kmeans_mapreduce_core.cu:41-43).  Same tokenization as the JVM-side "
+    "shingle expression (functions.text.word_shingles), which remains "
+    "the hot-path choice -- the UDTF exists as the imperative hook.",
+)
+def udtf_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.udtfs import register_udtfs
+    from ..sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    register_udtfs(spark)
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.shingle
+        FROM documents d, LATERAL shingles(d.text) s
+        WHERE d.doc_id < 100
+        """
+    )

@@ -659,3 +659,71 @@ def rel_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(emb, F.lit(0.0), lambda acc, v: acc + v), 4
         ).alias("vec_sum"),
     )
+
+
+# --- Grouping sets (explicit set list; ROLLUP/CUBE are its sugar) -------------
+
+_GROUPING_SETS_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+@query(
+    "rel_grouping_sets",
+    oracle=_GROUPING_SETS_SQL,
+    doc="GROUPING SETS with an explicit set list -- the general form that "
+    "ROLLUP/CUBE desugar to; the IDENTICAL ANSI string runs on both "
+    "engines.  One Expand + one aggregate: rows are replicated "
+    "#sets times map-side, so at 100 TB prefer the smallest set list "
+    "over CUBE's 2^n explosion.",
+)
+def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+# --- Multi-column DISTINCT aggregates ----------------------------------------
+
+@query(
+    "rel_count_distinct_multi",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Two DISTINCT aggregates over different columns in one query "
+    "(Catalyst plans an Expand: each row replicated per distinct "
+    "column, then two-phase dedup+count -- one shuffle, no self-join).",
+)
+def rel_count_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "rel_approx_distinct",
+    oracle=None,  # sketch estimates are engine-specific: rows-only check
+    doc="approx_count_distinct (HyperLogLog++, rsd=0.01) next to the "
+    "exact count.  The sketch is mergeable -- partial sketches combine "
+    "map-side, so the shuffle carries one ~kB sketch per partition "
+    "instead of the distinct key stream: THE cardinality path at "
+    "100 TB.  tests/test_plans.py asserts <5% relative error; no SQL "
+    "oracle because estimates differ across engines by design.",
+)
+def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )

@@ -7,4 +7,9 @@ from .readers import (  # noqa: F401
     read_points_text,
     register_views,
 )
-from .writers import format_centroids, write_centroids_text  # noqa: F401
+from .writers import (  # noqa: F401
+    format_centroids,
+    write_bucketed_table,
+    write_centroids_text,
+    write_partitioned_parquet,
+)

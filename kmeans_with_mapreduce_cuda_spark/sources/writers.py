@@ -39,3 +39,28 @@ def write_partitioned_parquet(
     non-matching files.  Partition pruning is asserted in
     tests/test_sources.py."""
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    key: str,
+    num_buckets: int = 8,
+    sorted_by_key: bool = True,
+) -> None:
+    """Bucketed (hash-clustered) parquet table: rows land in
+    ``hash(key) % num_buckets`` files per write task, registered in the
+    session catalog.  Two tables bucketed by the same key with the same
+    bucket count join WITHOUT any Exchange -- the co-located join both
+    sides pre-paid at write time (asserted in tests/test_bucketing.py).
+    At 100 TB this converts every repeated fact-to-fact join on the
+    bucket key from a full shuffle into a local zip of bucket files;
+    sortBy additionally pre-sorts each bucket so sort-merge join skips
+    its sort."""
+    # one file per bucket: without this, each write task emits its own
+    # set of bucket files and the bucket-side sort degrades to per-file
+    w = df.repartition(num_buckets, F.col(key)).write.mode("overwrite")
+    w = w.bucketBy(num_buckets, key)
+    if sorted_by_key:
+        w = w.sortBy(key)
+    w.format("parquet").saveAsTable(table)

@@ -1,5 +1,6 @@
 from .streams import (  # noqa: F401
     StreamingKMeans,
+    dedup_stream,
     hourly_counts_stream,
     read_events_stream,
     sessionize_stream,

@@ -227,3 +227,21 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps each key in state only until
+    the watermark passes it, so state size is O(keys per watermark
+    window) -- the streaming twin of the batch content-hash dedup
+    (dedup_exact_keep), and the only formulation that survives an
+    unbounded stream (plain dropDuplicates on a stream retains ALL keys
+    forever).
+    """
+    keys = keys or ["event_id"]
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

@@ -1,0 +1,84 @@
+"""Bucketed (hash-clustered) tables: the write-time co-located join.
+
+The scale argument: a fact-to-fact join on a repeated key (orders x
+lineitem on orderkey, points x assignments on point id, ...) shuffles
+BOTH sides every run.  Bucketing pays that shuffle once at write time;
+every later join on the bucket key reads co-located bucket files and
+the plan contains NO Exchange at all.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kmeans_with_mapreduce_cuda_spark.sources import (
+    load_table,
+    write_bucketed_table,
+)
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark):
+    o = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    write_bucketed_table(o, "b_orders", "o_orderkey", num_buckets=4)
+    write_bucketed_table(li, "b_lineitem", "l_orderkey", num_buckets=4)
+    yield
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def _joined(spark):
+    o = spark.table("b_orders")
+    li = spark.table("b_lineitem")
+    return o.join(li, o.o_orderkey == li.l_orderkey).groupBy(
+        "o_orderpriority"
+    ).agg(F.round(F.sum("l_extendedprice"), 2).alias("rev"))
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed):
+    # force the sort-merge path (a broadcast would hide the bucketing)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _joined(spark)._jdf.queryExecution().executedPlan().toString()
+        join_part = plan.split("HashAggregate")[-1]  # below the final agg
+        assert "Exchange hashpartitioning" not in join_part, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_matches_plain_join(spark, bucketed):
+    got = {
+        r["o_orderpriority"]: r["rev"] for r in _joined(spark).collect()
+    }
+    o = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    exp = {
+        r["o_orderpriority"]: r["rev"]
+        for r in o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("rev"))
+        .collect()
+    }
+    assert got == exp
+
+
+def test_bucket_pruning_single_key_scan(spark, bucketed):
+    """Filtering on the bucket key reads only the matching bucket file
+    (numFiles pruned: 1 of 4)."""
+    # the planner drops bucketed scans when nothing downstream uses the
+    # clustering; force it on so pruning applies to the bare filter too
+    conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    old = spark.conf.get(conf)
+    spark.conf.set(conf, "false")
+    try:
+        df = spark.table("b_lineitem").where(F.col("l_orderkey") == 7)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of 4" in plan, plan
+    finally:
+        spark.conf.set(conf, old)

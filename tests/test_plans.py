@@ -88,3 +88,35 @@ def test_events_filter_pushdown(spark):
     plan = plan_of(e)
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert pushed and "event_type" in pushed[0], plan
+
+
+def test_approx_distinct_within_rsd(spark):
+    """HLL++ at rsd=0.01 must land within 5% of the exact count."""
+    from kmeans_with_mapreduce_cuda_spark.plans import REGISTRY
+
+    rows = REGISTRY["rel_approx_distinct"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        err = abs(r["approx_orders"] - r["exact_orders"]) / r["exact_orders"]
+        assert err < 0.05, (r, err)
+
+
+def test_udtf_shingles_matches_jvm_expression(spark):
+    """The Python UDTF and the JVM-side shingle expression agree row-set
+    for row-set (same tokenization contract)."""
+    from pyspark.sql import functions as F
+
+    from kmeans_with_mapreduce_cuda_spark.functions.text import word_shingles
+    from kmeans_with_mapreduce_cuda_spark.plans import REGISTRY
+    from kmeans_with_mapreduce_cuda_spark.sources import load_table
+
+    got = (
+        REGISTRY["udtf_shingles"].fn(spark, SF_DIR)
+        .select("doc_id", "pos", "shingle")
+        .collect()
+    )
+    d = load_table(spark, SF_DIR, "documents").where(F.col("doc_id") < 100)
+    exp = d.select(
+        "doc_id", F.posexplode(word_shingles("text")).alias("pos", "shingle")
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))

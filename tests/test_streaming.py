@@ -152,3 +152,17 @@ def test_streaming_kmeans_foreachbatch(spark):
             # single availableNow batch -> exact equality with one step
             assert abs(cx - ex) < 1e-9 and abs(cy - ey) < 1e-9, (i, (cx, cy), exp[i])
             assert abs(sk.counts[i] - en) < 1e-9
+
+
+def test_dedup_stream_drops_duplicates(spark):
+    from kmeans_with_mapreduce_cuda_spark.streaming import dedup_stream
+
+    # fabricate a duplicated stream: the events file unioned with itself
+    ev = read_events_stream(spark, SF_DIR)
+    doubled = ev.unionAll(read_events_stream(spark, SF_DIR))
+    got = _run_to_memory(
+        dedup_stream(doubled, keys=["event_id"]), "t_dedup", spark
+    )
+    n_events = load_table(spark, SF_DIR, "events").count()
+    assert got.count() == n_events  # 2N in, N out
+    assert got.select("event_id").distinct().count() == n_events
