@@ -281,6 +281,39 @@ def seed_centroids_2d(
     return [(float(r[x]), float(r[y])) for r in rows]
 
 
+def seed_centroids_farthest(
+    points: DataFrame,
+    k: int,
+    key: str = "id",
+    x: str = "x",
+    y: str = "y",
+) -> list[tuple[float, float]]:
+    """Deterministic farthest-point (maxmin) init -- the k-means++ idea
+    with the weighted RNG draw replaced by the argmax, so it is exactly
+    reproducible and SQL-oracle-checkable (k-means++ picks ~the same
+    spread in expectation; MLlib's k-means|| is the sampled scale-out
+    variant).  Start = lowest-key row; each step picks the point
+    farthest from its nearest chosen centroid, ties to the lowest key.
+
+    Cost: k narrow scans, each ending in one max_by aggregate (partial
+    agg -> 1 row per partition -> 1 row to the driver).  Nothing but k
+    rows ever leaves the executors, so the 100 TB path is k passes over
+    a cached projection.
+    """
+    first = points.select(key, x, y).orderBy(key).limit(1).collect()[0]
+    cents: list[tuple[float, float]] = [(float(first[x]), float(first[y]))]
+    for _ in range(k - 1):
+        d = points.withColumn("_d", F.expr(_dists_sql_2d(cents, x, y)))
+        best = d.select(
+            F.expr(
+                f"max_by(struct(`{x}`, `{y}`), "
+                f"struct(array_min(_d), -`{key}`))"
+            ).alias("s")
+        ).collect()[0]["s"]
+        cents.append((float(best[x]), float(best[y])))
+    return cents
+
+
 def seed_centroids_nd(
     points: DataFrame, k: int, seed: int = 42, key: str = "vec_id", features: str = "embedding"
 ) -> list[list[float]]:

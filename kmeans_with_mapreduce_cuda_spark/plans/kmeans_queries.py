@@ -423,3 +423,55 @@ def o14_sse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.agg(
         F.round(F.sum("_mindist") / 1000000.0).cast("bigint").alias("sse_millions")
     )
+
+
+# --- O2 variant: deterministic farthest-point (k-means++-style) seeding ------
+
+_FP_K = 4
+
+def _fp_step_sql(prev_d: str, prev_c: str, out_d: str, out_c: str) -> str:
+    """One maxmin step: fold the newest centroid into the running
+    nearest-chosen distance, then take the farthest point (ties to
+    lowest id)."""
+    return f"""
+    {out_d} AS (
+        SELECT t.id, t.x, t.y,
+               least(t.d, (t.x - c.cx) * (t.x - c.cx)
+                        + (t.y - c.cy) * (t.y - c.cy)) AS d
+        FROM {prev_d} t CROSS JOIN {prev_c} c
+    ),
+    {out_c} AS (SELECT x AS cx, y AS cy FROM {out_d} ORDER BY d DESC, id LIMIT 1)"""
+
+
+_FP_ORACLE = (
+    f"WITH points AS ({POINTS_SQL}),\n"
+    "c0 AS (SELECT x AS cx, y AS cy FROM points ORDER BY id LIMIT 1),\n"
+    "d1 AS (SELECT p.id, p.x, p.y, (p.x - c.cx) * (p.x - c.cx)"
+    " + (p.y - c.cy) * (p.y - c.cy) AS d FROM points p CROSS JOIN c0 c),\n"
+    "c1 AS (SELECT x AS cx, y AS cy FROM d1 ORDER BY d DESC, id LIMIT 1),"
+    + _fp_step_sql("d1", "c1", "d2", "c2") + ","
+    + _fp_step_sql("d2", "c2", "d3", "c3") + "\n"
+    "SELECT CAST(0 AS INTEGER) AS cluster_id, cx, cy FROM c0\n"
+    "UNION ALL SELECT CAST(1 AS INTEGER), cx, cy FROM c1\n"
+    "UNION ALL SELECT CAST(2 AS INTEGER), cx, cy FROM c2\n"
+    "UNION ALL SELECT CAST(3 AS INTEGER), cx, cy FROM c3"
+)
+
+@query(
+    "o02_seed_farthest",
+    oracle=_FP_ORACLE,
+    doc="O2 upgraded: deterministic farthest-point (maxmin / k-means++-"
+    "style) seeding, k=4 -- each step is one narrow scan ending in a "
+    "max_by aggregate, exactly reproducible (no RNG), hash-checked "
+    "against a chained-CTE SQL twin.  The principled replacement for "
+    "the reference's wall-clock-seeded with-replacement draw "
+    "(random_num_generator.hpp:17-28).",
+)
+def o02_seed_farthest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmeans import seed_centroids_farthest
+
+    cents = seed_centroids_farthest(_points(spark, sf_dir), k=_FP_K)
+    return spark.createDataFrame(
+        [(i, cx, cy) for i, (cx, cy) in enumerate(cents)],
+        "cluster_id int, cx double, cy double",
+    )

@@ -727,3 +727,89 @@ def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
     )
+
+
+# --- Multi-join chain (TPC-H Q5 shape) ----------------------------------------
+
+@query(
+    "rel_join_chain_q5",
+    oracle="""
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA' AND o.o_orderstatus = 'F'
+    GROUP BY n.n_name
+    """,
+    doc="Six-table join chain (TPC-H Q5 shape: local-supplier revenue by "
+    "nation).  Catalyst reorders freely; the two fact-to-fact hops "
+    "(orders-lineitem, lineitem-supplier) shuffle, the three dimension "
+    "hops broadcast, and both filters push into their scans -- the plan "
+    "shape that decides whether a 100 TB star query is one shuffle or "
+    "five.",
+)
+def rel_join_chain_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            s,
+            (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(n, n.n_nationkey == c.c_nationkey)
+        .join(r, (r.r_regionkey == n.n_regionkey) & (r.r_name == "ASIA"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --- Correlated scalar subquery ----------------------------------------------
+
+@query(
+    "rel_correlated_scalar",
+    oracle="""
+    SELECT p_type, CAST(count(*) AS BIGINT) AS n_premium,
+           round(max(p_retailprice), 2) AS max_price
+    FROM part p
+    WHERE p_retailprice > (
+        SELECT avg(p2.p_retailprice) FROM part p2 WHERE p2.p_type = p.p_type
+    )
+    GROUP BY p_type
+    """,
+    doc="Correlated scalar subquery: parts priced above their "
+    "type's average.  Catalyst decorrelates this into an aggregate + "
+    "self-join -- the DataFrame side writes that rewrite explicitly "
+    "(groupBy type -> broadcast join back), which is also the only "
+    "shape that works at 100 TB (one pass, no per-row subquery).",
+)
+def rel_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    avg_by_type = p.groupBy(F.col("p_type").alias("_t")).agg(
+        F.avg("p_retailprice").alias("_avg")
+    )
+    return (
+        p.join(F.broadcast(avg_by_type), p.p_type == F.col("_t"))
+        .where(F.col("p_retailprice") > F.col("_avg"))
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_premium"),
+            F.round(F.max("p_retailprice"), 2).alias("max_price"),
+        )
+    )

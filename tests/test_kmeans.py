@@ -236,3 +236,34 @@ def test_salted_groupby_equals_plain(spark):
         assert pc == sc and pmn == smn and pmx == smx
         assert abs(ps - ss) < 1e-6 * abs(ps)
         assert abs(pa - sa) < 1e-9 * abs(pa)
+
+
+def test_seed_farthest_properties(spark):
+    """Farthest-point seeds: deterministic, distinct, inside the bbox,
+    and better-spread than the md5-sample seeding (that's the point)."""
+    from pyspark.sql import functions as F
+
+    from kmeans_with_mapreduce_cuda_spark.operators.kmeans import (
+        seed_centroids_2d,
+        seed_centroids_farthest,
+    )
+    from kmeans_with_mapreduce_cuda_spark.sources import points_from_lineitem
+
+    pts = points_from_lineitem(spark, SF_DIR).cache()
+    got = seed_centroids_farthest(pts, k=4)
+    assert got == seed_centroids_farthest(pts, k=4)  # deterministic
+    assert len(set(got)) == 4
+    lo = pts.agg(F.min("x"), F.min("y"), F.max("x"), F.max("y")).collect()[0]
+    for cx, cy in got:
+        assert lo[0] <= cx <= lo[2] and lo[1] <= cy <= lo[3]
+
+    def min_pair_d2(cs):
+        return min(
+            (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2
+            for i, a in enumerate(cs)
+            for b in cs[i + 1 :]
+        )
+
+    rnd = seed_centroids_2d(pts, k=4, seed=42)
+    assert min_pair_d2(got) >= min_pair_d2(rnd)
+    pts.unpersist()
