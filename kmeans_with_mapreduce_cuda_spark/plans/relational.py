@@ -813,3 +813,31 @@ def rel_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("p_retailprice"), 2).alias("max_price"),
         )
     )
+
+
+# --- VARIANT (semi-structured) JSON ------------------------------------------
+
+@query(
+    "rel_json_variant",
+    oracle="""
+    SELECT CAST(floor(CAST(json_extract(props, '$.k') AS BIGINT) / 10)
+                AS BIGINT) AS k_bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(value), 4) AS avg_value
+    FROM events GROUP BY 1
+    """,
+    doc="Semi-structured path via VARIANT: parse_json once into Spark's "
+    "binary variant encoding, then typed variant_get extraction -- "
+    "unlike per-access get_json_object string re-parsing "
+    "(rel_json_funcs), the parse cost is paid once per row however "
+    "many fields are read: the JSON-heavy-ingest pattern at 100 TB.",
+)
+def rel_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "long")
+    return e.groupBy(
+        F.floor(k / 10).cast("bigint").alias("k_bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )

@@ -245,3 +245,66 @@ def dedup_stream(
     """
     keys = keys or ["event_id"]
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+# --- transformWithStateInPandas: arbitrary typed state ------------------------
+
+class _RunningTotalsProcessor:
+    """Per-user running (event count, value sum) via the typed-state
+    API -- the general replacement for applyInPandasWithState: named
+    state variables, timers, and TTL instead of one opaque state blob.
+    Defined lazily so importing this module never requires the
+    stateful-processor API."""
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Continuously-maintained per-user totals over the event stream
+    (the profile/counter pattern of a training-data ingest pipeline).
+
+    Uses ``transformWithStateInPandas`` with a ValueState cell per user.
+    State is per-key and store-backed (RocksDB provider required --
+    set ``spark.sql.streaming.stateStore.providerClass`` to the RocksDB
+    provider before starting), so cardinality is bounded by distinct
+    users, not events: the formulation that survives an unbounded
+    stream.
+
+    Runtime deps: the worker protocol needs ``google.protobuf``
+    (ships with real Spark clusters; absent in minimal containers --
+    the test skips, ``sessionize_stream`` covers stateful streaming
+    there).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Proc(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n BIGINT, sum_value DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            if self._totals.exists():
+                prev_n, prev_s = self._totals.get()
+                n += int(prev_n)
+                s += float(prev_s)
+            self._totals.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [n], "sum_value": [round(s, 4)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Proc(),
+        outputStructType="user_id BIGINT, n BIGINT, sum_value DOUBLE",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -120,3 +120,72 @@ def test_udtf_shingles_matches_jvm_expression(spark):
         "doc_id", F.posexplode(word_shingles("text")).alias("pos", "shingle")
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+
+
+def test_q5_join_chain_plan(spark):
+    """Six-table chain: nation/region arrive via BroadcastExchange, the
+    region filter pushes into its scan, and the fact side never
+    broadcast-explodes."""
+    plan = plan_of(REGISTRY["rel_join_chain_q5"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    pushed = [
+        ln
+        for ln in plan.splitlines()
+        if "PushedFilters" in ln and "r_name" in ln
+    ]
+    assert any("EqualTo(r_name,ASIA)" in ln for ln in pushed), plan
+
+
+def test_grouping_sets_single_expand_single_shuffle(spark):
+    """GROUPING SETS = one Expand (x3 replication) + one aggregate
+    exchange -- not one query per set."""
+    import re
+
+    plan = plan_of(REGISTRY["rel_grouping_sets"].fn(spark, SF_DIR))
+    assert len(re.findall(r"^\(\d+\) Expand", plan, re.MULTILINE)) == 1, plan
+    assert (
+        len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE)) == 1
+    ), plan
+
+
+def test_count_distinct_multi_uses_expand(spark):
+    """Two DISTINCT aggregates -> one Expand-based plan, no self-join."""
+    plan = plan_of(REGISTRY["rel_count_distinct_multi"].fn(spark, SF_DIR))
+    assert "Expand" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_farthest_seed_step_is_narrow(spark):
+    """Each maxmin step: scan -> project -> partial/final max_by agg;
+    no join, and only the final single-row exchange."""
+    import re
+
+    from kmeans_with_mapreduce_cuda_spark.operators.kmeans import _dists_sql_2d
+    from kmeans_with_mapreduce_cuda_spark.sources import points_from_lineitem
+
+    pts = points_from_lineitem(spark, SF_DIR)
+    d = pts.withColumn("_d", F.expr(_dists_sql_2d(INIT4[:2], "x", "y")))
+    step = d.select(
+        F.expr("max_by(struct(x, y), struct(array_min(_d), -id))").alias("s")
+    )
+    plan = plan_of(step)
+    assert "Join" not in plan, plan
+    assert "partial_max_by" in plan, plan
+
+
+def test_observe_metrics_single_pass(spark):
+    """df.observe: pipeline health metrics (row count, null count, sum)
+    ride along the main action -- no second scan.  The pattern for
+    validating a 100 TB ingest without doubling its cost."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    obs = Observation("ingest")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("null_qty"),
+    )
+    n = observed.where(F.col("l_quantity") > 0).count()
+    assert obs.get["rows"] >= n
+    assert obs.get["null_qty"] == 0

@@ -166,3 +166,45 @@ def test_dedup_stream_drops_duplicates(spark):
     n_events = load_table(spark, SF_DIR, "events").count()
     assert got.count() == n_events  # 2N in, N out
     assert got.select("event_id").distinct().count() == n_events
+
+
+def test_running_user_totals_matches_batch(spark):
+    import pytest
+
+    # the transformWithState worker protocol needs protobuf
+    pytest.importorskip("google.protobuf.descriptor")
+    from kmeans_with_mapreduce_cuda_spark.streaming import running_user_totals
+
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(conf)
+    spark.conf.set(
+        conf,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        ev = read_events_stream(spark, SF_DIR)
+        got = _run_to_memory(
+            running_user_totals(ev), "t_totals", spark, output_mode="update"
+        ).toPandas()
+    finally:
+        spark.conf.set(conf, old)
+    # update mode re-emits per batch; keep the final row per user
+    got = got.groupby("user_id").last().reset_index()
+    exp = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .toPandas()
+    )
+    g = got.sort_values("user_id").reset_index(drop=True)
+    e = exp.sort_values("user_id").reset_index(drop=True)
+    assert len(g) == len(e)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        g[["user_id", "n", "sum_value"]],
+        e[["user_id", "n", "sum_value"]],
+        check_dtype=False,
+        atol=1e-6,
+    )
