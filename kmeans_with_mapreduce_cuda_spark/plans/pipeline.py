@@ -636,3 +636,152 @@ def udtf_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 100
         """
     )
+
+
+# --- Dataset assembly: sampling, mixing, splitting, packing -------------------
+# The ops between "corpus" and "training run".  All deterministic (md5
+# keys, not RNG) so every one is hash-checked against the SQL oracle and
+# reproducible run-to-run -- the property a data pipeline needs for
+# lineage anyway.  Each is one scan + at most one bounded shuffle.
+
+_MD5_DOC = "CAST(('0x' || substr(md5('mix42:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+@query(
+    "pipe_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {_MD5_DOC}, doc_id)
+                   AS rn
+        FROM documents
+    ) WHERE rn <= 50
+    """,
+    doc="Stratified sampling: 50 docs per language by seeded md5 order -- "
+    "per-stratum quotas for a balanced eval set.  One window shuffle "
+    "partitioned by the stratum; at 100 TB strata are the window "
+    "partitions, so skew follows language skew (salt the big ones or "
+    "pre-filter by the md5 threshold trick first).",
+)
+def pipe_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_long
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(md5_long("doc_id", "mix42:"), "doc_id")
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 50)
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "pipe_source_mixture",
+    oracle=f"""
+    SELECT source, CAST(count(*) AS BIGINT) AS n_sampled
+    FROM documents
+    WHERE {_MD5_DOC} % 100 < CASE source
+        WHEN 'web' THEN 20 WHEN 'books' THEN 80 ELSE 50 END
+    GROUP BY source
+    """,
+    doc="Source mixing: per-source keep-rates (web 20%, books 80%, rest "
+    "50%) via a deterministic md5 threshold -- the mixture-weights step "
+    "of corpus assembly.  Pure narrow filter: no shuffle, no RNG, "
+    "resumable, and the SAME rows are kept on every run at any scale.",
+)
+def pipe_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_long
+
+    d = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("source") == "web", 20)
+        .when(F.col("source") == "books", 80)
+        .otherwise(50)
+    )
+    return (
+        d.where(md5_long("doc_id", "mix42:") % 100 < rate)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+
+
+@query(
+    "pipe_train_val_test",
+    oracle=f"""
+    SELECT CASE WHEN {_MD5_DOC} % 100 < 90 THEN 'train'
+                WHEN {_MD5_DOC} % 100 < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM documents GROUP BY 1
+    """,
+    doc="Deterministic 90/5/5 train/val/test split on a hash of the "
+    "stable key: membership is a pure function of doc_id, so the split "
+    "never leaks across reruns, late-arriving data lands consistently, "
+    "and no shuffle or RNG state is involved.",
+)
+def pipe_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_long
+
+    d = load_table(spark, sf_dir, "documents")
+    h = md5_long("doc_id", "mix42:") % 100
+    split = (
+        F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
+    )
+    return d.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+    )
+
+
+@query(
+    "pipe_token_packing",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                    AS BIGINT) AS n_tokens,
+               CAST(doc_id % 8 AS BIGINT) AS shard
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, shard, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum
+        FROM t
+    )
+    SELECT shard, CAST(floor((cum - 1) / 2048) AS BIGINT) AS pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+    FROM c GROUP BY shard, 2
+    """,
+    doc="Sequence packing: docs are concatenated per shard in stable "
+    "order and cut into ~2048-token packs via a running-sum window "
+    "(pack = floor((cumsum-1)/budget)) -- the context-window packing "
+    "step before tokenizer sharding.  One window shuffle on the shard "
+    "key; shard count scales with the cluster, never a global sort.",
+)
+def pipe_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+        (F.col("doc_id") % 8).cast("bigint").alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        c.groupBy(
+            "shard",
+            F.floor((F.col("cum") - 1) / 2048).cast("bigint").alias("pack_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+        )
+    )
