@@ -65,3 +65,17 @@ def predict_kmeans(
         "features", array_to_vector(F.col(features).cast("array<double>"))
     )
     return model.transform(vecs).withColumnRenamed("prediction", out).drop("features")
+
+
+def save_model(model: KMeansModel, path: str) -> None:
+    """Persist the fitted model (centroids + params) as Spark ML
+    metadata+parquet -- the artifact hand-off between the training job
+    and any number of downstream scoring jobs.  The reference's only
+    'model persistence' is the Point-per-line text sink
+    (kmeans_with_mapreduce-cuda.cu:105-121); this is its library-layer
+    equivalent, loadable on any cluster."""
+    model.write().overwrite().save(path)
+
+
+def load_model(path: str) -> KMeansModel:
+    return KMeansModel.load(path)

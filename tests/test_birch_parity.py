@@ -62,3 +62,25 @@ def test_birch_sse_improves_substantially(spark, birch):
     before = sse_2d(birch, init)
     after = sse_2d(birch, lloyd_2d(birch, init, max_iter=10))
     assert after < before * 0.5
+
+
+def test_cli_driver_runs_birch_sample(spark, tmp_path, capsys):
+    """The __main__ CLI mirrors the reference binary's contract: reads the
+    file, prints k 'Point: (x,y)' lines + three timing spans, --save
+    appends the same lines to <input>.output."""
+    import shutil
+
+    from kmeans_with_mapreduce_cuda_spark.__main__ import main
+
+    src = tmp_path / "birch_sample.txt"
+    shutil.copyfile(BIRCH, src)
+    lines = main(
+        [str(src), "--k", "4", "--limit", "500", "--iters", "3", "--save"],
+        spark=spark,
+    )
+    out = capsys.readouterr().out
+    assert len(lines) == 4
+    assert all(ln.startswith("Point: (") for ln in lines)
+    assert "Kmeans compute time:" in out and "Total time:" in out
+    saved = (tmp_path / "birch_sample.txt.output").read_text().splitlines()
+    assert saved == lines

@@ -267,3 +267,23 @@ def test_seed_farthest_properties(spark):
     rnd = seed_centroids_2d(pts, k=4, seed=42)
     assert min_pair_d2(got) >= min_pair_d2(rnd)
     pts.unpersist()
+
+
+def test_mllib_model_save_load_roundtrip(spark, tmp_path):
+    from kmeans_with_mapreduce_cuda_spark.operators.kmeans_mllib import (
+        fit_kmeans,
+        load_model,
+        predict_kmeans,
+        save_model,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(500).cache()
+    res = fit_kmeans(emb, k=5, max_iter=5, seed=42)
+    path = str(tmp_path / "km_model")
+    save_model(res.model, path)
+    back = load_model(path)
+    assert [list(c) for c in back.clusterCenters()] == res.centroids
+    a = predict_kmeans(res.model, emb).select("vec_id", "cluster_id").collect()
+    b = predict_kmeans(back, emb).select("vec_id", "cluster_id").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    emb.unpersist()
