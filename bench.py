@@ -10,10 +10,14 @@ Headline queries:
 - kmeans_mllib   : MLlib KMeans over the 64-dim embeddings table.
 - tpch_q1        : filter + grouped multi-aggregate (scan-bound).
 - join_agg       : orders x lineitem shuffle join + agg.
+- join_chain_q5  : six-table star join (broadcast dims + fact shuffles).
 - window_topk    : partitioned window top-k.
 - dedup_exact    : content-hash dedup over documents.
-- ngram_jaccard  : shingle-overlap near-dup pairs.
+- ngram_jaccard  : shingle-overlap near-dup pairs (exact, doc_id<300).
+- minhash_lsh    : MinHash+LSH banding near-dup candidates (full table).
 - sim_topk       : brute-force cosine top-10 over embeddings.
+- json_variant   : VARIANT parse + typed extraction + agg over events.
+- token_packing  : running-sum sequence packing over documents.
 """
 
 from __future__ import annotations
@@ -88,10 +92,14 @@ def main() -> None:
 
     timed("tpch_q1", lambda: run_registry("rel_filter_agg"))
     timed("join_agg", lambda: run_registry("rel_join_shuffle"))
+    timed("join_chain_q5", lambda: run_registry("rel_join_chain_q5"))
     timed("window_topk", lambda: run_registry("rel_window_topk"))
     timed("dedup_exact", lambda: run_registry("dedup_exact_keep"))
     timed("ngram_jaccard", lambda: run_registry("dedup_ngram_jaccard"))
+    timed("minhash_lsh", lambda: run_registry("dedup_minhash_lsh"))
     timed("sim_topk", lambda: run_registry("sim_topk_bruteforce"))
+    timed("json_variant", lambda: run_registry("rel_json_variant"))
+    timed("token_packing", lambda: run_registry("pipe_token_packing"))
 
     total = round(sum(timings.values()), 3)
     print(

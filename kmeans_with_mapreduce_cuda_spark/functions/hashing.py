@@ -44,27 +44,61 @@ def stable_sample_key(col: Column | str, seed: int = 42) -> Column:
     return md5_long(col, salt=f"seed{seed}:")
 
 
+#: modulus of the universal hash family: smallest prime > 2^32.
+MINHASH_P = 4294967311
+
+
+def minhash_params(num_hashes: int = 16, seed: int = 42) -> list[tuple[int, int]]:
+    """Seeded (a_i, b_i) coefficients for the affine family
+    ``h_i(x) = (a_i * x + b_i) mod P``.  a_i < 2^20 keeps
+    ``a_i * x`` under 2^52 -- no bigint overflow in any engine."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 20), rng.randrange(0, MINHASH_P))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_base(shingles: Column | str, seed: int = 42) -> Column:
+    """ONE md5 per shingle -> array<bigint> of base hash values in
+    [0, 2^32).  Project this to its own column before deriving the
+    signature: inlined into all num_hashes signature rows it bloats the
+    generated code (and its Janino compile time) ~16x."""
+    return F.transform(
+        _c(shingles),
+        lambda s: F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"mh{seed}:"), s)), 1, 8), 16, 10
+        ).cast("bigint"),
+    )
+
+
+def minhash_sig_from_base(
+    base: Column | str, num_hashes: int = 16, seed: int = 42
+) -> Column:
+    """Signature from the projected base array: row i is
+    ``min_x (a_i * x + b_i) mod P`` -- num_hashes cheap integer
+    transforms, no further string hashing (the textbook universal-hash
+    MinHash construction)."""
+    arr = _c(base)
+
+    def affine(a: int, b: int):
+        # a factory, not a default-arg lambda -- PySpark treats 2+-param
+        # lambdas as (element, index), which would clobber the coefficients
+        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P)
+
+    sig = [
+        F.array_min(F.transform(arr, affine(a, b)))
+        for a, b in minhash_params(num_hashes, seed)
+    ]
+    return F.array(*sig)
+
+
 def minhash_signature(
     shingles: Column | str, num_hashes: int = 16, seed: int = 42
 ) -> Column:
-    """MinHash signature of an array<string> shingle column.
-
-    One md5-derived hash family per row of the signature:
-    ``h_i(s) = md5_long(s, salt=i)``; the signature element is
-    ``min_{s in shingles} h_i(s)``.  Pure higher-order expressions
-    (TRANSFORM + ARRAY_MIN), no UDF, fully codegen'd.
-    """
-    arr = _c(shingles)
-
-    def hash_fn(i: int):
-        # NB: a factory, not a default-arg lambda -- PySpark calls 2-param
-        # lambdas as (element, index), which would clobber the salt.
-        salt = f"mh{seed}_{i}:"
-        return lambda s: F.conv(
-            F.substring(F.md5(F.concat(F.lit(salt), s)), 1, 8), 16, 10
-        ).cast("bigint")
-
-    sig = [
-        F.array_min(F.transform(arr, hash_fn(i))) for i in range(num_hashes)
-    ]
-    return F.array(*sig)
+    """Single-Column convenience wrapper; prefer the two-step
+    minhash_base -> minhash_sig_from_base projection, which hashes and
+    compiles the md5 pass once."""
+    return minhash_sig_from_base(minhash_base(shingles, seed), num_hashes, seed)

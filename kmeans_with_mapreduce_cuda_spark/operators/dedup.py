@@ -56,10 +56,36 @@ def minhash_signatures(
     shingle_n: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """Per-doc MinHash signature -> (id, sig: array<bigint>[num_hashes])."""
-    sh = doc_shingles(df, text_col, id_col, shingle_n)
-    return sh.select(
-        id_col, minhash_signature("shingles", num_hashes, seed).alias("sig")
+    """Per-doc MinHash signature -> (id, sig: array<bigint>[num_hashes]).
+
+    Explode -> scalar md5 -> groupBy(min x num_hashes): every expression
+    is a plain codegen'd scalar (no higher-order lambdas, which evaluate
+    interpreted per element), the min aggregates combine map-side, and
+    no per-doc array materializes -- at 100 TB the shuffle carries one
+    16-long partial row per (doc, partition).  Shingle dedup is skipped
+    on purpose: duplicates cannot change a min.
+    """
+    from ..functions.hashing import MINHASH_P, minhash_params
+
+    ex = df.select(
+        id_col, F.explode(word_shingles(text_col, shingle_n)).alias("_s")
+    )
+    x = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"mh{seed}:"), F.col("_s"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    aggs = [
+        F.min((F.lit(a) * F.col("_x") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"_h{j}")
+        for j, (a, b) in enumerate(minhash_params(num_hashes, seed))
+    ]
+    return (
+        ex.select(id_col, x.alias("_x"))
+        .groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            id_col, F.array(*[f"_h{j}" for j in range(num_hashes)]).alias("sig")
+        )
     )
 
 
@@ -95,9 +121,11 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
+    # materialize signatures ONCE: both self-join sides would otherwise
+    # re-run the full shingle+hash pipeline (the expensive part)
     banded = sig.select(
         F.col(id_col).alias("id"), F.col("sig"), F.explode(band_structs).alias("bk")
-    )
+    ).persist()
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")))

@@ -102,12 +102,10 @@ _SHINGLE_SQL = """
     "use dedup_minhash_lsh.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import word_shingles
+
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
-    toks = tokens("text")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0)))
-    sh = F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, 3), " "))
-    )
+    sh = F.array_distinct(word_shingles("text", 3))
     # Materialize the per-doc shingle array ONCE: three consumers (both
     # join sides + sizes) would otherwise each re-run the string-heavy
     # shingle expression (and each get their own codegen compile).
@@ -342,11 +340,16 @@ def kmeans_mllib_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- MinHash + LSH near-dedup (md5-based, fully oracle-checkable) ------------
 
 def _minhash_sql(num_hashes: int = 16, bands: int = 8, seed: int = 42) -> str:
+    from ..functions.hashing import MINHASH_P, minhash_params
+
     r = num_hashes // bands
+    params = minhash_params(num_hashes, seed)
+    base = (
+        f"CAST(('0x' || substr(md5('mh{seed}:' || s), 1, 8)) AS BIGINT)"
+    )
     h_cols = ", ".join(
-        f"list_min([ CAST(('0x' || substr(md5('mh{seed}_{j}:' || s), 1, 8)) AS BIGINT)"
-        f" FOR s IN shingles ]) AS h{j}"
-        for j in range(num_hashes)
+        f"list_min([ ({a} * {base} + {b}) % {MINHASH_P} FOR s IN shingles ]) AS h{j}"
+        for j, (a, b) in enumerate(params)
     )
     band_arms = " UNION ALL ".join(
         "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b ON "
