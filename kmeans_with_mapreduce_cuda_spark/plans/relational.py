@@ -844,3 +844,57 @@ def rel_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("value"), 4).alias("avg_value"),
     )
+
+
+# --- Built-in session windows -------------------------------------------------
+
+@query(
+    "rel_session_window",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts
+               FROM events),
+    g AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN ts - lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        FROM e
+    ),
+    s AS (
+        SELECT user_id, ts,
+               sum(brk) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sid
+        FROM g
+    )
+    SELECT user_id,
+           CAST(strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS VARCHAR)
+               AS session_start_s,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="Native session windows: groupBy(session_window(ts, '30 min')) "
+    "-- Spark's built-in gap-merge aggregation (one shuffle, sessions "
+    "merged inside the agg; usable unchanged on a stream).  Oracle: the "
+    "lag/running-sum CTE with the matching boundary rule (an event at "
+    "EXACTLY gap distance starts a new session: windows are [start, "
+    "end)), vs rel_sessionize_batch's strict-> break -- both "
+    "formulations, both checked.",
+)
+def rel_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # naive-ts parity
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("win")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start_s"
+            ),
+            "n_events",
+        )
+    )
