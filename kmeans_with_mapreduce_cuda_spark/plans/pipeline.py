@@ -788,3 +788,73 @@ def pipe_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("pack_tokens"),
         )
     )
+
+
+# --- Repetition filter (Gopher-style) + normalization ------------------------
+
+@query(
+    "text_repetition_ratio",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, unnest([
+            list_aggregate(toks[i:i+1], 'string_agg', ' ')
+            FOR i IN range(1, greatest(len(toks) - 1, 0) + 1)
+        ]) AS g FROM toks
+    ),
+    counts AS (
+        SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_grams,
+           round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS rep_ratio
+    FROM counts GROUP BY doc_id
+    """,
+    doc="Repetition filter (the Gopher/MassiveText heuristic): share of "
+    "all 2-gram occurrences taken by the most frequent 2-gram; "
+    "high-ratio docs are boilerplate/degenerate repetition.  Two "
+    "aggregations, both map-side combinable; grams never leave the "
+    "executors.",
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    g = d.select("doc_id", F.explode(word_shingles("text", 2)).alias("g"))
+    counts = g.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("rep_ratio"),
+    )
+
+
+@query(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                AS BIGINT) AS norm_len,
+           CAST(length(regexp_replace(regexp_replace(trim(lower(text)),
+                '\\s+', ' ', 'g'), '[^a-z0-9 ]', '', 'g')) AS BIGINT)
+               AS alnum_len,
+           substr(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), 1, 20)
+               AS head
+    FROM documents
+    """,
+    doc="Text normalization transform: lowercase, whitespace-collapse, "
+    "punctuation strip -- the canonical-form step before hashing/dedup. "
+    "Pure regexp projections, linear in bytes, no shuffle.",
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    alnum = F.regexp_replace(norm, r"[^a-z0-9 ]", "")
+    return d.select(
+        "doc_id",
+        F.length(norm).cast("bigint").alias("norm_len"),
+        F.length(alnum).cast("bigint").alias("alnum_len"),
+        F.substring(norm, 1, 20).alias("head"),
+    )
