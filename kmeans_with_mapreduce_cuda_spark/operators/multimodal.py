@@ -113,9 +113,14 @@ def decode_and_featurize(df: DataFrame, payload_col: str = "payload") -> DataFra
             feats = []
             for b in payloads:
                 b = b or b""
-                counts = np.zeros(FEATURE_DIM, dtype=np.float32)
-                for i, byte in enumerate(b[:4096]):
-                    counts[(byte + i) % FEATURE_DIM] += 1.0
+                arr = np.frombuffer(b[:4096], dtype=np.uint8).astype(np.int64)
+                # vectorized rolling-hash histogram: the per-byte Python
+                # loop it replaces was ~20M interpreter iterations per
+                # 5k docs (6 s -> <1 s at sf0.1)
+                idx = (arr + np.arange(arr.size)) % FEATURE_DIM
+                counts = np.bincount(idx, minlength=FEATURE_DIM).astype(
+                    np.float32
+                )
                 total = counts.sum() or 1.0
                 feats.append((counts / total).tolist())
             yield pd.DataFrame(
