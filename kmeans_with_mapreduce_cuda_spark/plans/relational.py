@@ -898,3 +898,53 @@ def rel_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# --- Conditional aggregation over a join (TPC-H Q14 shape) --------------------
+
+@query(
+    "rel_conditional_agg_q14",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                       THEN l.l_extendedprice * (1 - l.l_discount) END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+               AS promo_revenue_pct,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    """,
+    doc="Conditional aggregation over a join (TPC-H Q14 shape: promo "
+    "revenue share).  part broadcasts; the CASE folds into the partial "
+    "aggregate, so the answer is one row computed map-side + one "
+    "single-row combine.",
+)
+def rel_conditional_agg_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(load_table(spark, sf_dir, "part"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev)
+    return li.join(p, p.p_partkey == li.l_partkey).agg(
+        F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias(
+            "promo_revenue_pct"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "rel_approx_percentile",
+    oracle=None,  # sketch estimates are engine-specific: rows-only check
+    doc="approx_percentile (mergeable quantile sketch) next to the exact "
+    "percentile.  Exact per-group percentiles materialize the sorted "
+    "group; the sketch merges map-side in fixed memory -- the quantile "
+    "path at 100 TB.  tests/test_plans.py bounds the estimate between "
+    "the group min/max and within 2% of exact; no SQL oracle because "
+    "estimates differ across engines by design.",
+)
+def rel_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, 0.5, 10000)"
+        ).alias("approx_p50"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+    )

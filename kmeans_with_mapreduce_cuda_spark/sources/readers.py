@@ -74,15 +74,16 @@ def read_points_text(
         # partition (parity path -- small files only).  The scale path is
         # parquet without a cap.
         df = df.coalesce(1)
-    # try_cast, not cast: ANSI mode (Spark 4 default) makes a plain cast
-    # throw on malformed lines; the reference scanner just yields garbage
-    # coords -- we drop such lines instead.
+    # try_cast + get, not cast + getItem: ANSI mode (Spark 4 default)
+    # makes a plain cast throw on malformed tokens and getItem throw on
+    # short lines; the reference scanner just yields garbage coords --
+    # we drop such lines instead.
     parts = F.split(F.trim(F.col("value")), r"\s+")
     out = (
         df.select(
             (F.monotonically_increasing_id()).alias("id"),
-            parts.getItem(0).try_cast("long").alias("x"),
-            parts.getItem(1).try_cast("long").alias("y"),
+            F.get(parts, 0).try_cast("long").alias("x"),
+            F.get(parts, 1).try_cast("long").alias("y"),
         )
         .where(F.col("x").isNotNull() & F.col("y").isNotNull())
     )

@@ -189,3 +189,10 @@ def test_observe_metrics_single_pass(spark):
     n = observed.where(F.col("l_quantity") > 0).count()
     assert obs.get["rows"] >= n
     assert obs.get["null_qty"] == 0
+
+
+def test_approx_percentile_close_to_exact(spark):
+    rows = REGISTRY["rel_approx_percentile"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["approx_p50"] - r["exact_p50"]) / r["exact_p50"] < 0.02

@@ -126,3 +126,13 @@ def test_pandas_udfs_match_expressions(spark):
     for r in rows:
         assert r["tc_expr"] == r["tc_udf"], r
         assert abs(r["pr_expr"] - r["pr_udf"]) < 1e-9, r
+
+
+def test_read_points_text_drops_malformed_lines(spark, tmp_path):
+    """ANSI-mode robustness: junk lines are dropped (try_cast), clean
+    lines keep their file-order ids -- the reference scanner would read
+    garbage coords instead (kmeans_with_mapreduce-cuda.cu:52-70)."""
+    p = tmp_path / "dirty.txt"
+    p.write_text("1 2\nnot numbers\n3\n4 5\n  6\t7  \nx 9\n")
+    got = read_points_text(spark, str(p)).select("x", "y").collect()
+    assert sorted((r["x"], r["y"]) for r in got) == [(1, 2), (4, 5), (6, 7)]
