@@ -948,3 +948,36 @@ def rel_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("approx_p50"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
     )
+
+
+# --- Range-frame windows ------------------------------------------------------
+
+@query(
+    "rel_window_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+           round(sum(value) OVER w, 4) AS sum_last_hour
+    FROM (SELECT event_id, user_id, value, epoch(date_trunc('microseconds', ts)) AS sec
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    doc="RANGE-framed window (vs ROWS): per-user trailing-1-hour count "
+    "and sum -- the frame is defined by the ORDER-BY VALUE distance, so "
+    "ties (same timestamp) share one frame.  Epoch-seconds ordering in "
+    "both engines keeps the frame arithmetic identical.",
+)
+def rel_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 4).alias("sum_last_hour"),
+    )
