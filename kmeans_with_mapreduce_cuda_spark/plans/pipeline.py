@@ -858,3 +858,78 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(alnum).cast("bigint").alias("alnum_len"),
         F.substring(norm, 1, 20).alias("head"),
     )
+
+
+# --- IVF ANN with fixed cells: the probe path, hash-checked ------------------
+
+_IVF_DIST = (
+    "list_sum([ (z[1] - z[2]) * (z[1] - z[2]) FOR z IN list_zip({a}, {b}) ])"
+)
+_IVF_COS = (
+    "list_dot_product(p.q_emb, i.emb)"
+    " / (sqrt(list_dot_product(p.q_emb, p.q_emb))"
+    " * sqrt(list_dot_product(i.emb, i.emb)))"
+)
+
+@query(
+    "sim_ann_ivf_fixed",
+    oracle=f"""
+    WITH cents AS (
+        SELECT CAST(vec_id AS INTEGER) AS cell_id, embedding::DOUBLE[] AS cemb
+        FROM embeddings WHERE vec_id < 4
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    indexed AS (
+        SELECT vec_id, emb, cell_id FROM (
+            SELECT e.vec_id, e.emb, c.cell_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_IVF_DIST.format(a="e.emb", b="c.cemb")}, c.cell_id
+                   ) AS rn
+            FROM e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id IN (0, 7, 42)),
+    probes AS (
+        SELECT q_id, q_emb, cell_id FROM (
+            SELECT q.q_id, q.q_emb, c.cell_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY {_IVF_DIST.format(a="q.q_emb", b="c.cemb")}, c.cell_id
+                   ) AS rn
+            FROM q CROSS JOIN cents c
+        ) WHERE rn <= 2
+    )
+    SELECT q_id, vec_id AS neighbor_id, cos_sim, rank FROM (
+        SELECT p.q_id, i.vec_id,
+               round({_IVF_COS}, 6) AS cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.q_id ORDER BY {_IVF_COS} DESC, i.vec_id
+               ) AS rank
+        FROM probes p JOIN indexed i ON i.cell_id = p.cell_id
+        WHERE p.q_id <> i.vec_id
+    ) WHERE rank <= 5
+    """,
+    doc="The IVF probe path with FIXED cells (embeddings of vec_id<4 as "
+    "cell centroids, nprobe=2, top-5): assignment, probing, and "
+    "in-cell cosine ranking are all deterministic relational algebra, "
+    "so the ENTIRE ANN serving path is hash-checked against SQL -- "
+    "complementing sim_ann_ivf, whose trained quantizer is checked by "
+    "recall tests.  Same shape as serving against a persisted index: "
+    "cells prune the scan, only nprobe/n_cells of the data is ranked.",
+)
+def sim_ann_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmeans import assign_nd
+    from ..operators.similarity import ivf_topk
+    from ..plans.kmeans_queries import _cents_nd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _cents_nd(spark, sf_dir, k=4)
+    indexed = assign_nd(e, cents, out="cell_id")
+    q = e.where(F.col("vec_id").isin(0, 7, 42)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+    )
+    return ivf_topk(indexed, cents, q, k=5, nprobe=2).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    )
