@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
     LongType,
@@ -135,3 +136,101 @@ def decode_and_featurize(df: DataFrame, payload_col: str = "payload") -> DataFra
             )
 
     return df.mapInPandas(batches, schema=DECODE_SCHEMA)
+
+
+#: output schema of the resize stub: payload out, new dimensions.
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),
+        StructField("resize_status", StringType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, max_side: int = 256, payload_col: str = "payload"
+) -> DataFrame:
+    """Resize via mapInPandas.  STUB codec (no image libs in this
+    container): emits the payload truncated proportionally to the fake
+    decode dimensions, deterministic.  The contract a real codec slots
+    into -- binary in, binary out, metadata columns updated, Arrow
+    batches, no shuffle."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            if HAS_IMAGE_CODEC:
+                raise NotImplementedError(
+                    "real resize requires an image codec; container ships none"
+                )
+            n = pdf[payload_col].str.len().fillna(0).astype("int64")
+            w = (n % 640 + 1).astype("int64")
+            h = (n % 480 + 1).astype("int64")
+            scale = (max_side / pd.concat([w, h], axis=1).max(axis=1)).clip(upper=1.0)
+            keep = (n * scale * scale).astype("int64").clip(lower=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": (w * scale).astype("int32").clip(lower=1),
+                    "height": (h * scale).astype("int32").clip(lower=1),
+                    "payload": [
+                        (b or b"")[:k] for b, k in zip(pdf[payload_col], keep)
+                    ],
+                    "resize_status": "stub",
+                }
+            )
+
+    return df.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+#: output schema of the frame-sample stub: one row per sampled frame.
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_payload", BinaryType()),
+        StructField("sample_status", StringType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame sampling via mapInPandas: one input row (a 'video' payload)
+    -> up to max_frames output rows.  STUB codec: deterministic
+    fixed-stride byte slices stand in for decoded frames.  The
+    multi-emit contract (1 row in, N rows out through Arrow) is the
+    real thing -- the reference mapper's NUM_PAIRS slots (config.cuh:13)
+    generalized to a data-dependent count."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            if HAS_IMAGE_CODEC:
+                raise NotImplementedError(
+                    "real frame decode requires a video codec; container ships none"
+                )
+            out_id, out_idx, out_payload = [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf[payload_col]):
+                b = b or b""
+                for i in range(min(max_frames, max(len(b) // every_n_bytes, 0))):
+                    out_id.append(doc_id)
+                    out_idx.append(i)
+                    out_payload.append(b[i * every_n_bytes : (i + 1) * every_n_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_id,
+                    "frame_idx": out_idx,
+                    "frame_payload": out_payload,
+                    "sample_status": "stub",
+                }
+            )
+
+    return df.mapInPandas(batches, schema=FRAME_SCHEMA)

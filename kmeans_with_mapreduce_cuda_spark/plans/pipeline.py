@@ -522,6 +522,72 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_and_featurize(d)
 
 
+@query(
+    "mm_resize_meta",
+    oracle="""
+    SELECT doc_id,
+           GREATEST(1, CAST(floor(w * scale) AS INTEGER)) AS width,
+           GREATEST(1, CAST(floor(h * scale) AS INTEGER)) AS height,
+           GREATEST(1, CAST(floor(n * scale * scale) AS BIGINT)) AS out_bytes
+    FROM (
+        SELECT doc_id, n, w, h, LEAST(1.0, 64.0 / GREATEST(w, h)) AS scale
+        FROM (
+            SELECT doc_id,
+                   octet_length(encode(text)) AS n,
+                   octet_length(encode(text)) % 640 + 1 AS w,
+                   octet_length(encode(text)) % 480 + 1 AS h
+            FROM documents
+        )
+    )
+    """,
+    doc="Multimodal resize plumbing (mapInPandas, Arrow batches, no "
+    "shuffle): metadata view of operators.multimodal.resize_images.  The "
+    "codec is STUBBED (deterministic dims from byte length -- no image "
+    "libs in the container), which makes the output a pure function of "
+    "octet_length and therefore fully DuckDB-checkable: dims, scale "
+    "clamp, and output payload size are all hash-verified.  A real codec "
+    "slots into the same binary-in/binary-out contract.",
+)
+def mm_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import documents_as_binary, resize_images
+
+    d = documents_as_binary(load_table(spark, sf_dir, "documents"))
+    return resize_images(d, max_side=64).select(
+        "doc_id",
+        "width",
+        "height",
+        F.octet_length("payload").cast("bigint").alias("out_bytes"),
+    )
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(UNNEST(range(LEAST(8, octet_length(encode(text)) // 64)))
+                AS INTEGER) AS frame_idx,
+           CAST(64 AS BIGINT) AS frame_bytes
+    FROM documents
+    WHERE octet_length(encode(text)) >= 64
+    """,
+    doc="Multimodal frame sampling (one 'video' payload row -> up to 8 "
+    "frame rows through Arrow): metadata view of "
+    "operators.multimodal.sample_frames.  The multi-emit fan-out -- the "
+    "reference mapper's NUM_PAIRS slots (config.cuh:13) generalized to a "
+    "data-dependent count -- is hash-checked: per-doc frame count and "
+    "frame indices are pure functions of payload length.",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import documents_as_binary, sample_frames
+
+    d = documents_as_binary(load_table(spark, sf_dir, "documents"))
+    return sample_frames(d, every_n_bytes=64, max_frames=8).select(
+        "doc_id",
+        "frame_idx",
+        F.octet_length("frame_payload").cast("bigint").alias("frame_bytes"),
+    )
+
+
 # --- Generic MapReduce UDF surface ----------------------------------------------
 
 @query(

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 #: Every fixture table the driver materializes (TESTDATA.md).
 TABLES = (
@@ -42,9 +43,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # idempotent: a re-written events table (our own sinks, empty
+        # mirrors) already carries a real TIMESTAMP -- only raw
+        # nanos-longs need rebuilding
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -74,3 +74,54 @@ def test_decode_status_marks_stub(spark):
     d = documents_as_binary(load_table(spark, SF_DIR, "documents")).limit(5)
     st = decode_and_featurize(d).select("decode_status").distinct().collect()
     assert [r["decode_status"] for r in st] == ["stub"]
+
+
+def test_resize_stub_contract(spark):
+    from kmeans_with_mapreduce_cuda_spark.operators.multimodal import (
+        documents_as_binary,
+        resize_images,
+    )
+
+    d = documents_as_binary(
+        load_table(spark, SF_DIR, "documents").limit(200)
+    )
+    r = resize_images(d, max_side=64).collect()
+    assert len(r) == 200
+    for row in r:
+        assert 1 <= row["width"] <= 64 and 1 <= row["height"] <= 64
+        assert row["resize_status"] == "stub"
+        assert row["payload"] is not None
+    # determinism + batch-size invariance
+    r2 = resize_images(d.repartition(7), max_side=64).collect()
+    key = lambda x: x["doc_id"]
+    assert sorted(map(tuple, r), key=lambda t: t[0]) == sorted(
+        map(tuple, r2), key=lambda t: t[0]
+    )
+
+
+def test_sample_frames_multi_emit(spark):
+    from pyspark.sql import functions as F
+
+    from kmeans_with_mapreduce_cuda_spark.operators.multimodal import (
+        documents_as_binary,
+        sample_frames,
+    )
+
+    d = documents_as_binary(load_table(spark, SF_DIR, "documents").limit(100))
+    fr = sample_frames(d, every_n_bytes=64, max_frames=8)
+    rows = fr.collect()
+    assert rows, "expected at least one frame"
+    per_doc = fr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert all(1 <= r["n"] <= 8 for r in per_doc)
+    # expected count is a pure function of payload length
+    exp = {
+        r["doc_id"]: min(8, r["n_bytes"] // 64)
+        for r in d.select(
+            "doc_id", F.octet_length("payload").alias("n_bytes")
+        ).collect()
+        if r["n_bytes"] >= 64
+    }
+    got = {r["doc_id"]: r["n"] for r in per_doc}
+    assert got == exp
+    for r in rows[:5]:
+        assert len(r["frame_payload"]) == 64
