@@ -116,6 +116,52 @@ def rel_join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rel_join_outer",
+    oracle="""
+    SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+           c.c_nationkey,
+           o.n_orders,
+           o.total_price
+    FROM (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey
+          FROM customer WHERE c_nationkey < 13) c
+    FULL OUTER JOIN (
+          SELECT o_custkey,
+                 CAST(count(*) AS BIGINT) AS n_orders,
+                 round(sum(o_totalprice), 2) AS total_price
+          FROM orders GROUP BY o_custkey) o
+      ON c.c_custkey = o.o_custkey
+    """,
+    doc="FULL OUTER join with null-producing rows on BOTH sides: "
+    "customers of nations 0-12 against per-customer order rollups.  "
+    "Customers with no orders surface null aggregates; orders whose "
+    "customer sits in nations >= 13 surface a null c_nationkey.  "
+    "Physical shape: both sides shuffle on custkey (outer joins cannot "
+    "broadcast the preserved side); the pre-join groupBy shrinks the "
+    "orders side to one row per customer before the join shuffle.",
+)
+def rel_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_nationkey") < 13)
+        .select("c_custkey", F.col("c_nationkey").cast("bigint"))
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full_outer").select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_nationkey",
+        "n_orders",
+        "total_price",
+    )
+
+
 # --- Semi / anti joins -------------------------------------------------------
 
 @query(
