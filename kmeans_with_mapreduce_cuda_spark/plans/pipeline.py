@@ -999,3 +999,49 @@ def sim_ann_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(indexed, cents, q, k=5, nprobe=2).withColumnRenamed(
         "vec_id", "neighbor_id"
     )
+
+
+# --- Structured Streaming in the correctness gate ----------------------------
+
+#: memory-sink names must be unique per session; deterministic counter.
+_STREAM_RUNS = iter(range(1_000_000))
+
+
+@query(
+    "stream_hourly_counts",
+    oracle="""
+    SELECT CAST(strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS VARCHAR)
+               AS hour_str,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+          <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
+    GROUP BY 1, 2
+    """,
+    doc="Structured Streaming, hash-checked: runs the REAL streaming job "
+    "(file source -> watermarked 1-hour windowed agg -> append-mode "
+    "memory sink, trigger(availableNow)) and returns the emitted set.  "
+    "Append mode emits a window only once the watermark (max event time "
+    "- 2 h) passes its END, so the oracle is the batch aggregate "
+    "restricted to windows closed at stream end -- watermark semantics "
+    "themselves are what the hash verifies.  Unbounded variant of "
+    "rel_date_funcs; state stays bounded at any scale because closed "
+    "windows are evicted.",
+)
+def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import hourly_counts_stream, read_events_stream
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    name = f"_gate_hourly_{next(_STREAM_RUNS)}"
+    q = (
+        hourly_counts_stream(read_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
