@@ -100,5 +100,12 @@ def minhash_signature(
 ) -> Column:
     """Single-Column convenience wrapper; prefer the two-step
     minhash_base -> minhash_sig_from_base projection, which hashes and
-    compiles the md5 pass once."""
+    compiles the md5 pass once.
+
+    Short-doc contract: over an EMPTY shingle array this yields a
+    null-element signature (array_min of empty is null) -- the row is
+    kept.  The explode/groupBy path ``operators.dedup.minhash_signatures``
+    instead DROPS such docs entirely (no rows to aggregate).  Both mean
+    "no dedup candidate"; pick per call site and left-join ids back if
+    every doc must be represented."""
     return minhash_sig_from_base(minhash_base(shingles, seed), num_hashes, seed)

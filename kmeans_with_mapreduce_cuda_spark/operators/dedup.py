@@ -64,6 +64,15 @@ def minhash_signatures(
     no per-doc array materializes -- at 100 TB the shuffle carries one
     16-long partial row per (doc, partition).  Shingle dedup is skipped
     on purpose: duplicates cannot change a min.
+
+    Short-doc contract: a document with fewer than ``shingle_n`` tokens
+    has no shingles, so explode emits no rows and the doc is ABSENT from
+    the output -- it has no signature and is never an LSH dedup
+    candidate.  (The array-column wrapper
+    ``functions.hashing.minhash_signature`` differs: over an empty
+    shingle array it yields a null-element signature row.  Callers that
+    need every doc represented should left-join doc ids back onto this
+    output and treat missing as "no candidate".)
     """
     from ..functions.hashing import MINHASH_P, minhash_params
 
@@ -107,6 +116,13 @@ def minhash_lsh_pairs(
 
     Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b, est_jaccard =
     fraction of agreeing signature positions (rounded to 6).
+
+    Caching contract: the banded signatures are persisted (both
+    self-join sides would otherwise re-run the shingle+hash pipeline);
+    the persisted DataFrame is attached to the returned DataFrame as
+    ``.cached_deps`` so callers can ``dep.unpersist()`` once the result
+    is materialized -- repeated invocations in one session otherwise
+    accumulate cached partitions in executor memory.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -144,11 +160,13 @@ def minhash_lsh_pairs(
         F.lit(0),
         lambda acc, v: acc + v,
     )
-    return pairs.select(
+    out = pairs.select(
         "doc_a",
         "doc_b",
         F.round(agree.cast("double") / num_hashes, 6).alias("est_jaccard"),
     )
+    out.cached_deps = [banded]  # see docstring: unpersist after materializing
+    return out
 
 
 def token_hashes(text_col: str = "text", salt: str = "sh:") -> Column:

@@ -1,10 +1,12 @@
 """Multimodal columns: image/audio/video payloads as opaque ``binary``
 columns with typed metadata, plus Arrow-batched feature extraction.
 
-The container has no image/audio codecs, so the DECODE step is stubbed
-(deterministic fake behind an import-try -- see ``decode_image_batch``);
-everything Spark-side is real and tested: schema, partitioning, the
-mapInPandas batch shape, and the JVM-side metadata/magic-byte path.
+The DECODE step is a deterministic stub by default (the supported,
+oracle-checked path regardless of installed codecs); the real-codec
+path is an explicit ``use_real_codec=True`` opt-in that raises
+``NotImplementedError`` at call time.  Everything Spark-side is real
+and tested: schema, partitioning, the mapInPandas batch shape, and the
+JVM-side metadata/magic-byte path.
 
 Scale notes: payload bytes never enter a shuffle -- metadata extraction
 is a narrow projection; feature extraction is mapInPandas (Arrow batches,
@@ -37,6 +39,24 @@ try:  # the real decoder would be PIL/libvips; absent in this container
     HAS_IMAGE_CODEC = True
 except ImportError:
     HAS_IMAGE_CODEC = False
+
+
+def _require_real_codec(op: str) -> None:
+    """Gate for the (unimplemented) real-codec path.
+
+    The stub path is always available and always deterministic -- it is
+    the oracle-checked contract, independent of whether PIL happens to
+    be installed.  Callers opt into the real path explicitly with
+    ``use_real_codec=True``; that path is not implemented yet, so the
+    failure is loud and at call time (driver side), never inside an
+    Arrow batch on a worker."""
+    raise NotImplementedError(
+        f"{op}: use_real_codec=True requested but the real codec path is "
+        "not implemented (codec "
+        + ("present" if HAS_IMAGE_CODEC else "absent")
+        + " in this environment); the deterministic stub is the supported "
+        "path -- call with use_real_codec=False"
+    )
 
 
 def sniff_media_type(payload: Column | str) -> Column:
@@ -89,15 +109,20 @@ DECODE_SCHEMA = StructType(
 )
 
 
-def decode_and_featurize(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def decode_and_featurize(
+    df: DataFrame, payload_col: str = "payload", use_real_codec: bool = False
+) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batches).
 
-    With a real codec installed this would decode the image and pool
-    pixel statistics; without one it emits a DETERMINISTIC FAKE:
-    width/height derived from the byte length, features = a rolling-hash
-    byte histogram.  The Spark-side contract (schema, batching,
+    Default path is a DETERMINISTIC STUB: width/height derived from the
+    byte length, features = a rolling-hash byte histogram.  A real codec
+    (PIL/libvips) would slot in behind ``use_real_codec=True`` -- that
+    path is not implemented, and requesting it raises at call time (see
+    ``_require_real_codec``).  The Spark-side contract (schema, batching,
     partition-parallelism) is identical either way.
     """
+    if use_real_codec:
+        _require_real_codec("decode_and_featurize")
 
     def batches(it: Iterator) -> Iterator:
         import numpy as np
@@ -106,11 +131,6 @@ def decode_and_featurize(df: DataFrame, payload_col: str = "payload") -> DataFra
         for pdf in it:
             payloads = pdf[payload_col]
             n = payloads.str.len().fillna(0).astype("int64")
-            if HAS_IMAGE_CODEC:
-                raise NotImplementedError(
-                    "real decode path requires an image codec; "
-                    "container ships none (see module docstring)"
-                )
             feats = []
             for b in payloads:
                 b = b or b""
@@ -151,22 +171,22 @@ RESIZE_SCHEMA = StructType(
 
 
 def resize_images(
-    df: DataFrame, max_side: int = 256, payload_col: str = "payload"
+    df: DataFrame, max_side: int = 256, payload_col: str = "payload",
+    use_real_codec: bool = False,
 ) -> DataFrame:
-    """Resize via mapInPandas.  STUB codec (no image libs in this
-    container): emits the payload truncated proportionally to the fake
-    decode dimensions, deterministic.  The contract a real codec slots
-    into -- binary in, binary out, metadata columns updated, Arrow
-    batches, no shuffle."""
+    """Resize via mapInPandas.  Default STUB codec: emits a payload of
+    exactly ``greatest(1, floor(n * scale^2))`` bytes (truncated, then
+    null-padded -- so an empty/None input still yields the 1 byte the
+    metadata promises), deterministic.  The contract a real codec slots
+    into (``use_real_codec=True``, unimplemented) -- binary in, binary
+    out, metadata columns updated, Arrow batches, no shuffle."""
+    if use_real_codec:
+        _require_real_codec("resize_images")
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in it:
-            if HAS_IMAGE_CODEC:
-                raise NotImplementedError(
-                    "real resize requires an image codec; container ships none"
-                )
             n = pdf[payload_col].str.len().fillna(0).astype("int64")
             w = (n % 640 + 1).astype("int64")
             h = (n % 480 + 1).astype("int64")
@@ -177,8 +197,12 @@ def resize_images(
                     "doc_id": pdf["doc_id"],
                     "width": (w * scale).astype("int32").clip(lower=1),
                     "height": (h * scale).astype("int32").clip(lower=1),
+                    # output byte count must equal `keep` even for
+                    # empty/None payloads (the mm_resize_meta oracle
+                    # computes GREATEST(1, floor(n*scale^2)))
                     "payload": [
-                        (b or b"")[:k] for b, k in zip(pdf[payload_col], keep)
+                        (b or b"")[:k].ljust(k, b"\x00")
+                        for b, k in zip(pdf[payload_col], keep)
                     ],
                     "resize_status": "stub",
                 }
@@ -200,7 +224,7 @@ FRAME_SCHEMA = StructType(
 
 def sample_frames(
     df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8,
-    payload_col: str = "payload",
+    payload_col: str = "payload", use_real_codec: bool = False,
 ) -> DataFrame:
     """Frame sampling via mapInPandas: one input row (a 'video' payload)
     -> up to max_frames output rows.  STUB codec: deterministic
@@ -208,15 +232,13 @@ def sample_frames(
     multi-emit contract (1 row in, N rows out through Arrow) is the
     real thing -- the reference mapper's NUM_PAIRS slots (config.cuh:13)
     generalized to a data-dependent count."""
+    if use_real_codec:
+        _require_real_codec("sample_frames")
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in it:
-            if HAS_IMAGE_CODEC:
-                raise NotImplementedError(
-                    "real frame decode requires a video codec; container ships none"
-                )
             out_id, out_idx, out_payload = [], [], []
             for doc_id, b in zip(pdf["doc_id"], pdf[payload_col]):
                 b = b or b""

@@ -16,6 +16,26 @@ from ..sources.readers import load_table
 from .registry import query
 
 
+def _eager(
+    spark: SparkSession, df: DataFrame, deps: list[DataFrame] | None = None
+) -> DataFrame:
+    """Materialize a SMALL result and release its cached dependencies.
+
+    Queries that persist an intermediate (self-join inputs) would leak
+    cached partitions across repeated gate/bench invocations in one
+    session if they returned lazily; collecting here lets us unpersist
+    deterministically.  Only for results known to be small (candidate
+    pair sets, centroid tables) -- never for data-scale outputs.
+    """
+    deps = list(deps or []) + list(getattr(df, "cached_deps", []))
+    try:
+        rows = df.collect()
+    finally:
+        for dep in deps:
+            dep.unpersist()
+    return spark.createDataFrame(rows, df.schema)
+
+
 # --- Exact deduplication -----------------------------------------------------
 
 @query(
@@ -109,6 +129,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the per-doc shingle array ONCE: three consumers (both
     # join sides + sizes) would otherwise each re-run the string-heavy
     # shingle expression (and each get their own codegen compile).
+    # Unpersisted via _eager below -- the pair set is tiny.
     arrs = d.select("doc_id", sh.alias("_sh")).persist()
     shingles = arrs.select("doc_id", F.explode("_sh").alias("shingle"))
     sizes = arrs.select("doc_id", F.size("_sh").alias("n"))
@@ -130,12 +151,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("inter").cast("double") / (
         F.col("sa.n") + F.col("sb.n") - F.col("inter")
     )
-    return (
+    out = (
         overlap.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .where(jac >= 0.2)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+    return _eager(spark, out, deps=[arrs])
 
 
 # --- Text analysis -----------------------------------------------------------
@@ -392,7 +414,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import minhash_lsh_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d)
+    # _eager: unpersist the banded-signature cache minhash_lsh_pairs
+    # attaches as .cached_deps (candidate pair set is small)
+    return _eager(spark, minhash_lsh_pairs(d))
 
 
 @query(
@@ -1043,5 +1067,13 @@ def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    try:
+        if not q.awaitTermination(120):
+            # timed out: a partially-filled memory table would be a
+            # confusing hash mismatch (or a flaky pass) -- fail loudly
+            raise TimeoutError(
+                f"stream {name} did not finish availableNow drain in 120s"
+            )
+    finally:
+        q.stop()  # idempotent after natural termination; never leak the query
     return spark.table(name)

@@ -99,6 +99,47 @@ def test_resize_stub_contract(spark):
     )
 
 
+def test_resize_empty_and_null_payloads(spark):
+    """Empty/None payloads must still emit the byte count the metadata
+    oracle computes: GREATEST(1, floor(n*scale^2)) == 1 byte, padded."""
+    from kmeans_with_mapreduce_cuda_spark.operators.multimodal import (
+        resize_images,
+    )
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    d = spark.createDataFrame(
+        [(1, b""), (2, None), (3, b"x" * 10)], schema
+    )
+    rows = {r["doc_id"]: r for r in resize_images(d, max_side=64).collect()}
+    assert len(rows[1]["payload"]) == 1  # floor(0*1*1) clipped to 1
+    assert len(rows[2]["payload"]) == 1
+    assert len(rows[3]["payload"]) == 10  # scale=1 (dims 11x11 <= 64)
+    for r in rows.values():
+        assert r["width"] >= 1 and r["height"] >= 1
+
+
+def test_real_codec_optin_raises_at_call_time(spark):
+    from kmeans_with_mapreduce_cuda_spark.operators.multimodal import (
+        decode_and_featurize,
+        resize_images,
+        sample_frames,
+    )
+    import pytest
+
+    d = documents_as_binary(load_table(spark, SF_DIR, "documents").limit(1))
+    for fn in (decode_and_featurize, resize_images, sample_frames):
+        with pytest.raises(NotImplementedError, match="use_real_codec"):
+            fn(d, use_real_codec=True)
+
+
 def test_sample_frames_multi_emit(spark):
     from pyspark.sql import functions as F
 
