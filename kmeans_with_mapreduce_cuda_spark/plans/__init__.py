@@ -4,3 +4,88 @@ from .registry import REGISTRY, Query, query  # noqa: F401
 from . import kmeans_queries  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 from . import pipeline  # noqa: F401,E402
+
+# ---------------------------------------------------------------------------
+# Gate ordering: the driver's correctness gate walks queries() in
+# registration order under a wall-clock budget (round 1 covered the
+# first 48 of 75).  Re-rank so that a budget cut costs the least
+# verification value:
+#   1. an explicit priority prefix -- the K-Means core pipeline, then
+#      one hash-checked representative of every SURVEY.md §2.2 category
+#      (joins, windows, aggs, strings/dates/json/arrays, streaming,
+#      dedup, text, multimodal, similarity, dataset assembly);
+#   2. the remaining hash-checked variants, original order;
+#   3. rows-only checks (oracle=None) last -- they verify the least, so
+#      they are the right thing to lose to a timeout.
+# ---------------------------------------------------------------------------
+
+_PRIORITY = [
+    # K-Means core: scan -> seed -> map -> shuffle -> reduce -> iterate -> sink
+    "o01_scan_limit",
+    "o02_seed_sample",
+    "o03_distance_expr",
+    "o04_assign_argmin",
+    "o06_sort_by_key",
+    "o07_group_counts",
+    "o08_centroid_update",
+    "o12_kmeans_two_steps",
+    "o13_sink_format",
+    "o14_sse",
+    # one representative per absence-category (§2.2), cheapest first
+    "rel_filter_agg",
+    "rel_join_broadcast",
+    "rel_join_shuffle",
+    "rel_join_semi_anti",
+    "rel_window_topk",
+    "rel_rollup",
+    "rel_set_ops",
+    "rel_string_funcs",
+    "rel_date_funcs",
+    "rel_json_funcs",
+    "rel_array_funcs",
+    "rel_pivot",
+    "rel_percentiles",
+    "rel_histogram",
+    "rel_asof_join",
+    "rel_range_join",
+    "rel_subquery_scalar",
+    "rel_ansi_sql_verbatim",
+    "rel_sessionize_batch",
+    # north-star extensions: dedup / text / multimodal / similarity /
+    # assembly / streaming -- each hash-checked
+    "dedup_exact_groups",
+    "dedup_exact_keep",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_simhash",
+    "mm_payload_meta",
+    "mm_resize_meta",
+    "mm_frame_sample",
+    "sim_topk_bruteforce",
+    "pipe_stratified_sample",
+    "pipe_source_mixture",
+    "pipe_train_val_test",
+    "pipe_token_packing",
+    "udtf_shingles",
+    "stream_hourly_counts",
+]
+
+
+def _rerank(reg: dict[str, Query]) -> dict[str, Query]:
+    missing = [n for n in _PRIORITY if n not in reg]
+    assert not missing, f"priority list names unknown queries: {missing}"
+    rest_checked = [
+        n for n in reg if n not in _PRIORITY and reg[n].oracle is not None
+    ]
+    rows_only = [n for n in reg if n not in _PRIORITY and reg[n].oracle is None]
+    return {n: reg[n] for n in [*_PRIORITY, *rest_checked, *rows_only]}
+
+
+_ranked = _rerank(REGISTRY)
+REGISTRY.clear()
+REGISTRY.update(_ranked)

@@ -491,7 +491,9 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import build_ivf_index, ivf_topk
 
     e = load_table(spark, sf_dir, "embeddings")
-    indexed, cents = build_ivf_index(e, n_cells=8, max_iter=3, seed=42)
+    # max_iter=2: gate-budget instance -- quantizer quality only affects
+    # recall (covered by tests/test_similarity.py), not this rows-check
+    indexed, cents = build_ivf_index(e, n_cells=8, max_iter=2, seed=42)
     q = e.where(F.col("vec_id").isin(0, 7, 42)).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").cast("array<double>").alias("q_emb"),
@@ -1059,21 +1061,32 @@ def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     name = f"_gate_hourly_{next(_STREAM_RUNS)}"
-    q = (
-        hourly_counts_stream(read_events_stream(spark, sf_dir))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    # state-store partitioning: the windowed agg runs one task per
+    # shuffle partition per microbatch; a plain session's 200 is pure
+    # task-launch overhead for sf-scale state (measured 9.2 s -> ~3 s
+    # at sf0.01).  Fresh memory sink + no retained checkpoint, so the
+    # partition count is free to differ per run; restore after start.
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        if not q.awaitTermination(120):
-            # timed out: a partially-filled memory table would be a
-            # confusing hash mismatch (or a flaky pass) -- fail loudly
-            raise TimeoutError(
-                f"stream {name} did not finish availableNow drain in 120s"
-            )
+        q = (
+            hourly_counts_stream(read_events_stream(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(120):
+                # timed out: a partially-filled memory table would be a
+                # confusing hash mismatch (or a flaky pass) -- fail loudly
+                raise TimeoutError(
+                    f"stream {name} did not finish availableNow drain in 120s"
+                )
+        finally:
+            # idempotent after natural termination; never leak the query
+            q.stop()
     finally:
-        q.stop()  # idempotent after natural termination; never leak the query
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     return spark.table(name)
