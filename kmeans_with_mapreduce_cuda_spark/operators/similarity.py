@@ -40,6 +40,92 @@ def brute_force_topk(
     )
 
 
+def hyperplanes_pm1(
+    dim: int = 64, n_planes: int = 8, seed: int = 42
+) -> list[list[int]]:
+    """Deterministic random-hyperplane family with ±1 components, derived
+    from md5 bits (no RNG state) -- the sign-of-dot-product sketch is the
+    classic cosine LSH (Charikar SimHash for vectors), and ±1 components
+    make the dot product a plain add/subtract chain that is expressible
+    identically in Spark SQL and the DuckDB oracle."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"hp{seed}:{j}:{i}".encode()).digest()[0] & 1
+            else -1
+            for i in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def lsh_bucket_sql(
+    emb: str, planes: list[list[int]], one_based: bool
+) -> str:
+    """SQL expression for the hyperplane-sign bucket of an embedding
+    column: bit j set iff dot(emb, h_j) > 0.  Same string works in Spark
+    (one_based=False) and DuckDB (one_based=True) because the ±1
+    components reduce each dot to a left-to-right add/subtract chain --
+    identical float association order in both engines."""
+    off = 1 if one_based else 0
+    terms = []
+    for j, signs in enumerate(planes):
+        dot = "".join(
+            ("+" if s > 0 else "-") + f"{emb}[{i + off}]"
+            for i, s in enumerate(signs)
+        )
+        terms.append(f"(CASE WHEN ({dot.lstrip('+')}) > 0 THEN {2**j} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS INTEGER)"
+
+
+def lsh_bucket_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    features: str = "embedding",
+    n_planes: int = 4,
+    seed: int = 42,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Cosine LSH candidate pairs: bucket vectors by their hyperplane-sign
+    signature, self-join WITHIN buckets only, keep pairs with cosine >=
+    threshold.  Near-parallel vectors agree on every sign with high
+    probability, so they collide; the join key is the bucket -- no
+    all-pairs comparison, the same LSH shape as MinHash banding but for
+    the embedding column.  Recall dial: fewer planes = bigger buckets =
+    higher recall and more candidates.
+
+    Returns (vec_a, vec_b, bucket, cos_sim), vec_a < vec_b.
+    """
+    planes = hyperplanes_pm1(
+        dim=_emb_dim(df, features), n_planes=n_planes, seed=seed
+    )
+    e = df.select(
+        F.col(id_col).alias("id"),
+        F.col(features).cast("array<double>").alias("_emb"),
+    ).withColumn("bucket", F.expr(lsh_bucket_sql("_emb", planes, one_based=False)))
+    a, b = e.alias("a"), e.alias("b")
+    sim = cosine_similarity(F.col("a._emb"), F.col("b._emb"))
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .withColumn("_sim", sim)
+        .where(F.col("_sim") >= threshold)
+        .select(
+            F.col("a.id").alias("vec_a"),
+            F.col("b.id").alias("vec_b"),
+            F.col("a.bucket").alias("bucket"),
+            F.round("_sim", 6).alias("cos_sim"),
+        )
+    )
+
+
+def _emb_dim(df: DataFrame, features: str) -> int:
+    """Embedding dimensionality from the first row (driver-side, 1 row)."""
+    row = df.select(F.size(features).alias("d")).first()
+    return int(row["d"])
+
+
 def build_ivf_index(
     df: DataFrame,
     n_cells: int = 16,

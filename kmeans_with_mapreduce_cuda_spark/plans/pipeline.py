@@ -476,6 +476,116 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pipe_corpus_clean",
+    oracle=f"""
+    WITH survivors AS (
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+                       AS rn
+            FROM documents
+        ) WHERE rn = 1
+    ),
+    t AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+               CAST(length(text) AS BIGINT) AS len
+        FROM survivors
+    ),
+    scored AS (
+        SELECT doc_id, toks, len,
+               {{'en': {_lang_score_sql('en')}, 'es': {_lang_score_sql('es')},
+                 'de': {_lang_score_sql('de')}, 'fr': {_lang_score_sql('fr')}}}
+                   AS s
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           round(CAST(s['en'] AS DOUBLE) / greatest(len(toks), 1), 6)
+               AS en_stopword_ratio
+    FROM scored
+    WHERE len BETWEEN 100 AND 20000
+      AND greatest(s['en'], s['es'], s['de'], s['fr']) = s['en']
+      AND s['en'] > greatest(s['es'], s['de'], s['fr'])
+      AND CAST(s['en'] AS DOUBLE) / greatest(len(toks), 1) >= 0.02
+    """,
+    doc="End-to-end corpus cleaning -- the composition a training-data "
+    "pipeline actually runs, as ONE declarative plan Catalyst optimizes "
+    "whole: exact dedup (content-hash window, keep lowest doc_id) -> "
+    "heuristic language ID (keep unambiguous English: en stopword hits "
+    "strictly above every other language) -> length gate [100, 20000] -> "
+    "fluency gate (en-stopword ratio >= 0.02) -> token count.  One "
+    "shuffle (the dedup window); every filter and the scoring are "
+    "narrow codegen'd projections pushed onto the scan side.",
+)
+def pipe_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    survivors = (
+        d.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    )
+    toks = tokens("text")
+
+    def score(lang: str):
+        sw = F.array(*[F.lit(wd) for wd in STOPWORDS[lang]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+    s = {lang: score(lang) for lang in ("en", "es", "de", "fr")}
+    ln = F.length("text").cast("bigint")
+    ratio = s["en"].cast("double") / F.greatest(F.size(toks), F.lit(1))
+    return (
+        survivors.where(ln.between(100, 20000))
+        .where(s["en"] > F.greatest(s["es"], s["de"], s["fr"]))
+        .where(ratio >= 0.02)
+        .select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.round(ratio, 6).alias("en_stopword_ratio"),
+        )
+    )
+
+
+def _lsh_oracle_sql() -> str:
+    from ..operators.similarity import hyperplanes_pm1, lsh_bucket_sql
+
+    planes = hyperplanes_pm1(dim=64, n_planes=4, seed=42)
+    bucket = lsh_bucket_sql("emb", planes, one_based=True)
+    cos = (
+        "list_dot_product(a.emb, b2.emb)"
+        " / (sqrt(list_dot_product(a.emb, a.emb))"
+        " * sqrt(list_dot_product(b2.emb, b2.emb)))"
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    b AS (SELECT vec_id, emb, {bucket} AS bucket FROM e)
+    SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b, a.bucket AS bucket,
+           round({cos}, 6) AS cos_sim
+    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    WHERE {cos} >= 0.3
+    """
+
+
+@query(
+    "sim_lsh_pairs",
+    oracle=_lsh_oracle_sql(),
+    doc="Cosine-LSH candidate pairs over the embedding column: 4 "
+    "md5-derived ±1 random hyperplanes (Charikar sign sketch), vectors "
+    "bucketed by their 4-bit sign signature, cosine computed only WITHIN "
+    "buckets -- the LSH-banding shape for vectors, no all-pairs join.  "
+    "±1 components reduce each dot product to an add/subtract chain with "
+    "identical float association order in Spark and DuckDB, so the "
+    "whole path (signs, buckets, candidate set, cosines) is hash-checked.",
+)
+def sim_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import lsh_bucket_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucket_pairs(e, n_planes=4, seed=42, threshold=0.3)
+
+
 # --- IVF ANN (rows-only: iterative K-Means inside) ----------------------------
 
 @query(
@@ -1033,6 +1143,41 @@ def sim_ann_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_RUNS = iter(range(1_000_000))
 
 
+def _drain_stream_to_table(spark: SparkSession, df: DataFrame, prefix: str) -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) into a
+    fresh append-mode memory sink and return the emitted table.
+
+    State-store partitioning: the stateful agg runs one task per shuffle
+    partition per microbatch; a plain session's 200 is pure task-launch
+    overhead for sf-scale state (measured 9.2 s -> <2.5 s at sf0.01).
+    Fresh sink + no retained checkpoint, so the partition count is free
+    to differ per run; conf restored after the drain.  A timeout raises
+    (a partially-filled table would be a confusing hash mismatch) and
+    the query is stopped either way.
+    """
+    name = f"{prefix}{next(_STREAM_RUNS)}"
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(120):
+                raise TimeoutError(
+                    f"stream {name} did not finish availableNow drain in 120s"
+                )
+        finally:
+            q.stop()  # idempotent after natural termination; never leak
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    return spark.table(name)
+
+
 @query(
     "stream_hourly_counts",
     oracle="""
@@ -1060,33 +1205,87 @@ def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import hourly_counts_stream, read_events_stream
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    name = f"_gate_hourly_{next(_STREAM_RUNS)}"
-    # state-store partitioning: the windowed agg runs one task per
-    # shuffle partition per microbatch; a plain session's 200 is pure
-    # task-launch overhead for sf-scale state (measured 9.2 s -> ~3 s
-    # at sf0.01).  Fresh memory sink + no retained checkpoint, so the
-    # partition count is free to differ per run; restore after start.
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            hourly_counts_stream(read_events_stream(spark, sf_dir))
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+    return _drain_stream_to_table(
+        spark,
+        hourly_counts_stream(read_events_stream(spark, sf_dir)),
+        "_gate_hourly_",
+    )
+
+
+@query(
+    "stream_sliding_counts",
+    oracle="""
+    WITH w AS (
+        SELECT e.*,
+               time_bucket(INTERVAL 30 MINUTE, ts)
+                   - k.k * INTERVAL 30 MINUTE AS win_start
+        FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+    )
+    SELECT CAST(strftime(win_start, '%Y-%m-%d %H:%M:%S') AS VARCHAR)
+               AS win_str,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM w
+    WHERE win_start + INTERVAL 1 HOUR
+          <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
+    GROUP BY 1, 2
+    """,
+    doc="Structured Streaming sliding windows, hash-checked: 1-hour "
+    "windows sliding by 30 minutes (every event in 2 windows), "
+    "watermarked, availableNow drain to an append-mode memory sink.  "
+    "The oracle replays the window fan-out in batch SQL (each event "
+    "joined to its 2 slide-aligned window starts) restricted to windows "
+    "closed at stream end -- verifying both the overlap fan-out and the "
+    "append-mode watermark emission.",
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import read_events_stream, sliding_counts_stream
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return _drain_stream_to_table(
+        spark,
+        sliding_counts_stream(read_events_stream(spark, sf_dir)),
+        "_gate_sliding_",
+    )
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT CAST(strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S')
+                AS VARCHAR) AS hour_str,
+           n.n_name,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(e.value), 4) AS sum_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE date_trunc('hour', e.ts) + INTERVAL 1 HOUR
+          <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
+    GROUP BY 1, 2
+    """,
+    doc="Stream-static join, hash-checked: the event stream joined to a "
+    "broadcast customer x nation dimension (stateless -- no join state, "
+    "dimension re-read per microbatch), then a watermarked hourly agg "
+    "per nation in append mode.  The fact-stream/dimension-table "
+    "pattern; oracle is the equivalent batch join restricted to closed "
+    "windows.",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import enriched_counts_stream, read_events_stream
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            load_table(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
         )
-        try:
-            if not q.awaitTermination(120):
-                # timed out: a partially-filled memory table would be a
-                # confusing hash mismatch (or a flaky pass) -- fail loudly
-                raise TimeoutError(
-                    f"stream {name} did not finish availableNow drain in 120s"
-                )
-        finally:
-            # idempotent after natural termination; never leak the query
-            q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
-    return spark.table(name)
+        .select(F.col("c_custkey").alias("user_id"), "n_name")
+    )
+    return _drain_stream_to_table(
+        spark,
+        enriched_counts_stream(read_events_stream(spark, sf_dir), dim),
+        "_gate_enriched_",
+    )

@@ -1,9 +1,11 @@
 from .streams import (  # noqa: F401
     StreamingKMeans,
     dedup_stream,
+    enriched_counts_stream,
     hourly_counts_stream,
     read_events_stream,
     running_user_totals,
     sessionize_stream,
+    sliding_counts_stream,
     stream_assign_kmeans,
 )

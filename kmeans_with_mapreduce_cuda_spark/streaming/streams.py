@@ -82,6 +82,66 @@ def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
     )
 
 
+def sliding_counts_stream(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding event-time windows: each event lands in window/slide
+    overlapping windows (here 2).  Same bounded-state argument as the
+    tumbling path -- closed windows are evicted once the watermark
+    passes their end; the only scale delta is the x2 state fan-out.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "win_str"
+            ),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def enriched_counts_stream(
+    events: DataFrame, dim: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-static join + watermarked windowed agg: the static side
+    (customer x nation, broadcast) enriches each event STATELESSLY --
+    no join state, re-read per microbatch -- then the stateful hourly
+    aggregation runs per nation.  The standard fact-stream/dimension
+    pattern; at scale the dimension stays broadcast-sized or becomes a
+    pre-bucketed storage join.
+
+    ``dim`` must have columns (user_id, n_name).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_str"
+            ),
+            "n_name",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def stream_assign_kmeans(
     points_stream: DataFrame,
     centroids: list[tuple[float, float]],

@@ -68,6 +68,34 @@ def test_bucketed_join_matches_plain_join(spark, bucketed):
     assert got == exp
 
 
+def test_bucketed_full_outer_join_no_shuffle(spark, bucketed):
+    """Full outer joins can't broadcast, so at scale both fact sides
+    ALWAYS shuffle -- unless they're storage-bucketed on the join key,
+    which makes even the outer join exchange-free (the rel_join_outer
+    scale path)."""
+    o = spark.table("b_orders")
+    li = spark.table("b_lineitem")
+    outer = o.join(li, o.o_orderkey == li.l_orderkey, "full_outer").select(
+        "o_orderkey", "l_orderkey", "o_orderpriority", "l_quantity"
+    )
+    plan = outer._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "FullOuter" in plan, plan
+    # correctness vs the plain-table outer join
+    po = load_table(spark, SF_DIR, "orders")
+    pl = load_table(spark, SF_DIR, "lineitem")
+    exp = (
+        po.join(pl, po.o_orderkey == pl.l_orderkey, "full_outer")
+        .selectExpr("count(*) AS n", "count(o_orderkey) AS no",
+                    "count(l_orderkey) AS nl")
+        .collect()[0]
+    )
+    got = outer.selectExpr(
+        "count(*) AS n", "count(o_orderkey) AS no", "count(l_orderkey) AS nl"
+    ).collect()[0]
+    assert tuple(got) == tuple(exp)
+
+
 def test_bucket_pruning_single_key_scan(spark, bucketed):
     """Filtering on the bucket key reads only the matching bucket file
     (numFiles pruned: 1 of 4)."""

@@ -107,3 +107,24 @@ def test_ivf_index_persists_and_prunes(spark, tmp_path):
     )
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "cell_id" in pf[0]
+
+
+def test_lsh_pairs_bucket_and_threshold_contract(spark):
+    from kmeans_with_mapreduce_cuda_spark.operators.similarity import (
+        hyperplanes_pm1,
+        lsh_bucket_pairs,
+    )
+
+    # deterministic hyperplanes: same seed -> same planes, ±1 only
+    p1 = hyperplanes_pm1(dim=8, n_planes=3, seed=7)
+    p2 = hyperplanes_pm1(dim=8, n_planes=3, seed=7)
+    assert p1 == p2
+    assert all(v in (-1, 1) for row in p1 for v in row)
+    assert p1 != hyperplanes_pm1(dim=8, n_planes=3, seed=8)
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    pairs = lsh_bucket_pairs(e, n_planes=4, seed=42, threshold=0.3).collect()
+    for r in pairs:
+        assert r["vec_a"] < r["vec_b"]
+        assert r["cos_sim"] >= 0.3
+        assert 0 <= r["bucket"] < 16
