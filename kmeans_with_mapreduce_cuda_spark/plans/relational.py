@@ -1027,3 +1027,173 @@ def rel_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
         F.round(F.sum("value").over(w), 4).alias("sum_last_hour"),
     )
+
+
+# --- Window rank-function suite --------------------------------------------
+
+@query(
+    "rel_window_rank_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cdist
+    FROM orders
+    WHERE o_orderkey < 2000
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc="Rank-function suite over one window: rank, dense_rank, "
+    "ntile(4), percent_rank, cume_dist per order-priority partition.  "
+    "The (o_totalprice DESC, o_orderkey) order is a total order, so "
+    "every rank is deterministic; floats rounded in both engines.",
+)
+def rel_window_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+# --- Unpivot / melt ----------------------------------------------------------
+
+@query(
+    "rel_unpivot",
+    oracle="""
+    UNPIVOT (
+        SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+        FROM lineitem WHERE l_orderkey < 100
+    )
+    ON l_quantity, l_discount, l_tax
+    INTO NAME measure VALUE val
+    """,
+    doc="Unpivot (wide -> long): three numeric lineitem measures melted "
+    "to (measure, val) rows -- the inverse of rel_pivot.  Narrow "
+    "transformation (a generator projection, no shuffle; row count x3).",
+)
+def rel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < 100)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+
+
+# --- Null semantics ----------------------------------------------------------
+
+@query(
+    "rel_null_semantics",
+    oracle="""
+    WITH t AS (
+        SELECT c_custkey,
+               CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+        FROM customer
+    )
+    SELECT c_custkey,
+           round(coalesce(bal, -1.0), 2) AS bal_or_default,
+           CAST(bal IS NULL AS BOOLEAN) AS is_missing,
+           round(nullif(bal, 0.0), 2) AS bal_nonzero,
+           CAST(bal IS NOT DISTINCT FROM NULL AS BOOLEAN) AS null_safe_eq_null
+    FROM t
+    """,
+    doc="Null semantics: COALESCE, NULLIF, IS NULL, and null-safe "
+    "equality (Spark <=> / eqNullSafe == ANSI IS NOT DISTINCT FROM) "
+    "over a derived nullable column -- three-valued logic handled "
+    "identically in both engines.",
+)
+def rel_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    bal = F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal"))
+    t = c.select("c_custkey", bal.alias("bal"))
+    return t.select(
+        "c_custkey",
+        F.round(F.coalesce(F.col("bal"), F.lit(-1.0)), 2).alias("bal_or_default"),
+        F.col("bal").isNull().alias("is_missing"),
+        F.round(F.nullif(F.col("bal"), F.lit(0.0)), 2).alias("bal_nonzero"),
+        F.col("bal").eqNullSafe(F.lit(None).cast("double")).alias(
+            "null_safe_eq_null"
+        ),
+    )
+
+
+# --- Statistical aggregates --------------------------------------------------
+
+@query(
+    "rel_stats_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6) AS sd_qty,
+           round(var_pop(l_quantity), 6) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 3) AS covar_qty_price,
+           round(covar_pop(l_discount, l_tax), 8) AS covar_disc_tax
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Statistical aggregates per return flag: sample/population "
+    "stddev+variance, Pearson correlation, sample/population "
+    "covariance.  Both engines use numerically-stable one-pass "
+    "formulations whose partial-merge order differs, so computed floats "
+    "are rounded with per-column precision scaled to magnitude.",
+)
+def rel_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_pop("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 3).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.covar_pop("l_discount", "l_tax"), 8).alias("covar_disc_tax"),
+    )
+
+
+# --- Map-typed columns -------------------------------------------------------
+
+@query(
+    "rel_map_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+           CAST(list_aggregate(list_sort(json_keys(props)), 'string_agg', ',')
+                AS VARCHAR) AS keys_sorted
+    FROM events
+    WHERE event_id < 500
+    """,
+    doc="Map-typed column surface: events.props parsed to "
+    "map<string,bigint> (from_json), then element_at, size(map_keys) "
+    "and sorted-key join -- the oracle reaches the same values through "
+    "DuckDB's JSON functions, checking the map semantics end to end.",
+)
+def rel_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") < 500)
+    m = F.from_json("props", "map<string,bigint>")
+    t = e.select("event_id", m.alias("m"))
+    return t.select(
+        "event_id",
+        F.element_at("m", "k").alias("k_val"),
+        F.size(F.map_keys("m")).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys("m")), ",").alias("keys_sorted"),
+    )
