@@ -546,6 +546,37 @@ def pipe_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT v.user_id,
+           CAST(strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS VARCHAR) AS view_ts_str,
+           CAST(strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS VARCHAR) AS buy_ts_str,
+           round(b.value, 4) AS purchase_value
+    FROM events v
+    JOIN events b
+      ON v.user_id = b.user_id
+     AND v.event_type = 'view' AND b.event_type = 'purchase'
+     AND b.ts > v.ts AND b.ts <= v.ts + INTERVAL 2 HOUR
+    """,
+    doc="Stream-stream inner join, hash-checked: purchases attributed to "
+    "a prior view by the same user within 2 hours.  Watermarks on both "
+    "sides + the event-time range in the join condition bound the join "
+    "state (views older than watermark - window are evicted).  Inner "
+    "join emission doesn't wait on the watermark, so the availableNow "
+    "drain equals the batch self-join oracle exactly.",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import read_events_stream, view_purchase_attribution_stream
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return _drain_stream_to_table(
+        spark,
+        view_purchase_attribution_stream(read_events_stream(spark, sf_dir)),
+        "_gate_attrib_",
+    )
+
+
 def _lsh_oracle_sql() -> str:
     from ..operators.similarity import hyperplanes_pm1, lsh_bucket_sql
 

@@ -13,3 +13,7 @@ from .writers import (  # noqa: F401
     write_centroids_text,
     write_partitioned_parquet,
 )
+from .points_datasource import (  # noqa: F401
+    PointsTextDataSource,
+    register_points_source,
+)

@@ -1,0 +1,102 @@
+"""A custom Python Data Source (Spark 4 ``pyspark.sql.datasource`` API)
+for the reference's whitespace-separated 2-column integer point files
+(the format of kmeans_with_mapreduce-cuda.cu:52-70 / data/birch*.txt).
+
+Why a connector and not just ``spark.read.text`` + split (which
+``sources.readers.read_points_text`` already does): the reader is the
+extensibility surface a real engine exposes, and the DataSource API is
+how PySpark 4 lets you implement one in pure Python -- schema
+declaration, OPTION handling, and byte-range splitting live behind
+``spark.read.format("points_text")`` exactly like a built-in source.
+
+Scale design: the file is split into ``n_partitions`` byte ranges; each
+task seeks to its range start, skips the partial line it landed in
+(ownership rule: a line belongs to the range containing its FIRST
+byte), and reads one line past its range end to finish its last line --
+the standard splittable-text-scan contract (what Hadoop TextInputFormat
+does), so the scan parallelizes without a driver-side read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class PointsTextDataSource(DataSource):
+    """``spark.read.format("points_text").load(path)`` -> (line_no x y).
+
+    Options:
+      path          file path (or pass to .load())
+      n_partitions  byte-range splits (default 4)
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "points_text"
+
+    def schema(self) -> str:
+        return "line_no bigint, x bigint, y bigint"
+
+    def reader(self, schema) -> "PointsTextReader":
+        return PointsTextReader(self.options)
+
+
+class _ByteRange(InputPartition):
+    def __init__(self, path: str, start: int, end: int, index: int):
+        self.path = path
+        self.start = start
+        self.end = end
+        self.index = index
+
+
+class PointsTextReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("points_text: 'path' option is required")
+        self.n_partitions = int(options.get("n_partitions", "4"))
+
+    def partitions(self):
+        import os
+
+        size = os.path.getsize(self.path)
+        n = max(1, min(self.n_partitions, size or 1))
+        step = (size + n - 1) // n
+        return [
+            _ByteRange(self.path, i * step, min((i + 1) * step, size), i)
+            for i in range(n)
+            if i * step < size or size == 0
+        ]
+
+    def read(self, partition: _ByteRange):
+        # line numbers must be globally consistent across partitions for
+        # the reference's array-index semantics: count lines by their
+        # first byte offset; each range re-derives its starting line
+        # number by scanning... too costly -- instead emit the byte
+        # offset of the line start as line_no surrogate (monotone in
+        # file order, stable under any partitioning).
+        with open(partition.path, "rb") as f:
+            f.seek(partition.start)
+            if partition.start:
+                f.readline()  # skip the partial line owned by the left range
+            while True:
+                pos = f.tell()
+                if pos >= partition.end:
+                    break
+                line = f.readline()
+                if not line:
+                    break
+                parts = line.split()
+                if len(parts) < 2:
+                    continue  # reference scanner yields garbage; we drop
+                try:
+                    x, y = int(parts[0]), int(parts[1])
+                except ValueError:
+                    continue
+                yield (pos, x, y)
+
+
+def register_points_source(spark) -> None:
+    """Idempotent registration; after this, ``spark.read.format(
+    "points_text")`` resolves."""
+    spark.dataSource.register(PointsTextDataSource)

@@ -8,4 +8,5 @@ from .streams import (  # noqa: F401
     sessionize_stream,
     sliding_counts_stream,
     stream_assign_kmeans,
+    view_purchase_attribution_stream,
 )

@@ -142,6 +142,50 @@ def enriched_counts_stream(
     )
 
 
+def view_purchase_attribution_stream(
+    events: DataFrame,
+    attribution: str = "INTERVAL 2 HOURS",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Stream-stream inner join: purchases attributed to a prior view by
+    the same user within the attribution window.  Both sides carry a
+    watermark and the join condition carries an event-time range, which
+    is what lets Spark EVICT join state -- a view older than
+    (watermark - attribution window) can never match again and is
+    dropped, so state stays bounded at any scale.  The classic
+    clickstream attribution shape.
+    """
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    buys = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("buy_user_id"),
+            F.col("ts").alias("buy_ts"),
+            F.col("value"),
+        )
+        .withWatermark("buy_ts", watermark)
+    )
+    joined = views.join(
+        buys,
+        (F.col("user_id") == F.col("buy_user_id"))
+        & (F.col("buy_ts") > F.col("view_ts"))
+        & (F.col("buy_ts") <= F.expr(f"view_ts + {attribution}")),
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts_str"),
+        F.date_format("buy_ts", "yyyy-MM-dd HH:mm:ss").alias("buy_ts_str"),
+        F.round("value", 4).alias("purchase_value"),
+    )
+
+
 def stream_assign_kmeans(
     points_stream: DataFrame,
     centroids: list[tuple[float, float]],

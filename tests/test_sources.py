@@ -136,3 +136,42 @@ def test_read_points_text_drops_malformed_lines(spark, tmp_path):
     p.write_text("1 2\nnot numbers\n3\n4 5\n  6\t7  \nx 9\n")
     got = read_points_text(spark, str(p)).select("x", "y").collect()
     assert sorted((r["x"], r["y"]) for r in got) == [(1, 2), (4, 5), (6, 7)]
+
+
+def test_points_text_python_datasource(spark):
+    """Custom Python Data Source (Spark 4 API): byte-range-split scan of
+    the reference's whitespace point format, results invariant to the
+    partition count and equal to the text+split reader."""
+    import os
+
+    from kmeans_with_mapreduce_cuda_spark.sources import (
+        read_points_text,
+        register_points_source,
+    )
+
+    path = "/root/reference/data/birch1.txt"
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("reference data not present")
+    register_points_source(spark)
+
+    def pts(n_parts):
+        return (
+            spark.read.format("points_text")
+            .option("path", path)
+            .option("n_partitions", str(n_parts))
+            .load()
+        )
+
+    a = sorted((r["x"], r["y"]) for r in pts(1).collect())
+    b = sorted((r["x"], r["y"]) for r in pts(7).collect())
+    assert a == b, "scan must be invariant to byte-range splitting"
+    exp = sorted(
+        (r["x"], r["y"]) for r in read_points_text(spark, path).collect()
+    )
+    assert a == exp
+    # line_no surrogate is monotone in file order within a partition and
+    # globally unique
+    rows = pts(5).collect()
+    assert len({r["line_no"] for r in rows}) == len(rows)
