@@ -196,3 +196,52 @@ def test_approx_percentile_close_to_exact(spark):
     assert rows
     for r in rows:
         assert abs(r["approx_p50"] - r["exact_p50"]) / r["exact_p50"] < 0.02
+
+
+def test_lsh_pairs_join_is_equi_on_bucket(spark):
+    """sim_lsh_pairs must plan an equi-join keyed on the bucket (the id
+    inequality and the cosine threshold ride along as join/filter
+    conditions) -- never a cartesian/BNL join."""
+    plan = plan_of(REGISTRY["sim_lsh_pairs"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_corpus_clean_single_shuffle(spark):
+    """pipe_corpus_clean: the dedup window is the only exchange; every
+    language/quality gate is a narrow projection above one scan."""
+    import re
+
+    plan = plan_of(REGISTRY["pipe_corpus_clean"].fn(spark, SF_DIR))
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges == 1, plan
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
+    assert n_scans == 1, plan
+
+
+def test_stream_static_join_broadcasts_dimension(spark):
+    """The stream-static join must broadcast the customer x nation
+    dimension (stateless enrichment), keeping the stream side free of a
+    co-partitioning exchange before the stateful agg."""
+    from kmeans_with_mapreduce_cuda_spark.sources.readers import load_table
+    from kmeans_with_mapreduce_cuda_spark.streaming import (
+        enriched_counts_stream,
+        read_events_stream,
+    )
+
+    dim = (
+        load_table(spark, SF_DIR, "customer")
+        .join(
+            load_table(spark, SF_DIR, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("c_custkey").alias("user_id"), "n_name")
+    )
+    sdf = enriched_counts_stream(read_events_stream(spark, SF_DIR), dim)
+    # streaming plans can't be explained pre-start; audit the analyzed
+    # logical plan for the broadcast hint surviving analysis
+    logical = sdf._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in logical and "broadcast" in logical.lower(), logical
