@@ -208,3 +208,32 @@ def test_running_user_totals_matches_batch(spark):
         check_dtype=False,
         atol=1e-6,
     )
+
+
+def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
+    """Restarting a checkpointed file-sink stream must not duplicate
+    output: the second start finds the checkpoint fully caught up with
+    the source and writes nothing new.  This is the recovery contract a
+    production pipeline leans on (driver loss, redeploy, backfill)."""
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            hourly_counts_stream(read_events_stream(spark, SF_DIR))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 0
+    run_once()  # same source, same checkpoint: a no-op batch
+    n2 = spark.read.parquet(out).count()
+    assert n2 == n1, f"restart duplicated output: {n1} -> {n2}"
