@@ -1197,3 +1197,81 @@ def rel_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.map_keys("m")).alias("n_keys"),
         F.array_join(F.array_sort(F.map_keys("m")), ",").alias("keys_sorted"),
     )
+
+
+# --- EXISTS / IN predicate subqueries (null-aware anti join) -----------------
+
+_EXISTS_SQL = """
+    SELECT 'exists' AS op, CAST(count(*) AS BIGINT) AS n
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    UNION ALL
+    SELECT 'not_exists' AS op, CAST(count(*) AS BIGINT) AS n
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    UNION ALL
+    SELECT 'not_in_nullable' AS op, CAST(count(*) AS BIGINT) AS n
+    FROM customer
+    WHERE c_custkey NOT IN (
+        SELECT CASE WHEN o_totalprice < 20000 THEN NULL ELSE o_custkey END
+        FROM orders WHERE o_orderpriority = '1-URGENT')
+    UNION ALL
+    SELECT 'not_in_filtered' AS op, CAST(count(*) AS BIGINT) AS n
+    FROM customer
+    WHERE c_custkey NOT IN (
+        SELECT o_custkey FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice >= 20000)
+"""
+
+
+@query(
+    "rel_exists_subquery",
+    oracle=_EXISTS_SQL,
+    doc="Predicate subqueries, verbatim ANSI on both engines: EXISTS / "
+    "NOT EXISTS (semi/anti join rewrites) and the NOT IN three-valued-"
+    "logic trap -- a subquery producing any NULL makes NOT IN return "
+    "zero rows (x <> NULL is unknown), so 'not_in_nullable' counts 0 "
+    "while the null-filtered twin counts the true anti set.  Spark "
+    "plans the nullable case as a null-aware anti join; the oracle "
+    "checks the semantics, the plan audit checks the operator.",
+)
+def rel_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EXISTS_SQL)
+
+
+# --- Recursive CTE -----------------------------------------------------------
+
+_RECURSIVE_SQL = """
+    WITH RECURSIVE months(m) AS (
+        SELECT 1
+        UNION ALL
+        SELECT m + 1 FROM months WHERE m < 12
+    )
+    SELECT m.m AS month,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0.0), 2) AS revenue
+    FROM months m
+    LEFT JOIN orders o ON CAST(month(o.o_orderdate) AS INTEGER) = m.m
+    GROUP BY m.m
+"""
+
+
+@query(
+    "rel_recursive_cte",
+    oracle=_RECURSIVE_SQL,
+    doc="Recursive CTE (Spark 4 WITH RECURSIVE), verbatim ANSI on both "
+    "engines: a 12-row month generator produced by the recursion, LEFT "
+    "JOINed to orders so months with no orders still appear -- the "
+    "iterative-union surface (org charts, BOM walks, series generation) "
+    "the reference could never express.",
+)
+def rel_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)
