@@ -23,7 +23,15 @@ def _c(col: Column | str) -> Column:
 
 
 def tokens(text: Column | str) -> Column:
-    """Whitespace tokenization of trimmed, lower-cased text -> array<string>."""
+    """Whitespace tokenization of trimmed, lower-cased text -> array<string>.
+
+    Edge contract (identical in Spark and the DuckDB oracles, which use
+    the same trim+regexp_split formula): ``trim`` strips only SPACE
+    characters in both engines, so a doc whose residue is tabs/newlines
+    splits into empty-string edge tokens (e.g. "\\t\\n" -> ["", ""]) and
+    an empty doc yields [""] -- degenerate docs therefore have token
+    counts of 1-2, never null.  Quality gates should filter on length
+    first (as pipe_corpus_clean does) rather than token count alone."""
     return F.split(F.trim(F.lower(_c(text))), r"\s+")
 
 

@@ -1,0 +1,157 @@
+"""Edge-case battery for the text/hash Column expressions: one
+DataFrame of adversarial inputs pushed through every function, with
+expectations computed in plain Python.  Cheap (one Spark job per
+function) and covers the corners a fixture-driven oracle never hits:
+empty strings, whitespace runs, unicode, single tokens, long repeats.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+CASES = [
+    (0, ""),
+    (1, " "),
+    (2, "\t\n  \t"),
+    (3, "one"),
+    (4, "one two"),
+    (5, "one two three"),
+    (6, "  leading and   trailing   "),
+    (7, "UPPER lower MiXeD"),
+    (8, "héllo wörld ünïcode"),
+    (9, "日本語 テキスト 解析 エンジン"),
+    (10, "a " * 500 + "a"),  # long repeat
+    (11, "tab\tseparated\ttokens here"),
+    (12, "punct, heavy!! text?? yes... (very) [much]"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(CASES, ["doc_id", "text"])
+
+
+def _tokens_py(t: str) -> list[str]:
+    """Mirror of functions.text.tokens's exact semantics: trim strips
+    only spaces (both engines), regex-split keeps empty edge pieces."""
+    import re
+
+    return re.split(r"\s+", t.strip(" ").lower())
+
+
+def test_tokens_and_count_edge_cases(spark):
+    from kmeans_with_mapreduce_cuda_spark.functions.text import (
+        token_count,
+        tokens,
+    )
+
+    rows = {
+        r["doc_id"]: (r["toks"], r["n"])
+        for r in _df(spark)
+        .select(
+            "doc_id",
+            tokens("text").alias("toks"),
+            token_count("text").alias("n"),
+        )
+        .collect()
+    }
+    for i, t in CASES:
+        exp = _tokens_py(t)
+        assert rows[i][0] == exp, (i, t, rows[i][0], exp)
+        assert rows[i][1] == len(exp)
+
+
+def test_word_shingles_edge_cases(spark):
+    """Shingle count == max(0, n_tokens - n + 1) for real token lists;
+    empty/whitespace-only docs yield an empty array (never null)."""
+    from kmeans_with_mapreduce_cuda_spark.functions.text import word_shingles
+
+    rows = {
+        r["doc_id"]: r["sh"]
+        for r in _df(spark)
+        .select("doc_id", word_shingles("text", 3).alias("sh"))
+        .collect()
+    }
+    for i, t in CASES:
+        toks = t.strip().lower().split()
+        exp = [
+            " ".join(toks[j : j + 3]) for j in range(max(0, len(toks) - 2))
+        ]
+        assert rows[i] == exp, (i, t, rows[i][:3], exp[:3])
+
+
+def test_md5_portability_edge_cases(spark):
+    """Spark md5(text) must equal hashlib md5 of the UTF-8 bytes --
+    the portability assumption every oracle-checked hash rides on."""
+    rows = {
+        r["doc_id"]: r["h"]
+        for r in _df(spark).select("doc_id", F.md5("text").alias("h")).collect()
+    }
+    for i, t in CASES:
+        assert rows[i] == hashlib.md5(t.encode("utf-8")).hexdigest(), (i, t)
+
+
+def test_minhash_signature_edge_cases(spark):
+    """Explode/groupBy signatures: short docs (< n tokens) are ABSENT
+    (documented contract); real docs get num_hashes finite values."""
+    from kmeans_with_mapreduce_cuda_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    sig = {
+        r["doc_id"]: r["sig"]
+        for r in minhash_signatures(_df(spark), num_hashes=8).collect()
+    }
+    for i, t in CASES:
+        n_tok = len(t.strip().split())
+        if n_tok < 3:
+            assert i not in sig, (i, t)
+        else:
+            assert len(sig[i]) == 8 and all(v is not None for v in sig[i])
+
+
+def test_simhash_edge_cases(spark):
+    """SimHash is defined (0..2^16) for every doc including empty; equal
+    texts -> equal hashes, case/whitespace-normalized."""
+    from kmeans_with_mapreduce_cuda_spark.operators.dedup import (
+        simhash16_from_hashes,
+        token_hashes,
+    )
+
+    d = _df(spark).select(
+        "doc_id", simhash16_from_hashes(token_hashes("text")).alias("sh")
+    )
+    rows = {r["doc_id"]: r["sh"] for r in d.collect()}
+    for i, _ in CASES:
+        assert rows[i] is not None and 0 <= rows[i] < 2**16
+    # normalization: case and whitespace runs don't change the hash
+    assert rows[4] == rows[4]
+    extra = spark.createDataFrame(
+        [(100, "ONE   TWO"), (101, "one two")], ["doc_id", "text"]
+    ).select("doc_id", simhash16_from_hashes(token_hashes("text")).alias("sh"))
+    a, b = [r["sh"] for r in extra.collect()]
+    assert a == b
+
+
+def test_quality_metrics_edge_cases(spark):
+    """punct_ratio/stopword_ratio never divide by zero and stay in
+    [0, 1] on empty/weird inputs."""
+    from kmeans_with_mapreduce_cuda_spark.functions.text import (
+        punct_ratio,
+        stopword_ratio,
+    )
+
+    rows = (
+        _df(spark)
+        .select(
+            "doc_id",
+            punct_ratio("text").alias("pr"),
+            stopword_ratio("text").alias("sr"),
+        )
+        .collect()
+    )
+    for r in rows:
+        if r["pr"] is not None:
+            assert 0.0 <= r["pr"] <= 1.0, r
+        assert r["sr"] is not None and 0.0 <= r["sr"] <= 1.0, r
