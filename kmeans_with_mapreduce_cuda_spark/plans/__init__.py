@@ -25,6 +25,7 @@ _PRIORITY = [
     "o02_seed_sample",
     "o03_distance_expr",
     "o04_assign_argmin",
+    "o05_multi_emit",
     "o06_sort_by_key",
     "o07_group_counts",
     "o08_centroid_update",

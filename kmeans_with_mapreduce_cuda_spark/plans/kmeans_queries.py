@@ -98,6 +98,49 @@ def o04_assign_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "o05_multi_emit",
+    oracle=f"""
+    WITH points AS ({POINTS_SQL}), cents AS {cents_sql(INIT_CENTROIDS_2D)}
+    SELECT id, x, y, CAST(rn AS INTEGER) AS emit_rank, cluster_id FROM (
+        SELECT p.id, p.x, p.y, c.cluster_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.id
+                   ORDER BY (p.x - c.cx) * (p.x - c.cx)
+                          + (p.y - c.cy) * (p.y - c.cy), c.cluster_id
+               ) AS rn
+        FROM points p CROSS JOIN cents c
+    ) WHERE rn <= 2
+    """,
+    doc="O5 map fan-out generalized: the reference mapper writes into "
+    "NUM_PAIRS fixed output slots per input row (kmeans_mapreduce_core."
+    "cu:37-44, config.cuh:13); here each point EMITS TWO pairs -- its "
+    "nearest and second-nearest centroid (soft assignment), via "
+    "array_sort over (dist, cluster_id) structs + posexplode.  Narrow "
+    "generator projection (no join, no shuffle); the oracle is the "
+    "independent cross-join + row_number <= 2 formulation.",
+)
+def o05_multi_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmeans import _dists_sql_2d
+
+    p = _points(spark, sf_dir)
+    dists = F.expr(_dists_sql_2d(INIT_CENTROIDS_2D, "x", "y"))
+    pairs = F.transform(
+        dists, lambda d, i: F.struct(d.alias("d"), i.cast("int").alias("c"))
+    )
+    top2 = F.slice(F.array_sort(pairs), 1, 2)
+    return (
+        p.select("id", "x", "y", F.posexplode(top2).alias("_pos", "_s"))
+        .select(
+            "id",
+            "x",
+            "y",
+            (F.col("_pos") + 1).cast("int").alias("emit_rank"),
+            F.col("_s.c").alias("cluster_id"),
+        )
+    )
+
+
 # --- O4 n-D: nearest-centroid assignment over array<float> embeddings -----
 
 _K_ND = 4
