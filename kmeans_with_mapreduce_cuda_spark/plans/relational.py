@@ -1275,3 +1275,35 @@ def rel_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_SQL)
+
+
+# --- LATERAL correlated subquery ---------------------------------------------
+
+_LATERAL_SQL = """
+    SELECT c.c_custkey, l.o_orderkey, round(l.o_totalprice, 2) AS top_price
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 1
+    ) l
+    WHERE c.c_custkey < 200
+"""
+
+
+@query(
+    "rel_lateral_subquery",
+    oracle=_LATERAL_SQL,
+    doc="LATERAL correlated subquery, verbatim ANSI on both engines: "
+    "top-priced order per customer via a per-row ORDER BY ... LIMIT 1 "
+    "subquery -- the 'for each row, run a query' surface.  Catalyst "
+    "decorrelates it into a join + windowed rank rather than executing "
+    "per-row (same result as rel_window_topk's formulation, different "
+    "SQL surface).",
+)
+def rel_lateral_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
