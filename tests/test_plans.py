@@ -245,3 +245,13 @@ def test_stream_static_join_broadcasts_dimension(spark):
     # logical plan for the broadcast hint surviving analysis
     logical = sdf._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" in logical and "broadcast" in logical.lower(), logical
+
+
+def test_multi_emit_is_narrow_generate(spark):
+    """o05_multi_emit: fan-out is a generator projection over the scan --
+    no join, no exchange (the reference's NUM_PAIRS slots cost zero
+    coordination, and so does this)."""
+    plan = plan_of(REGISTRY["o05_multi_emit"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Generate" in plan, plan
