@@ -775,6 +775,39 @@ def udf_mapreduce_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_step_mapreduce(points_xy(spark, sf_dir), INIT_CENTROIDS_2D)
 
 
+@query(
+    "udf_group_normalize",
+    oracle="""
+    SELECT event_id, event_type,
+           round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 6)
+               AS value_z
+    FROM events
+    WINDOW w AS (PARTITION BY event_type)
+    """,
+    doc="applyInPandas in the hash-checked gate: per-event-type z-score "
+    "normalization computed as a grouped-map Pandas UDF (one Arrow batch "
+    "per group, pandas mean/std with ddof=1), checked against the "
+    "window-aggregate SQL formulation -- the two-sided contract for the "
+    "'custom per-group Python' extensibility surface.  Scale shape: one "
+    "shuffle on the group key, Python touches each group once; for "
+    "groups too big for one worker the window formulation (also "
+    "implemented, rel_window_* family) is the fallback.",
+)
+def udf_group_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+
+    def normalize(pdf):
+        v = pdf["value"]
+        z = ((v - v.mean()) / v.std(ddof=1)).round(6)
+        return pdf.assign(value_z=z)[["event_id", "event_type", "value_z"]]
+
+    return e.groupBy("event_type").applyInPandas(
+        normalize, "event_id bigint, event_type string, value_z double"
+    )
+
+
 # --- Similarity search (brute-force oracle path) -----------------------------
 
 _QUERY_IDS = (0, 7, 42)
