@@ -1353,3 +1353,49 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         enriched_counts_stream(read_events_stream(spark, sf_dir), dim),
         "_gate_enriched_",
     )
+
+
+# --- BPE-ish subword token counting ------------------------------------------
+
+#: GPT-2-style pre-tokenizer pattern, restricted to constructs BOTH Java
+#: regex (Spark) and RE2 (DuckDB) support -- no lookahead: contraction
+#: suffixes, optionally-space-prefixed letter runs, digit runs, and
+#: punctuation runs.  Counting its matches approximates a BPE tokenizer's
+#: piece count before merges (each merge only reduces it), which is the
+#: budget number a training pipeline packs sequences by.
+_BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+#: the same pattern as a SQL string literal (apostrophes doubled).
+_BPE_SQL = _BPE_PATTERN.replace("'", "''")
+
+
+@query(
+    "text_bpe_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS INTEGER)
+               AS n_pieces,
+           round(CAST(length(text) AS DOUBLE)
+                 / greatest(len(regexp_extract_all(text, '{_BPE_SQL}')), 1),
+                 4) AS chars_per_piece
+    FROM documents
+    """,
+    doc="BPE-ish token counting: a GPT-2-style pre-tokenizer regex "
+    "(contractions / letter runs / digit runs / punctuation runs, "
+    "space-prefixed) counted per document -- the sequence-budget number "
+    "token_packing packs by, finer than whitespace tokens "
+    "(text_token_stats).  The pattern uses only constructs Java regex "
+    "and RE2 share, so the IDENTICAL pattern runs in both engines; one "
+    "narrow codegen'd projection, linear in input bytes.",
+)
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0)
+    n = F.size(pieces)
+    return d.select(
+        "doc_id",
+        n.alias("n_pieces"),
+        F.round(
+            F.length("text").cast("double") / F.greatest(n, F.lit(1)), 4
+        ).alias("chars_per_piece"),
+    )
