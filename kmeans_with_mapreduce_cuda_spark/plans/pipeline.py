@@ -1399,3 +1399,84 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("text").cast("double") / F.greatest(n, F.lit(1)), 4
         ).alias("chars_per_piece"),
     )
+
+
+# --- Language ID, n-gram heuristic variant -----------------------------------
+
+#: distinctive character trigrams per language (public frequency lore);
+#: counted by substring occurrence, so the same literals drive both
+#: engines.  'zh' is detected by Han-script presence, which trigram
+#: counting over an alphabetic vocabulary cannot see.
+_LANG_TRIGRAMS = {
+    "en": ["the", "ing", "and", "ion"],
+    "es": ["que", "los", "de ", "ado"],
+    "de": ["der", "ein", "sch", "und"],
+    "fr": ["les", "des", "ent", "une"],
+}
+
+
+def _trigram_score_sql(lang: str) -> str:
+    terms = " + ".join(
+        f"(length(t) - length(replace(t, '{g}', ''))) / 3"
+        for g in _LANG_TRIGRAMS[lang]
+    )
+    return f"({terms})"
+
+
+@query(
+    "text_lang_id_ngram",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang AS lang_actual, lower(text) AS t
+               FROM documents),
+    scored AS (
+        SELECT doc_id, lang_actual,
+               regexp_matches(t, '\\p{{Han}}') AS is_han,
+               {_trigram_score_sql('en')} AS s_en,
+               {_trigram_score_sql('es')} AS s_es,
+               {_trigram_score_sql('de')} AS s_de,
+               {_trigram_score_sql('fr')} AS s_fr
+        FROM t
+    )
+    SELECT doc_id, lang_actual,
+           CASE WHEN is_han THEN 'zh'
+                ELSE CASE greatest(s_en, s_es, s_de, s_fr)
+                     WHEN s_en THEN 'en' WHEN s_es THEN 'es'
+                     WHEN s_de THEN 'de' ELSE 'fr' END
+           END AS lang_pred
+    FROM scored
+    """,
+    doc="Language ID, n-gram heuristic variant (alongside the stopword "
+    "scorer text_lang_id): distinctive character trigrams counted by "
+    "substring occurrence -- (len(t) - len(replace(t, g, ''))) / 3, "
+    "identical arithmetic in both engines -- argmax with a fixed tie "
+    "order, plus a Han-script regex branch for CJK text that an "
+    "alphabetic-trigram vocabulary cannot see.  Pure codegen'd string "
+    "expressions, linear in input bytes.  NOTE: the synthetic fixture "
+    "text is English-ish vocabulary under every lang label, so no "
+    "content-based detector can recover the labels there; the hash "
+    "check verifies the engine-identical mechanics, and real-text "
+    "behavior is covered by tests/test_edge_cases-style unit inputs.",
+)
+def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.lower(F.col("text"))
+
+    def score(lang: str):
+        s = None
+        for g in _LANG_TRIGRAMS[lang]:
+            c = (F.length(t) - F.length(F.replace(t, F.lit(g)))) / 3
+            s = c if s is None else s + c
+        return s
+
+    s = {lang: score(lang) for lang in ("en", "es", "de", "fr")}
+    best = F.greatest(*s.values())
+    alpha_pred = (
+        F.when(s["en"] == best, "en")
+        .when(s["es"] == best, "es")
+        .when(s["de"] == best, "de")
+        .otherwise("fr")
+    )
+    pred = F.when(t.rlike(r"\p{script=Han}"), "zh").otherwise(alpha_pred)
+    return d.select(
+        "doc_id", F.col("lang").alias("lang_actual"), pred.alias("lang_pred")
+    )

@@ -155,3 +155,47 @@ def test_quality_metrics_edge_cases(spark):
         if r["pr"] is not None:
             assert 0.0 <= r["pr"] <= 1.0, r
         assert r["sr"] is not None and 0.0 <= r["sr"] <= 1.0, r
+
+
+def test_ngram_lang_id_on_real_sentences(spark):
+    """The trigram+script heuristic on actual natural-language text
+    (the synthetic fixtures are English-ish under every label, so this
+    is where detection quality is provable)."""
+    from kmeans_with_mapreduce_cuda_spark.plans.pipeline import (
+        _LANG_TRIGRAMS,
+    )
+    from pyspark.sql import functions as F
+
+    samples = [
+        (0, "en", "the quick brown fox is jumping over the lazy dog and singing"),
+        (1, "es", "los datos que llegaron ayer fueron procesados de madrugada"),
+        (2, "de", "der schnelle braune fuchs springt und singt ein schönes lied"),
+        (3, "fr", "les données des clients sont une ressource très importante"),
+        (4, "zh", "这是一个中文句子，用来测试汉字检测分支。"),
+    ]
+    df = spark.createDataFrame(samples, ["doc_id", "lang", "text"])
+    df.createOrReplaceTempView("_lid_docs")
+    t = F.lower(F.col("text"))
+
+    def score(lang):
+        s = None
+        for g in _LANG_TRIGRAMS[lang]:
+            c = (F.length(t) - F.length(F.replace(t, F.lit(g)))) / 3
+            s = c if s is None else s + c
+        return s
+
+    s = {lang: score(lang) for lang in ("en", "es", "de", "fr")}
+    best = F.greatest(*s.values())
+    alpha = (
+        F.when(s["en"] == best, "en")
+        .when(s["es"] == best, "es")
+        .when(s["de"] == best, "de")
+        .otherwise("fr")
+    )
+    pred = F.when(t.rlike(r"\p{script=Han}"), "zh").otherwise(alpha)
+    got = {
+        r["doc_id"]: r["p"]
+        for r in df.select("doc_id", pred.alias("p")).collect()
+    }
+    for i, lang, _ in samples:
+        assert got[i] == lang, (i, lang, got[i])
