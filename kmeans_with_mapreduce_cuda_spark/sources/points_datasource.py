@@ -76,9 +76,22 @@ class PointsTextReader(DataSourceReader):
         # offset of the line start as line_no surrogate (monotone in
         # file order, stable under any partitioning).
         with open(partition.path, "rb") as f:
-            f.seek(partition.start)
+            # Hadoop LineRecordReader pairing: a line belongs to the range
+            # containing its FIRST byte.  The left range breaks (below)
+            # before reading a line that starts at >= end, so this range
+            # must KEEP a line that starts exactly at ``start``.  Seeking
+            # to start-1 and reading one line consumes only the previous
+            # line's trailing newline when byte start-1 is '\n' (leaving
+            # us positioned exactly at ``start``), and otherwise consumes
+            # the tail of the partial line the left range owns.  An
+            # unconditional skip from ``start`` would drop a line whose
+            # first byte lands exactly on the split boundary -- read by
+            # neither side.
             if partition.start:
-                f.readline()  # skip the partial line owned by the left range
+                f.seek(partition.start - 1)
+                f.readline()
+            else:
+                f.seek(0)
             while True:
                 pos = f.tell()
                 if pos >= partition.end:

@@ -175,3 +175,32 @@ def test_points_text_python_datasource(spark):
     # globally unique
     rows = pts(5).collect()
     assert len({r["line_no"] for r in rows}) == len(rows)
+
+
+def test_points_text_split_boundary_on_line_start(spark, tmp_path):
+    """Regression: fixed-width lines whose starts align EXACTLY with the
+    byte-range boundaries.  A line whose first byte is a split boundary
+    belongs to the right range (Hadoop LineRecordReader contract); the
+    old unconditional first-line skip read it in neither range, silently
+    dropping rows whenever line starts aligned with splits."""
+    from kmeans_with_mapreduce_cuda_spark.sources import register_points_source
+
+    p = tmp_path / "fixed.txt"
+    # ten 4-byte lines ("d d\n") -> 40-byte file; every divisor-of-40
+    # partitioning puts some boundary exactly on a line start
+    p.write_text("".join(f"{i} {i}\n" for i in range(10)))
+    assert p.stat().st_size == 40
+    register_points_source(spark)
+
+    def pts(n_parts):
+        return (
+            spark.read.format("points_text")
+            .option("path", str(p))
+            .option("n_partitions", str(n_parts))
+            .load()
+        )
+
+    want = [(i, i) for i in range(10)]
+    for n in (1, 2, 4, 5, 8, 10):
+        got = sorted((r["x"], r["y"]) for r in pts(n).collect())
+        assert got == want, f"n_partitions={n} dropped rows: {got}"
