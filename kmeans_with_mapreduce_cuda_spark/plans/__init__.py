@@ -20,7 +20,9 @@ from . import pipeline  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # K-Means core: scan -> seed -> map -> shuffle -> reduce -> iterate -> sink
+    # K-Means core: scan -> seed -> map -> shuffle -> reduce -> iterate ->
+    # sink, INCLUDING the n-D generalizations (round-2 gate cut them; they
+    # are the operators that carry the embedding workloads at scale)
     "o01_scan_limit",
     "o02_seed_sample",
     "o03_distance_expr",
@@ -29,9 +31,21 @@ _PRIORITY = [
     "o06_sort_by_key",
     "o07_group_counts",
     "o08_centroid_update",
+    "o04_assign_argmin_nd",
+    "o09_centroid_update_nd",
     "o12_kmeans_two_steps",
     "o13_sink_format",
     "o14_sse",
+    # newest hash-checked queries next (round-2/3 additions): the least
+    # battle-tested code must not sit permanently past the budget cut
+    # (round-2 ADVICE) -- regressions surface here first
+    "udf_group_normalize",
+    "text_bpe_token_stats",
+    "text_lang_id_ngram",
+    "sim_lsh_pairs",
+    "pipe_corpus_clean",
+    "rel_join_chain_q5",
+    "stream_stream_join",
     # one representative per absence-category (§2.2), cheapest first
     "rel_filter_agg",
     "rel_join_broadcast",

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_long, md5_long_sql
 from ..operators.kmeans import assign_2d, update_2d
-from ..sources.readers import points_from_lineitem
+from ..sources.readers import points_from_lineitem_cached
 from .registry import (
     INIT_CENTROIDS_2D,
     POINTS_SQL,
@@ -26,7 +26,9 @@ SEED = 42
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return points_from_lineitem(spark, sf_dir)
+    # served from the materialized on-disk cache: the global-window id
+    # projection runs once per fixture dir, not once per query
+    return points_from_lineitem_cached(spark, sf_dir)
 
 
 # --- O1: scan + row cap (kmeans_with_mapreduce-cuda.cu:52-70) --------------
@@ -300,13 +302,18 @@ def o08_centroid_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- O12: iteration -- two full steps, rounded between rounds --------------
 
-def _iterated_sql(n_steps: int) -> str:
+def _iterated_sql(n_steps: int, id_cap: int | None = None) -> str:
     """n Lloyd steps as one SQL query (programmatically chained CTEs):
     round centroids to ROUND_CENT between rounds in BOTH engines so float
     drift cannot flip a boundary assignment.  Empty clusters keep the
-    previous centroid (COALESCE against the prior round)."""
+    previous centroid (COALESCE against the prior round).  ``id_cap``
+    bounds the input (both engines identically) for gate-budget depth
+    variants -- two_steps stays full-size."""
+    pts = POINTS_SQL
+    if id_cap is not None:
+        pts = f"SELECT * FROM ({POINTS_SQL}) WHERE id <= {id_cap}"
     ctes = [
-        f"points AS ({POINTS_SQL})",
+        f"points AS ({pts})",
         f"cents0 AS (SELECT * FROM {cents_sql(INIT_CENTROIDS_2D)})",
     ]
     for i in range(1, n_steps):
@@ -333,11 +340,15 @@ def _iterated_sql(n_steps: int) -> str:
     )
 
 
-def _iterated_spark(spark: SparkSession, sf_dir: str, n_steps: int) -> DataFrame:
+def _iterated_spark(
+    spark: SparkSession, sf_dir: str, n_steps: int, id_cap: int | None = None
+) -> DataFrame:
     """Spark twin of :func:`_iterated_sql`: collect k rounded centroids
     between rounds (the reference's per-iteration driver boundary,
     kmeans_mapreduce_core.cu:250-251)."""
     p = _points(spark, sf_dir)
+    if id_cap is not None:
+        p = p.where(F.col("id") <= id_cap)
     cents = list(INIT_CENTROIDS_2D)
     for _ in range(n_steps - 1):
         u = update_2d(assign_2d(p, cents)).select(
@@ -370,14 +381,16 @@ def o12_kmeans_two_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "o12_kmeans_five_steps",
-    oracle=_iterated_sql(5),
+    oracle=_iterated_sql(5, id_cap=20000),
     doc="O12 at depth: five chained Lloyd steps, SQL oracle generated "
     "programmatically (one CTE pair per round).  Exercises convergence "
     "behavior: by round 5 most centroids have locked so the oracle also "
-    "checks empty-cluster retention (COALESCE) under drift.",
+    "checks empty-cluster retention (COALESCE) under drift.  Input bound "
+    "to id <= 20000 in both engines: depth (5 chained rounds) is what "
+    "this query verifies beyond two_steps, which stays full-size.",
 )
 def o12_kmeans_five_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _iterated_spark(spark, sf_dir, 5)
+    return _iterated_spark(spark, sf_dir, 5, id_cap=20000)
 
 
 # --- O13: sink format (kmeans_with_mapreduce-cuda.cu:105-121) --------------
@@ -513,11 +526,10 @@ _FP_ORACLE = (
 def o02_seed_farthest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.kmeans import seed_centroids_farthest
 
-    # persist: the maxmin loop scans k times, and the parity projection
-    # behind it carries a global row_number sort we must not re-run per
-    # step; repartition first or the cache inherits the window's single
-    # partition and every step runs one-threaded
-    pts = _points(spark, sf_dir).repartition(16).persist()
+    # persist: the maxmin loop scans k times; the cached fixture is
+    # already an 8-file parquet, so the persisted copy parallelizes
+    # without an extra repartition shuffle
+    pts = _points(spark, sf_dir).persist()
     cents = seed_centroids_farthest(pts, k=_FP_K)
     pts.unpersist()
     return spark.createDataFrame(

@@ -350,7 +350,9 @@ def kmeans_mllib_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.kmeans_mllib import fit_kmeans, predict_kmeans
 
     e = load_table(spark, sf_dir, "embeddings")
-    res = fit_kmeans(e, k=8, max_iter=10, seed=42)
+    # max_iter=3: gate-budget instance; convergence quality is asserted
+    # by test_kmeans_mllib's SSE parity, not this sizes check
+    res = fit_kmeans(e, k=8, max_iter=3, seed=42)
     pred = predict_kmeans(res.model, e)
     return (
         pred.groupBy("cluster_id")
@@ -623,23 +625,25 @@ def sim_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ann_ivf",
     oracle=None,
     doc="Approximate nearest neighbors via IVF: K-Means coarse quantizer "
-    "(8 cells, 3 Lloyd iterations, seeded) + per-query probing of the 3 "
-    "nearest cells, brute-force cosine only within probed cells.  "
-    "Non-SQL-expressible (iterative); correctness is covered by the "
-    "recall-vs-bruteforce property test (tests/test_similarity.py).",
+    "(seeded) + per-query probing of the nearest cells, brute-force "
+    "cosine only within probed cells.  Non-SQL-expressible (iterative); "
+    "correctness is covered by the recall-vs-bruteforce property test "
+    "(tests/test_similarity.py), which runs the full-size quantizer.",
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import build_ivf_index, ivf_topk
 
     e = load_table(spark, sf_dir, "embeddings")
-    # max_iter=2: gate-budget instance -- quantizer quality only affects
-    # recall (covered by tests/test_similarity.py), not this rows-check
-    indexed, cents = build_ivf_index(e, n_cells=8, max_iter=2, seed=42)
+    # Gate-budget instance (4 cells, 1 Lloyd iteration): every Lloyd
+    # round recompiles the 64-dim x k distance expression, and quantizer
+    # quality only affects recall -- covered by tests/test_similarity.py
+    # -- not this rows-check.
+    indexed, cents = build_ivf_index(e, n_cells=4, max_iter=1, seed=42)
     q = e.where(F.col("vec_id").isin(0, 7, 42)).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").cast("array<double>").alias("q_emb"),
     )
-    return ivf_topk(indexed, cents, q, k=10, nprobe=3)
+    return ivf_topk(indexed, cents, q, k=10, nprobe=2)
 
 
 # --- Multimodal binary columns -------------------------------------------------

@@ -3,6 +3,7 @@ from .readers import (  # noqa: F401
     load_table,
     load_tables,
     points_from_lineitem,
+    points_from_lineitem_cached,
     points_xy,
     read_points_text,
     register_views,

@@ -110,6 +110,44 @@ def points_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def points_from_lineitem_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized twin of :func:`points_from_lineitem`.
+
+    The id'd points projection carries a global row_number window (a
+    single-partition sort) that every parity query would otherwise
+    re-run.  Write it ONCE per fixture dir to a local parquet cache and
+    serve all subsequent reads as a plain parallel scan -- same rows,
+    same ids (the window's total order makes content deterministic), a
+    fraction of the cost.  Cache key includes the lineitem file's
+    (size, mtime) so a regenerated fixture invalidates naturally.
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    try:
+        st = os.stat(src)
+        tag = f"{sf_dir}:{st.st_size}:{int(st.st_mtime)}"
+    except OSError:
+        return points_from_lineitem(spark, sf_dir)
+    key = hashlib.md5(tag.encode()).hexdigest()[:16]
+    dest = os.path.join(tempfile.gettempdir(), f"kmrc_points_{key}")
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        tmp = f"{dest}.tmp.{os.getpid()}"
+        # round-robin to a handful of files so the cached scan reads in
+        # parallel (the window's output is one partition)
+        points_from_lineitem(spark, sf_dir).repartition(8).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        try:
+            os.rename(tmp, dest)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # concurrent writer won
+    return spark.read.parquet(dest)
+
+
 def points_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The harness's 2-D points relation: a deterministic projection of
     lineitem (FIXTURES.md §1 analog) on the (quantity, extendedprice)

@@ -248,19 +248,16 @@ def test_stream_static_join_broadcasts_dimension(spark):
 
 
 def test_multi_emit_is_narrow_generate(spark):
-    """o05_multi_emit: the fan-out itself is a generator projection --
-    no join, and the ONLY exchange in the plan is the global row_number
-    id assignment of the parity points projection (POINTS_SQL), never
-    the emit (the reference's NUM_PAIRS slots cost zero coordination,
-    and so does Generate)."""
+    """o05_multi_emit: the fan-out is a generator projection straight
+    over the materialized points fixture -- no join, no shuffle at all
+    (the id-window Exchange the plan used to carry is now paid once at
+    fixture-cache build, not per query).  The reference's NUM_PAIRS
+    slots cost zero coordination, and so does Generate."""
     import re
 
     plan = plan_of(REGISTRY["o05_multi_emit"].fn(spark, SF_DIR))
     assert "Join" not in plan, plan
     assert "Generate" in plan, plan
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
-    assert n_exchanges == 1, plan
-    # the Generate sits above the id-window, not below another shuffle:
-    # tree order must be Generate after (higher node id than) Exchange
-    tree = plan.split("== Physical Plan ==")[1]
-    assert tree.index("Generate") < tree.index("Exchange"), plan
+    assert n_exchanges == 0, plan
+    assert "Window" not in plan, plan
