@@ -318,7 +318,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Corpus-level top-20 word bigrams: explode shingles -> count -> "
     "deterministic top-k ((count desc, gram) tie order).  The shuffle "
     "carries (gram, partial count) pairs -- map-side combine keeps it "
-    "bounded by vocabulary, not corpus size.",
+    "bounded by vocabulary, not corpus size.  Top-k is orderBy+limit, "
+    "which Spark compiles to TakeOrderedAndProject (per-partition "
+    "top-20, tiny driver merge) -- the full vocabulary never collapses "
+    "onto one task; the rank window then touches only the 20 survivors.",
 )
 def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -328,11 +331,9 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     grams = d.select(F.explode(word_shingles("text", 2)).alias("gram"))
     counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.col("n").desc(), "gram").limit(20)
     w = Window.orderBy(F.col("n").desc(), "gram")
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 20)
-    )
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 # --- MLlib library layer (rows-only: engine-internal init/iteration) ----------

@@ -247,6 +247,20 @@ def test_stream_static_join_broadcasts_dimension(spark):
     assert "ResolvedHint" in logical and "broadcast" in logical.lower(), logical
 
 
+def test_ngram_freq_topk_is_take_ordered(spark):
+    """text_ngram_freq: global top-20 must compile to
+    TakeOrderedAndProject (per-partition top-k + tiny driver merge), not
+    an unpartitioned Window rank over the whole vocabulary -- the only
+    Exchange allowed is the hash-partitioned count aggregation, never a
+    SinglePartition collapse."""
+    plan = plan_of(REGISTRY["text_ngram_freq"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    # the rank Window must sit ABOVE the TakeOrdered (20 rows), not below
+    tree = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    assert tree.index("Window") < tree.index("TakeOrderedAndProject"), plan
+
+
 def test_multi_emit_is_narrow_generate(spark):
     """o05_multi_emit: the fan-out is a generator projection straight
     over the materialized points fixture -- no join, no shuffle at all
