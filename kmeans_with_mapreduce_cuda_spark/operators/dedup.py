@@ -15,6 +15,8 @@ Scale design:
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -24,6 +26,31 @@ from ..functions.text import tokens, word_shingles
 #: default MinHash geometry: 16 hashes in 8 bands of 2 rows.
 NUM_HASHES = 16
 NUM_BANDS = 8
+
+#: default per-band bucket cap: a band key shared by more than this many
+#: docs is treated as degenerate (boilerplate collision) and excluded
+#: from pair generation -- within-bucket output grows as n^2, so one hot
+#: key on a 100 TB corpus would otherwise pin the whole job on one task.
+MAX_BAND_BUCKET = 1000
+
+
+class LshPairs(NamedTuple):
+    """Result of LSH pair generation.
+
+    pairs           candidate pairs (lazy DataFrame)
+    deps            persisted intermediates the caller must unpersist
+                    after materializing ``pairs`` (explicit contract --
+                    an attribute on the DataFrame would silently vanish
+                    on any downstream transformation)
+    capped_buckets  (bk, n_docs) rows for band keys excluded by
+                    ``max_bucket`` -- empty when nothing was capped;
+                    surface this to the operator's caller/logs so capped
+                    corpora are visible, never silent
+    """
+
+    pairs: DataFrame
+    deps: list[DataFrame]
+    capped_buckets: DataFrame
 
 
 def exact_dedup_keep_first(
@@ -106,7 +133,8 @@ def minhash_lsh_pairs(
     bands: int = NUM_BANDS,
     shingle_n: int = 3,
     seed: int = 42,
-) -> DataFrame:
+    max_bucket: int | None = MAX_BAND_BUCKET,
+) -> LshPairs:
     """LSH candidate pairs + signature-estimated Jaccard.
 
     Banding: signature split into ``bands`` bands of r = num_hashes/bands
@@ -114,15 +142,21 @@ def minhash_lsh_pairs(
     self-join key is (band_idx, band values) so each band is one shuffle
     key -- no all-pairs comparison anywhere.
 
-    Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b, est_jaccard =
-    fraction of agreeing signature positions (rounded to 6).
+    Skew guard: within-bucket pair output is quadratic in bucket size,
+    so a single boilerplate-heavy band key (every page sharing a footer)
+    would at corpus scale put millions of docs on one key and pin the
+    join on one task -- AQE can split an oversized input partition but
+    not an oversized join OUTPUT.  Band keys held by more than
+    ``max_bucket`` docs are pre-counted and excluded (broadcast
+    anti-join; the hot-key list is tiny by construction), and reported
+    in ``capped_buckets`` so the cap is visible.  Docs in a capped
+    bucket can still pair through their other bands.  ``None`` disables.
 
-    Caching contract: the banded signatures are persisted (both
-    self-join sides would otherwise re-run the shingle+hash pipeline);
-    the persisted DataFrame is attached to the returned DataFrame as
-    ``.cached_deps`` so callers can ``dep.unpersist()`` once the result
-    is materialized -- repeated invocations in one session otherwise
-    accumulate cached partitions in executor memory.
+    Returns :class:`LshPairs`; ``pairs`` is (doc_a, doc_b, est_jaccard)
+    with doc_a < doc_b, est_jaccard = fraction of agreeing signature
+    positions (rounded to 6).  Caller must unpersist ``deps`` after
+    materializing (the banded signatures are persisted because both
+    self-join sides consume them).
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -142,7 +176,18 @@ def minhash_lsh_pairs(
     banded = sig.select(
         F.col(id_col).alias("id"), F.col("sig"), F.explode(band_structs).alias("bk")
     ).persist()
-    a, b = banded.alias("a"), banded.alias("b")
+
+    sizes = banded.groupBy("bk").agg(F.count(F.lit(1)).alias("n_docs"))
+    if max_bucket is not None:
+        capped = sizes.where(F.col("n_docs") > max_bucket)
+        joinable = banded.join(
+            F.broadcast(capped.select("bk")), "bk", "left_anti"
+        )
+    else:
+        capped = sizes.where(F.lit(False))
+        joinable = banded
+
+    a, b = joinable.alias("a"), joinable.alias("b")
     pairs = (
         a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")))
         .select(
@@ -165,8 +210,7 @@ def minhash_lsh_pairs(
         "doc_b",
         F.round(agree.cast("double") / num_hashes, 6).alias("est_jaccard"),
     )
-    out.cached_deps = [banded]  # see docstring: unpersist after materializing
-    return out
+    return LshPairs(pairs=out, deps=[banded], capped_buckets=capped)
 
 
 def token_hashes(text_col: str = "text", salt: str = "sh:") -> Column:

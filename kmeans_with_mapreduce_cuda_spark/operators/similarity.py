@@ -87,6 +87,7 @@ def lsh_bucket_pairs(
     n_planes: int = 4,
     seed: int = 42,
     threshold: float = 0.3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Cosine LSH candidate pairs: bucket vectors by their hyperplane-sign
     signature, self-join WITHIN buckets only, keep pairs with cosine >=
@@ -95,6 +96,15 @@ def lsh_bucket_pairs(
     all-pairs comparison, the same LSH shape as MinHash banding but for
     the embedding column.  Recall dial: fewer planes = bigger buckets =
     higher recall and more candidates.
+
+    Skew guard (same rationale as ``dedup.minhash_lsh_pairs``): a
+    degenerate sign bucket -- e.g. a corpus dominated by one embedding
+    direction -- produces quadratic within-bucket output on one join
+    key.  ``max_bucket`` pre-counts bucket cardinality and excludes
+    oversized buckets via a broadcast anti-join; at scale you follow up
+    on capped buckets with a second banding pass (more planes) instead
+    of brute-forcing them.  ``None`` (the default here: 2^n_planes
+    buckets are coarse, small fixtures skew naturally) disables.
 
     Returns (vec_a, vec_b, bucket, cos_sim), vec_a < vec_b.
     """
@@ -105,6 +115,14 @@ def lsh_bucket_pairs(
         F.col(id_col).alias("id"),
         F.col(features).cast("array<double>").alias("_emb"),
     ).withColumn("bucket", F.expr(lsh_bucket_sql("_emb", planes, one_based=False)))
+    if max_bucket is not None:
+        hot = (
+            e.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > max_bucket)
+            .select("bucket")
+        )
+        e = e.join(F.broadcast(hot), "bucket", "left_anti")
     a, b = e.alias("a"), e.alias("b")
     sim = cosine_similarity(F.col("a._emb"), F.col("b._emb"))
     return (

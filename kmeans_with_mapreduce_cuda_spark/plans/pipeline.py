@@ -25,9 +25,12 @@ def _eager(
     cached partitions across repeated gate/bench invocations in one
     session if they returned lazily; collecting here lets us unpersist
     deterministically.  Only for results known to be small (candidate
-    pair sets, centroid tables) -- never for data-scale outputs.
+    pair sets, centroid tables) -- never for data-scale outputs.  Deps
+    are passed EXPLICITLY (operators return them, e.g.
+    ``dedup.LshPairs.deps``) -- an attribute stapled to a DataFrame
+    would silently vanish on any downstream transformation.
     """
-    deps = list(deps or []) + list(getattr(df, "cached_deps", []))
+    deps = list(deps or [])
     try:
         rows = df.collect()
     finally:
@@ -411,15 +414,19 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 8, seed: int = 42) -> str:
     "3-gram shingles, 8 bands x 2 rows; pairs colliding on any band, with "
     "signature-estimated Jaccard.  The self-join key is the band value -- "
     "no all-pairs comparison; md5 hashing makes the whole path "
-    "reproducible in ANSI SQL (the usual MinHashLSH is engine-seeded).",
+    "reproducible in ANSI SQL (the usual MinHashLSH is engine-seeded).  "
+    "The band-bucket skew cap (1000) sits far above the fixture's max "
+    "bucket (12 at sf0.1), so the oracle -- which has no cap -- agrees; "
+    "tests/test_skew.py exercises the cap with a synthetic hot band.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import minhash_lsh_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    # _eager: unpersist the banded-signature cache minhash_lsh_pairs
-    # attaches as .cached_deps (candidate pair set is small)
-    return _eager(spark, minhash_lsh_pairs(d))
+    res = minhash_lsh_pairs(d, max_bucket=1000)
+    # _eager: unpersist the banded-signature cache after materializing
+    # (candidate pair set is small)
+    return _eager(spark, res.pairs, deps=res.deps)
 
 
 @query(

@@ -77,11 +77,15 @@ def test_minhash_candidates_include_exact_dupes(spark):
     d = base.unionAll(clones)
     expected = {(i, i + 100000) for i in range(50)}
 
-    cand = minhash_lsh_pairs(d)
-    got = {
-        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
-        for r in cand.collect()
-    }
+    res = minhash_lsh_pairs(d)
+    try:
+        got = {
+            (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+            for r in res.pairs.collect()
+        }
+    finally:
+        for dep in res.deps:
+            dep.unpersist()
     for pair in expected:
         assert pair in got, f"exact dup {pair} missed by LSH"
         assert got[pair] == 1.0

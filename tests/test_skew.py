@@ -58,3 +58,77 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_minhash_lsh_bucket_cap_bounds_hot_band(spark):
+    """Synthetic hot band: 60 identical boilerplate docs collide on
+    every band key.  Uncapped, they alone emit 60*59/2 = 1770 pairs;
+    with max_bucket=20 every boilerplate band key is excluded, the pair
+    set stays bounded, and the capped keys are reported.  Distinct
+    near-dup docs in small buckets must still pair."""
+    from kmeans_with_mapreduce_cuda_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    boiler = [(i, "all rights reserved footer text common to every page")
+              for i in range(60)]
+    near = [
+        (1000, "the quick brown fox jumps over the lazy dog tonight"),
+        (1001, "the quick brown fox jumps over the lazy dog today"),
+    ]
+    d = spark.createDataFrame(boiler + near, "doc_id bigint, text string")
+
+    res = minhash_lsh_pairs(d, max_bucket=20)
+    try:
+        pairs = res.pairs.collect()
+        capped = res.capped_buckets.collect()
+    finally:
+        for dep in res.deps:
+            dep.unpersist()
+
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    # the hot bucket contributed nothing: no boilerplate-boilerplate pair
+    assert not any(a < 60 and b < 60 for a, b in got), sorted(got)[:5]
+    # the near-dup pair survives (its band buckets are size 2)
+    assert (1000, 1001) in got
+    # every capped key reports its true cardinality (60 > 20)
+    assert capped and all(r["n_docs"] == 60 for r in capped)
+
+    # uncapped control: quadratic blowup really was there
+    res2 = minhash_lsh_pairs(d, max_bucket=None)
+    try:
+        n_uncapped = res2.pairs.count()
+        assert res2.capped_buckets.count() == 0
+    finally:
+        for dep in res2.deps:
+            dep.unpersist()
+    assert n_uncapped >= 1770
+
+
+def test_cosine_lsh_bucket_cap_bounds_hot_bucket(spark):
+    """Same guard on the hyperplane-sign buckets: many copies of one
+    vector direction form a hot bucket; max_bucket excludes it while an
+    isolated near-parallel pair in another bucket still emerges."""
+    from kmeans_with_mapreduce_cuda_spark.operators.similarity import (
+        lsh_bucket_pairs,
+    )
+
+    dim = 8
+    hot = [(i, [1.0] * dim) for i in range(40)]
+    other = [
+        (500, [1.0, -1.0] * (dim // 2)),
+        (501, [0.9, -1.1] * (dim // 2)),
+    ]
+    e = spark.createDataFrame(hot + other, "vec_id bigint, embedding array<double>")
+
+    capped = lsh_bucket_pairs(
+        e, n_planes=3, seed=7, threshold=0.3, max_bucket=10
+    ).collect()
+    got = {(r["vec_a"], r["vec_b"]) for r in capped}
+    assert not any(a < 40 and b < 40 for a, b in got), sorted(got)[:5]
+    assert (500, 501) in got
+
+    uncapped = lsh_bucket_pairs(
+        e, n_planes=3, seed=7, threshold=0.3, max_bucket=None
+    ).count()
+    assert uncapped >= 40 * 39 // 2
