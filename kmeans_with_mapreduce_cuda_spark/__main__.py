@@ -31,6 +31,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tol", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--save", action="store_true", help="append to <input>.output")
+    p.add_argument(
+        "--parity-ints",
+        action="store_true",
+        help="floor printed centroid coords exactly as the reference's "
+        "uint64 floor-division means do (o13_sink_format semantics)",
+    )
     return p
 
 
@@ -58,7 +64,10 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> li
     t_compute = time.perf_counter() - t0
 
     cdf = spark.createDataFrame(cents, "x double, y double")
-    lines = [r["line"] for r in format_centroids(cdf).collect()]
+    lines = [
+        r["line"]
+        for r in format_centroids(cdf, parity_ints=args.parity_ints).collect()
+    ]
     for ln in lines:
         print(ln)
     if args.save:

@@ -759,22 +759,35 @@ def rel_count_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rel_approx_distinct",
-    oracle=None,  # sketch estimates are engine-specific: rows-only check
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS approx_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
     doc="approx_count_distinct (HyperLogLog++, rsd=0.02) next to the "
     "exact count.  The sketch is mergeable -- partial sketches combine "
     "map-side, so the shuffle carries one ~kB sketch per partition "
     "instead of the distinct key stream: THE cardinality path at "
     "100 TB.  rsd=0.02: tighter precision grows the sketch (and its "
     "merge cost) superlinearly -- measured 3.4 s vs 25 s at rsd=0.01 "
-    "for the same sf0.1 input.  tests/test_plans.py asserts <5% "
-    "relative error; no SQL oracle because estimates differ across "
-    "engines by design.",
+    "for the same sf0.1 input.  The raw estimate differs across "
+    "engines by design, so the gate checks the engine-portable CLAIM: "
+    "the exact count plus a boolean asserting the sketch landed within "
+    "5% of it (the oracle states TRUE; a drifting sketch hash-fails).",
 )
 def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
+    ).select(
+        "l_returnflag",
+        "exact_orders",
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            <= 0.05 * F.col("exact_orders")
+        ).alias("approx_within_5pct"),
     )
 
 
@@ -978,13 +991,22 @@ def rel_conditional_agg_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rel_approx_percentile",
-    oracle=None,  # sketch estimates are engine-specific: rows-only check
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5) + 0.000001, 2)
+               AS exact_p50,
+           TRUE AS approx_within_2pct,
+           TRUE AS approx_in_range
+    FROM lineitem GROUP BY l_returnflag
+    """,
     doc="approx_percentile (mergeable quantile sketch) next to the exact "
     "percentile.  Exact per-group percentiles materialize the sorted "
     "group; the sketch merges map-side in fixed memory -- the quantile "
-    "path at 100 TB.  tests/test_plans.py bounds the estimate between "
-    "the group min/max and within 2% of exact; no SQL oracle because "
-    "estimates differ across engines by design.",
+    "path at 100 TB.  The raw estimate differs across engines by "
+    "design, so the gate checks the engine-portable CLAIM: the exact "
+    "interpolated median (Spark percentile == DuckDB quantile_cont) "
+    "plus booleans asserting the sketch landed within 2% of exact and "
+    "inside the group's [min, max] (the oracle states TRUE).",
 )
 def rel_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -993,6 +1015,24 @@ def rel_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_percentile(l_extendedprice, 0.5, 10000)"
         ).alias("approx_p50"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    ).select(
+        "l_returnflag",
+        # +1e-6 before rounding: the interpolated median can land within
+        # one double ulp of a .xx5 round boundary, and Spark's a+(b-a)/2
+        # vs DuckDB's (a+b)/2 then round to different cents.  The nudge
+        # (>> ulp, << the 0.005 quantum) puts both engines on the same
+        # side; it only changes the output where the unnudged result was
+        # engine-dependent anyway.
+        F.round(F.col("exact_p50") + F.lit(0.000001), 2).alias("exact_p50"),
+        (
+            F.abs(F.col("approx_p50") - F.col("exact_p50"))
+            <= 0.02 * F.col("exact_p50")
+        ).alias("approx_within_2pct"),
+        F.col("approx_p50").between(F.col("lo"), F.col("hi")).alias(
+            "approx_in_range"
+        ),
     )
 
 

@@ -42,6 +42,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # A regenerated fixture may store micros with isAdjustedToUTC=false;
+        # without this conf Spark infers TIMESTAMP_NTZ, which breaks
+        # unix_micros()/RANGE-window arithmetic and diverges from the
+        # DuckDB oracle's naive-UTC reading.  Read them as instants (LTZ).
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         # idempotent: a re-written events table (our own sinks, empty
         # mirrors) already carries a real TIMESTAMP -- only raw

@@ -10,17 +10,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def format_centroids(df: DataFrame, x: str = "x", y: str = "y") -> DataFrame:
+def format_centroids(
+    df: DataFrame, x: str = "x", y: str = "y", parity_ints: bool = False
+) -> DataFrame:
     """Project to the reference's sink format: one string column ``line``
     per centroid, ``Point: (x,y)`` with integer-truncated coords (the
     reference stores uint64 coords; we truncate the float mean the same
     way a cast would).
+
+    ``parity_ints=True`` floors instead of truncating -- exactly the
+    o13_sink_format gate semantics (kmeans_with_mapreduce-cuda.cu:105-121
+    prints uint64 coords produced by integer floor-division means; floor
+    matches that for the non-negative coordinate domain and stays
+    well-defined if a centroid ever lands negative).
     """
+    cx, cy = F.col(x), F.col(y)
+    if parity_ints:
+        cx, cy = F.floor(cx), F.floor(cy)
     return df.select(
         F.format_string(
             "Point: (%d,%d)",
-            F.col(x).cast("bigint"),
-            F.col(y).cast("bigint"),
+            cx.cast("bigint"),
+            cy.cast("bigint"),
         ).alias("line")
     )
 

@@ -26,43 +26,36 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    DoubleType,
     LongType,
-    StringType,
     StructField,
     StructType,
     TimestampType,
 )
 
-#: raw parquet schema of events (ts is TIMESTAMP(NANOS) -> read as long).
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a file-source stream (one file = one batch here;
     in production this is a directory watched for new files, or Kafka).
-    ts arrives as nanos-long (see sources.readers.load_table) and is
-    rebuilt at microsecond precision.
+
+    The fixture has shipped ts as TIMESTAMP(NANOS) (readable only as a
+    long) and as plain micros; peek at the file's static schema once and
+    adapt -- a nanos-long ts is rebuilt at microsecond precision, a real
+    timestamp passes through (see sources.readers.load_table for the
+    same contract on the batch path).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file stream source wants a directory; glob-filter to the one table
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    if isinstance(schema["ts"].dataType, LongType):
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return raw
 
 
 def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
