@@ -191,6 +191,25 @@ def kmeans_step_2d(
     return [new.get(i, tuple(map(float, centroids[i]))) for i in range(len(centroids))]
 
 
+def _step_sql_2d(view: str, centroids: Centroids2D, x: str, y: str) -> str:
+    """One assign+update iteration as a single SQL statement over a temp
+    view.  Same expressions as assign_2d/update_2d (same _dists_sql_2d
+    literal array, same first-occurrence argmin, same avg/count), so the
+    result is bit-identical -- but the per-iteration driver cost is ONE
+    spark.sql parse instead of ~10 py4j DataFrame-building round trips,
+    which is the measured difference between 2.3 s and 2.0 s for the
+    birch-10k 20-iteration parity run (the per-job floor, NOTES.md)."""
+    dists = _dists_sql_2d(centroids, x, y)
+    return f"""
+        SELECT cluster_id, avg(`{x}`) AS cx, avg(`{y}`) AS cy,
+               count(1) AS n
+        FROM (SELECT `{x}`, `{y}`,
+                     array_position(d, array_min(d)) - 1 AS cluster_id
+              FROM (SELECT `{x}`, `{y}`, {dists} AS d FROM {view}))
+        GROUP BY cluster_id
+    """
+
+
 def lloyd_2d(
     points: DataFrame,
     init: Centroids2D,
@@ -206,18 +225,32 @@ def lloyd_2d(
     ``points`` is cached by the caller (device-resident analog,
     kmeans_mapreduce_core.cu:232-235); each iteration re-bakes the k new
     centroid literals into the plan, so lineage stays one stage deep and
-    needs no checkpointing.
+    needs no checkpointing.  The loop body is the single-statement SQL
+    twin of kmeans_step_2d (see _step_sql_2d) to keep the driver-side
+    per-iteration overhead at one parse.
     """
+    spark = points.sparkSession
     cents = [tuple(map(float, c)) for c in init]
-    with iteration_confs(points.sparkSession):
-        for _ in range(max_iter):
-            new = kmeans_step_2d(points, cents, x, y)
-            shift = max(
-                math.hypot(nx - ox, ny - oy) for (nx, ny), (ox, oy) in zip(new, cents)
-            )
-            cents = new
-            if shift <= tol:
-                break
+    view = f"_lloyd2d_pts_{id(points)}"
+    points.createOrReplaceTempView(view)
+    try:
+        with iteration_confs(spark):
+            for _ in range(max_iter):
+                rows = spark.sql(_step_sql_2d(view, cents, x, y)).collect()
+                got = {
+                    int(r["cluster_id"]): (float(r["cx"]), float(r["cy"]))
+                    for r in rows
+                }
+                new = [got.get(i, cents[i]) for i in range(len(cents))]
+                shift = max(
+                    math.hypot(nx - ox, ny - oy)
+                    for (nx, ny), (ox, oy) in zip(new, cents)
+                )
+                cents = new
+                if shift <= tol:
+                    break
+    finally:
+        spark.catalog.dropTempView(view)
     return cents
 
 
