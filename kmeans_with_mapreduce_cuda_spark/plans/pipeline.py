@@ -354,9 +354,9 @@ def kmeans_mllib_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.kmeans_mllib import fit_kmeans, predict_kmeans
 
     e = load_table(spark, sf_dir, "embeddings")
-    # max_iter=3: gate-budget instance; convergence quality is asserted
+    # max_iter=2: gate-budget instance; convergence quality is asserted
     # by test_kmeans_mllib's SSE parity, not this sizes check
-    res = fit_kmeans(e, k=8, max_iter=3, seed=42)
+    res = fit_kmeans(e, k=8, max_iter=2, seed=42)
     pred = predict_kmeans(res.model, e)
     return (
         pred.groupBy("cluster_id")
@@ -1230,16 +1230,19 @@ def _drain_stream_to_table(spark: SparkSession, df: DataFrame, prefix: str) -> D
     fresh append-mode memory sink and return the emitted table.
 
     State-store partitioning: the stateful agg runs one task per shuffle
-    partition per microbatch; a plain session's 200 is pure task-launch
-    overhead for sf-scale state (measured 9.2 s -> <2.5 s at sf0.01).
-    Fresh sink + no retained checkpoint, so the partition count is free
-    to differ per run; conf restored after the drain.  A timeout raises
-    (a partially-filled table would be a confusing hash mismatch) and
-    the query is stopped either way.
+    partition per microbatch, and each partition carries HDFS-state-store
+    setup/commit cost; a plain session's 200 is pure overhead for
+    sf-scale state (measured 9.2 s -> <2.5 s at sp=8, -> ~1-1.8 s at
+    sp=2 at sf0.01).  sp=2 is a GATE sizing -- at production scale the
+    partition count is sized to state volume, and nothing in the
+    operators depends on it.  Fresh sink + no retained checkpoint, so
+    the partition count is free to differ per run; conf restored after
+    the drain.  A timeout raises (a partially-filled table would be a
+    confusing hash mismatch) and the query is stopped either way.
     """
     name = f"{prefix}{next(_STREAM_RUNS)}"
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
         q = (
             df.writeStream.format("memory")
