@@ -40,13 +40,15 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}
 
-    def timed(name: str, fn) -> None:
-        # best of 2: each run is a full re-execution (nothing is cached
+    def timed(name: str, fn, runs: int = 2) -> None:
+        # best of N: each run is a full re-execution (nothing is cached
         # between them), so the min is honest steady-state cost with the
         # first-compile/GC/host-noise tail trimmed -- single-shot numbers
-        # on this box swing up to 2x run-to-run.
+        # on this box swing up to 2x run-to-run.  The iterative kmeans
+        # entries get a third run: their 10-20 dependent jobs integrate
+        # host noise instead of averaging it out.
         best = None
-        for _ in range(2):
+        for _ in range(runs):
             t0 = time.perf_counter()
             fn()
             dt = time.perf_counter() - t0
@@ -65,7 +67,7 @@ def main() -> None:
     # one throwaway step first: JIT/codegen warm-up so the measurement is
     # steady-state iteration cost, not first-compile latency
     lloyd_2d(points, init15, max_iter=1, tol=0.0)
-    timed("kmeans_df", lambda: lloyd_2d(points, init15, max_iter=10, tol=0.0))
+    timed("kmeans_df", lambda: lloyd_2d(points, init15, max_iter=10, tol=0.0), runs=3)
 
     emb = load_table(spark, SF_DIR, "embeddings").cache()
     emb.count()
@@ -92,6 +94,7 @@ def main() -> None:
         timed(
             "kmeans_birch10k_20iter",
             lambda: lloyd_2d(birch, init_b, max_iter=20, tol=0.0),
+            runs=3,
         )
 
     def run_registry(name: str):

@@ -769,22 +769,67 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Generic MapReduce UDF surface ----------------------------------------------
 
+def _udf_mapreduce_oracle() -> str:
+    from .registry import (
+        INIT_CENTROIDS_2D,
+        POINTS_SQL,
+        assign_sql,
+        cents_sql,
+    )
+
+    return f"""
+    WITH points AS ({POINTS_SQL}), cents AS {cents_sql(INIT_CENTROIDS_2D)},
+    assigned AS ({assign_sql()})
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS n,
+           TRUE AS cx_matches_native, TRUE AS cy_matches_native
+    FROM assigned GROUP BY cluster_id
+    """
+
+
 @query(
     "udf_mapreduce_kmeans_step",
-    oracle=None,
+    oracle=_udf_mapreduce_oracle(),
     doc="The reference's user extensibility hook (typed mapper/reducer "
     "pair, kmeans_mapreduce_core.cu:21-35 + :54-69) exercised end-to-end: "
     "one K-Means step through the generic Arrow-batched map_reduce "
-    "operator.  Equality with the native Column-expression path is "
-    "asserted in tests/test_map_reduce.py; rows-only here (Python hook "
-    "is not SQL-expressible).",
+    "operator.  Hash-checked as a CLAIM: per-cluster counts are exact "
+    "(verifying the Python mapper's argmin semantics against the SQL "
+    "formulation), and the Python means are compared to the native "
+    "Column-expression means inside Spark with booleans the oracle "
+    "states as TRUE (numpy's pairwise summation makes the raw means "
+    "engine-unportable at the last ulp; 1e-6 relative tolerance).  "
+    "Full bit-level equality with the native path is asserted in "
+    "tests/test_map_reduce.py.",
 )
 def udf_mapreduce_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmeans import assign_2d, update_2d
     from ..operators.map_reduce import kmeans_step_mapreduce
     from ..sources.readers import points_xy
     from .registry import INIT_CENTROIDS_2D
 
-    return kmeans_step_mapreduce(points_xy(spark, sf_dir), INIT_CENTROIDS_2D)
+    pts = points_xy(spark, sf_dir)
+    hook = kmeans_step_mapreduce(pts, INIT_CENTROIDS_2D)
+    native = update_2d(assign_2d(pts, INIT_CENTROIDS_2D)).select(
+        F.col("cluster_id").alias("n_cid"),
+        F.col("cx").alias("n_cx"),
+        F.col("cy").alias("n_cy"),
+    )
+    tol = 1e-6
+    return (
+        hook.join(F.broadcast(native), hook.cluster_id == native.n_cid)
+        .select(
+            "cluster_id",
+            "n",
+            (
+                F.abs(F.col("cx") - F.col("n_cx"))
+                <= tol * F.greatest(F.abs("n_cx"), F.lit(1.0))
+            ).alias("cx_matches_native"),
+            (
+                F.abs(F.col("cy") - F.col("n_cy"))
+                <= tol * F.greatest(F.abs("n_cy"), F.lit(1.0))
+            ).alias("cy_matches_native"),
+        )
+    )
 
 
 @query(
