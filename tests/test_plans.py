@@ -43,6 +43,31 @@ def test_kmeans_step_single_shuffle(spark):
     assert "partial_avg" in plan, plan
 
 
+def test_lloyd_sql_step_plan_matches_dataframe_step(spark):
+    """The single-SQL iteration statement the lloyd loops actually run
+    (_step_sql_2d) must plan exactly like the DataFrame step: no join,
+    one exchange, map-side combine.  Guards against the SQL twin
+    silently drifting into a worse physical shape."""
+    import re
+
+    from kmeans_with_mapreduce_cuda_spark.operators.kmeans import (
+        _step_sql_2d,
+    )
+
+    pts = points_xy(spark, SF_DIR)
+    pts.createOrReplaceTempView("_plan_audit_pts")
+    try:
+        plan = plan_of(
+            spark.sql(_step_sql_2d("_plan_audit_pts", INIT4, "x", "y"))
+        )
+    finally:
+        spark.catalog.dropTempView("_plan_audit_pts")
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges == 1, plan
+    assert "partial_avg" in plan, plan
+    assert "Join" not in plan, plan
+
+
 def test_scan_prunes_columns(spark):
     """points_xy projects 2 of 11 lineitem columns; the parquet ReadSchema
     must contain only those."""
@@ -278,3 +303,40 @@ def test_multi_emit_is_narrow_generate(spark):
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
     assert n_exchanges == 0, plan
     assert "Window" not in plan, plan
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Runtime bloom-filter join pruning: a selective filter on the dim
+    side injects a bloom_filter_agg / might_contain pair so the FACT
+    scan drops non-joining rows before the shuffle.  This is the 100 TB
+    play for selective fact-dim joins too big to broadcast: the filter
+    ships a few MB sketch instead of shuffling the full fact side.
+    Thresholds are forced for the tiny fixture (Spark's defaults only
+    fire at 10 GB+ application-side scans -- exactly where it matters)."""
+    from kmeans_with_mapreduce_cuda_spark.sources import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        o = load_table(spark, SF_DIR, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, SF_DIR, "lineitem")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderstatus"
+        ).count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
