@@ -46,6 +46,11 @@ _PRIORITY = [
     "pipe_corpus_clean",
     "rel_join_chain_q5",
     "stream_stream_join",
+    # round-3 rows-only -> hash-checked upgrades (claim booleans): the
+    # newest oracle formulations, so they verify early
+    "udf_mapreduce_kmeans_step",
+    "rel_approx_distinct",
+    "rel_approx_percentile",
     # one representative per absence-category (§2.2), cheapest first
     "rel_filter_agg",
     "rel_join_broadcast",
