@@ -262,26 +262,30 @@ def lloyd_2d(
     """
     spark = points.sparkSession
     cents = [tuple(map(float, c)) for c in init]
+    # The view is deliberately NOT dropped afterwards: dropTempView on a
+    # view over a cached DataFrame invalidates the cache's materialized
+    # buffers even though the registration survives -- every subsequent
+    # pass over ``points`` (this loop's next call, the caller's own
+    # queries) re-scans the source, measured 0.17 -> 0.7 s/iteration at
+    # sf0.1, permanently.  The per-object name makes re-registration
+    # idempotent; the leaked catalog entry is metadata only.
     view = f"_lloyd2d_pts_{id(points)}"
     points.createOrReplaceTempView(view)
-    try:
-        with iteration_confs(spark):
-            for _ in range(max_iter):
-                rows = spark.sql(_step_sql_2d(view, cents, x, y)).collect()
-                got = {
-                    int(r["cluster_id"]): (float(r["cx"]), float(r["cy"]))
-                    for r in rows
-                }
-                new = [got.get(i, cents[i]) for i in range(len(cents))]
-                shift = max(
-                    math.hypot(nx - ox, ny - oy)
-                    for (nx, ny), (ox, oy) in zip(new, cents)
-                )
-                cents = new
-                if shift <= tol:
-                    break
-    finally:
-        spark.catalog.dropTempView(view)
+    with iteration_confs(spark):
+        for _ in range(max_iter):
+            rows = spark.sql(_step_sql_2d(view, cents, x, y)).collect()
+            got = {
+                int(r["cluster_id"]): (float(r["cx"]), float(r["cy"]))
+                for r in rows
+            }
+            new = [got.get(i, cents[i]) for i in range(len(cents))]
+            shift = max(
+                math.hypot(nx - ox, ny - oy)
+                for (nx, ny), (ox, oy) in zip(new, cents)
+            )
+            cents = new
+            if shift <= tol:
+                break
     return cents
 
 
@@ -316,30 +320,29 @@ def lloyd_nd(
     spark = points.sparkSession
     cents = [list(map(float, c)) for c in init]
     dim = len(cents[0])
+    # not dropped afterwards -- see lloyd_2d for why (dropTempView
+    # invalidates the caller's cache buffers)
     view = f"_lloydnd_pts_{id(points)}"
     points.createOrReplaceTempView(view)
-    try:
-        with iteration_confs(spark):
-            for _ in range(max_iter):
-                rows = spark.sql(
-                    _step_sql_nd(view, cents, dim, features)
-                ).collect()
-                new_map = {
-                    int(r["cluster_id"]): [
-                        float(r[f"c{i}"]) for i in range(dim)
-                    ]
-                    for r in rows
-                }
-                new = [new_map.get(i, cents[i]) for i in range(len(cents))]
-                shift = max(
-                    math.sqrt(sum((a - b) ** 2 for a, b in zip(nc, oc)))
-                    for nc, oc in zip(new, cents)
-                )
-                cents = new
-                if shift <= tol:
-                    break
-    finally:
-        spark.catalog.dropTempView(view)
+    with iteration_confs(spark):
+        for _ in range(max_iter):
+            rows = spark.sql(
+                _step_sql_nd(view, cents, dim, features)
+            ).collect()
+            new_map = {
+                int(r["cluster_id"]): [
+                    float(r[f"c{i}"]) for i in range(dim)
+                ]
+                for r in rows
+            }
+            new = [new_map.get(i, cents[i]) for i in range(len(cents))]
+            shift = max(
+                math.sqrt(sum((a - b) ** 2 for a, b in zip(nc, oc)))
+                for nc, oc in zip(new, cents)
+            )
+            cents = new
+            if shift <= tol:
+                break
     return cents
 
 

@@ -84,3 +84,25 @@ def test_cli_driver_runs_birch_sample(spark, tmp_path, capsys):
     assert "Kmeans compute time:" in out and "Total time:" in out
     saved = (tmp_path / "birch_sample.txt.output").read_text().splitlines()
     assert saved == lines
+
+
+def test_cli_parity_ints_floors_coords(spark, tmp_path):
+    """--parity-ints floors printed centroids (the reference's uint64
+    floor-division means, kmeans_with_mapreduce-cuda.cu:105-121 /
+    o13_sink_format semantics); without it coords truncate toward zero.
+    On the non-negative birch domain the two agree, so assert the flag
+    at least reproduces the same contract and stays parseable."""
+    import re
+    import shutil
+
+    from kmeans_with_mapreduce_cuda_spark.__main__ import main
+
+    src = tmp_path / "birch_sample2.txt"
+    shutil.copyfile(BIRCH, src)
+    args = [str(src), "--k", "3", "--limit", "300", "--iters", "2"]
+    plain = main(args, spark=spark)
+    floored = main(args + ["--parity-ints"], spark=spark)
+    pat = re.compile(r"^Point: \((-?\d+),(-?\d+)\)$")
+    assert all(pat.match(ln) for ln in floored), floored
+    # non-negative domain: floor == truncate
+    assert floored == plain

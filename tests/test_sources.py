@@ -50,6 +50,15 @@ def test_centroid_sink_format(spark, tmp_path):
     # reference truncates (uint64 store): 10.9 -> 10
     assert lines == {"Point: (10,20)", "Point: (5,7)"}
 
+    # parity_ints floors; differs from truncation only below zero
+    neg = spark.createDataFrame([(0, -1.5, 2.5)], ["cluster_id", "x", "y"])
+    assert [r["line"] for r in format_centroids(neg).collect()] == [
+        "Point: (-1,2)"
+    ]
+    assert [
+        r["line"] for r in format_centroids(neg, parity_ints=True).collect()
+    ] == ["Point: (-2,2)"]
+
     out = str(tmp_path / "out")
     write_centroids_text(df, out)
     txt = open(glob.glob(os.path.join(out, "part-*"))[0]).read()
