@@ -75,3 +75,32 @@ def write_bucketed_table(
     if sorted_by_key:
         w = w.sortBy(key)
     w.format("parquet").saveAsTable(table)
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    num_files: int = 8,
+) -> None:
+    """Range-cluster rows on ``cluster_cols`` before writing parquet:
+    ``repartitionByRange`` gives each output file a disjoint key range
+    and ``sortWithinPartitions`` orders rows inside it, so every file's
+    (and row group's) min/max statistics are TIGHT for those columns.
+
+    Why this matters at 100 TB: parquet readers skip whole row groups
+    whose [min, max] cannot satisfy a pushed predicate.  Unclustered
+    data has every file spanning the full key range -- statistics prune
+    nothing and a selective filter still reads everything.  Clustered,
+    a point/range predicate touches only the files whose range overlaps
+    it (tests/test_layout.py asserts the actual footer statistics and
+    the pruned scan).  This is the single-column analog of Z-ordering;
+    for multi-column cluster keys, list the highest-selectivity column
+    first (range partitioning is lexicographic).
+    """
+    (
+        df.repartitionByRange(num_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
