@@ -20,7 +20,6 @@ from typing import NamedTuple
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import md5_long, minhash_signature
 from ..functions.text import tokens, word_shingles
 
 #: default MinHash geometry: 16 hashes in 8 bands of 2 rows.
