@@ -213,3 +213,28 @@ def test_points_text_split_boundary_on_line_start(spark, tmp_path):
     for n in (1, 2, 4, 5, 8, 10):
         got = sorted((r["x"], r["y"]) for r in pts(n).collect())
         assert got == want, f"n_partitions={n} dropped rows: {got}"
+
+
+def test_load_table_memo_invalidates_on_mtime(spark, tmp_path):
+    """The per-(session, mtime) base-scan memo must return the SAME
+    DataFrame object while the file is unchanged (the gate's ~90
+    queries stop re-paying listing + schema resolution) and a FRESH
+    scan when the file is rewritten (fixture regeneration)."""
+    import os
+    import shutil
+
+    from kmeans_with_mapreduce_cuda_spark.sources.readers import load_table
+
+    d = str(tmp_path)
+    shutil.copyfile(
+        os.path.join(SF_DIR, "nation.parquet"),
+        os.path.join(d, "nation.parquet"),
+    )
+    a = load_table(spark, d, "nation")
+    b = load_table(spark, d, "nation")
+    assert a is b
+    # rewrite -> new mtime -> new scan object
+    os.utime(os.path.join(d, "nation.parquet"), ns=(1, 1))
+    c = load_table(spark, d, "nation")
+    assert c is not a
+    assert c.count() == a.count()
