@@ -1044,22 +1044,25 @@ def rel_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id,
            CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
            round(sum(value) OVER w, 4) AS sum_last_hour
-    FROM (SELECT event_id, user_id, value, epoch(date_trunc('microseconds', ts)) AS sec
+    FROM (SELECT event_id, user_id, value, epoch_us(ts) AS us
           FROM events)
-    WINDOW w AS (PARTITION BY user_id ORDER BY sec
-                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    WINDOW w AS (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
     """,
     doc="RANGE-framed window (vs ROWS): per-user trailing-1-hour count "
     "and sum -- the frame is defined by the ORDER-BY VALUE distance, so "
-    "ties (same timestamp) share one frame.  Epoch-seconds ordering in "
-    "both engines keeps the frame arithmetic identical.",
+    "ties (same timestamp) share one frame.  Ordering is INTEGER "
+    "MICROSECONDS in both engines (Spark unix_micros, DuckDB epoch_us): "
+    "an earlier integer-seconds-vs-fractional-epoch pairing diverged at "
+    "sf0.1, where sub-second timestamps land rows on different sides of "
+    "the 3600 s frame boundary after truncation.",
 )
 def rel_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return e.select(
         "event_id",
