@@ -104,3 +104,55 @@ def write_range_clustered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def overwrite_partitions_dynamic(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Incremental backfill: overwrite ONLY the hive partitions present
+    in ``df``, leaving every other partition untouched
+    (``partitionOverwriteMode=dynamic``; the default STATIC mode would
+    drop the whole table first).  The 100 TB operational pattern: a
+    daily pipeline recomputes one day and rewrites one directory, not
+    the table.  Conf is set per-write and restored."""
+    spark = df.sparkSession
+    conf = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(conf)
+    spark.conf.set(conf, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set(conf, old)
+
+
+def compact_small_files(
+    spark, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Rewrite a parquet directory into ~target-sized files; returns the
+    output file count.  The small-files problem is the classic
+    long-running-pipeline failure mode: thousands of KB-sized files from
+    many incremental writes make every later scan pay per-file open +
+    footer + task-schedule overhead.  Sizing by actual on-disk bytes
+    (not row counts) keeps output files near the parquet sweet spot.
+    The rewrite goes through a temp dir + atomic rename so a crashed
+    compaction never leaves the table half-rewritten."""
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    tmp = f"{path}.compact.tmp"
+    spark.read.parquet(path).coalesce(n_files).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    old = f"{path}.compact.old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files
