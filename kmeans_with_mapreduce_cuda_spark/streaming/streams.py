@@ -405,3 +405,27 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state(spark: SparkSession) -> None:
+    """Switch stateful streaming to the RocksDB state store provider.
+
+    The default HDFS-backed provider keeps every key's state in executor
+    HEAP with full-file checkpoint uploads -- fine for the fixture-sized
+    gates here, an OOM at 100 TB stream state (billions of dedup keys /
+    session windows).  RocksDB spills state to local disk, checkpoints
+    incrementally (changelog), and bounds memory via block cache: it is
+    THE provider choice for large-state production streams.  Results
+    are provider-independent (asserted in tests/test_streaming.py);
+    only the memory/checkpoint profile changes.  Applies to queries
+    STARTED after the call.
+    """
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )

@@ -237,3 +237,34 @@ def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
     run_once()  # same source, same checkpoint: a no-op batch
     n2 = spark.read.parquet(out).count()
     assert n2 == n1, f"restart duplicated output: {n1} -> {n2}"
+
+
+def test_rocksdb_state_store_matches_default(spark):
+    """The RocksDB provider (the large-state scale path: disk-backed
+    state, incremental changelog checkpoints) must produce byte-equal
+    results to the default heap provider on the same watermarked
+    windowed aggregation."""
+    from kmeans_with_mapreduce_cuda_spark.plans import REGISTRY
+    from kmeans_with_mapreduce_cuda_spark.streaming.streams import (
+        ROCKSDB_PROVIDER,
+        use_rocksdb_state,
+    )
+
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(conf)
+    base = {
+        tuple(r)
+        for r in REGISTRY["stream_hourly_counts"].fn(spark, SF_DIR).collect()
+    }
+    try:
+        use_rocksdb_state(spark)
+        assert spark.conf.get(conf) == ROCKSDB_PROVIDER
+        rocks = {
+            tuple(r)
+            for r in REGISTRY["stream_hourly_counts"]
+            .fn(spark, SF_DIR)
+            .collect()
+        }
+    finally:
+        spark.conf.set(conf, old)
+    assert rocks == base
