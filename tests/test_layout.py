@@ -95,3 +95,46 @@ def test_range_clustered_scan_prunes_row_groups(spark, tmp_path):
         if not (fhi < lo or flo > hi)
     ]
     assert len(surviving) == 1, surviving
+
+
+def test_zorder_clustering_narrows_both_columns(spark, tmp_path):
+    """Z-order tiling must give every file a narrow min/max range on
+    BOTH interleaved columns (multi-dimensional pruning), where plain
+    range clustering on col_a leaves col_b's per-file ranges at ~the
+    full domain."""
+    from kmeans_with_mapreduce_cuda_spark.functions.layout import (
+        write_zorder_clustered,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    zdir = str(tmp_path / "zorder")
+    rdir = str(tmp_path / "range")
+    write_zorder_clustered(li, zdir, "l_orderkey", "l_partkey", num_files=16)
+    write_range_clustered(li, rdir, ["l_orderkey"], num_files=16)
+
+    lo_k, hi_k, lo_p, hi_p = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"),
+        F.min("l_partkey"), F.max("l_partkey"),
+    ).collect()[0]
+    k_span, p_span = hi_k - lo_k, hi_p - lo_p
+
+    def mean_span(path, col, span):
+        rng = _key_ranges(path, col)
+        return sum((hi - lo) / span for lo, hi in rng) / len(rng)
+
+    # z-order: BOTH columns' per-file spans shrink well below the domain
+    assert mean_span(zdir, "l_orderkey", k_span) < 0.5
+    assert mean_span(zdir, "l_partkey", p_span) < 0.5
+    # range clustering: the clustered column is tight, the other is not
+    assert mean_span(rdir, "l_orderkey", k_span) < 0.15
+    assert mean_span(rdir, "l_partkey", p_span) > 0.8
+
+    # content survives
+    back = spark.read.parquet(zdir)
+    assert back.count() == li.count()
+    assert (
+        back.agg(F.sum("l_quantity")).collect()[0][0]
+        == li.agg(F.sum("l_quantity")).collect()[0][0]
+    )
