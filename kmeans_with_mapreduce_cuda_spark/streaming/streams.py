@@ -429,3 +429,30 @@ def use_rocksdb_state(spark: SparkSession) -> None:
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
     )
+
+
+def session_window_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native streaming session windows: ``session_window(ts, gap)``
+    merges a user's events into dynamic gap-closed windows with state
+    the engine evicts once the watermark passes a session's end -- the
+    built-in path for the operator ``sessionize_stream`` implements by
+    hand with applyInPandasWithState.  Prefer THIS at scale (JVM state,
+    no Python workers, watermark-driven eviction for free); the custom
+    one exists for semantics the built-in can't express (e.g.
+    data-dependent gaps).  tests/test_streaming.py asserts it matches
+    the batch rel_session_window gap-merge exactly.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start_s"
+            ),
+            "n_events",
+        )
+    )

@@ -268,3 +268,51 @@ def test_rocksdb_state_store_matches_default(spark):
     finally:
         spark.conf.set(conf, old)
     assert rocks == base
+
+
+def test_native_session_window_stream_matches_batch(spark):
+    """The built-in streaming session_window (JVM state, watermark
+    eviction) must produce exactly the batch gap-merge sessions once
+    fully drained."""
+    from kmeans_with_mapreduce_cuda_spark.plans import REGISTRY
+    from kmeans_with_mapreduce_cuda_spark.streaming.streams import (
+        read_events_stream,
+        session_window_stream,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    got = _run_to_memory(
+        session_window_stream(read_events_stream(spark, SF_DIR)),
+        "native_session_win",
+        spark,
+    )
+    g = {(r["user_id"], r["session_start_s"], r["n_events"]) for r in got.collect()}
+
+    # every emitted session must be a true batch session...
+    e_all = {
+        (r["user_id"], r["session_start_s"], r["n_events"])
+        for r in REGISTRY["rel_session_window"].fn(spark, SF_DIR).collect()
+    }
+    assert g <= e_all
+    # ...and every session CLOSED by the final watermark must have been
+    # emitted (append mode holds back sessions the watermark has not
+    # passed -- the correct late-data semantics, not a loss)
+    ev = load_table(spark, SF_DIR, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    closed = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .where(F.col("w.end") < F.lit(max_ts) - F.expr("INTERVAL 2 HOURS"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start_s"
+            ),
+            "n_events",
+        )
+    )
+    e_closed = {
+        (r["user_id"], r["session_start_s"], r["n_events"])
+        for r in closed.collect()
+    }
+    assert e_closed <= g
