@@ -14,3 +14,7 @@ from .text import (  # noqa: F401
     tokens,
     word_shingles,
 )
+from .layout import (  # noqa: F401
+    write_zorder_clustered,
+    zorder_key_2d,
+)
