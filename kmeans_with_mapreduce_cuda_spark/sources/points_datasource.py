@@ -19,7 +19,13 @@ does), so the scan parallelizes without a driver-side read.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 class PointsTextDataSource(DataSource):
@@ -39,6 +45,14 @@ class PointsTextDataSource(DataSource):
 
     def reader(self, schema) -> "PointsTextReader":
         return PointsTextReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "PointsTextWriter":
+        if len(schema.fields) < 2:
+            raise ValueError(
+                "points_text writer needs at least two columns (x, y); "
+                f"got {schema.simpleString()}"
+            )
+        return PointsTextWriter(self.options, overwrite)
 
 
 class _ByteRange(InputPartition):
@@ -113,3 +127,60 @@ def register_points_source(spark) -> None:
     """Idempotent registration; after this, ``spark.read.format(
     "points_text")`` resolves."""
     spark.dataSource.register(PointsTextDataSource)
+
+
+class _PointsCommit(WriterCommitMessage):
+    def __init__(self, tmp_file: str, n_rows: int):
+        self.tmp_file = tmp_file
+        self.n_rows = n_rows
+
+
+class PointsTextWriter(DataSourceWriter):
+    """Write side of the connector: each task writes its partition's
+    rows as the reference's whitespace text format to a private temp
+    file; the driver COMMITS by renaming them into the target directory
+    (task-temp + driver-rename is the standard write-commit protocol --
+    a failed/speculated task leaves only orphan temp files, never a
+    partially-visible output).  Mirrors the reference's ``--save`` sink
+    (kmeans_with_mapreduce-cuda.cu:105-121) at DataFrame scale.
+    """
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("points_text: 'path' option is required")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> "_PointsCommit":
+        import os
+        import tempfile
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(
+            prefix=f"_tmp_points_{pid}_", dir=self.path
+        )
+        n = 0
+        with os.fdopen(fd, "w") as f:
+            for row in iterator:
+                f.write(f"{row[0]} {row[1]}\n")
+                n += 1
+        return _PointsCommit(tmp, n)
+
+    def commit(self, messages) -> None:
+        import os
+
+        for i, m in enumerate(messages):
+            if m is not None:
+                os.rename(
+                    m.tmp_file, os.path.join(self.path, f"part-{i:05d}.txt")
+                )
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_file):
+                os.remove(m.tmp_file)

@@ -267,3 +267,40 @@ def test_compressed_formats_roundtrip(spark, tmp_path):
         F.col("p")[0].cast("int").alias("k"), F.col("p")[1].alias("n")
     )
     assert {(r["k"], r["n"]) for r in back.collect()} == want
+
+
+def test_points_text_datasource_write_roundtrip(spark, tmp_path):
+    """Write side of the custom connector: DataFrame -> reference text
+    format via task-temp + driver-rename commit, then read back through
+    the SAME connector's byte-range reader."""
+    from kmeans_with_mapreduce_cuda_spark.sources import register_points_source
+
+    register_points_source(spark)
+    df = spark.range(0, 1000).select(
+        (F.col("id") * 37 % 4096).alias("x"),
+        (F.col("id") * 91 % 4096).alias("y"),
+    )
+    dest = str(tmp_path / "pts_out")
+    df.repartition(4).write.format("points_text").option(
+        "path", dest
+    ).mode("append").save()
+
+    import glob
+    import os
+
+    parts = glob.glob(os.path.join(dest, "part-*.txt"))
+    assert len(parts) == 4
+    assert not glob.glob(os.path.join(dest, "_tmp_points_*"))  # committed
+
+    # the reader takes one concrete file path (os.path.getsize); read
+    # the committed parts individually
+    got = set()
+    for p in sorted(parts):
+        rows = (
+            spark.read.format("points_text").option("path", p).load()
+            .select("x", "y")
+            .collect()
+        )
+        got.update((r["x"], r["y"]) for r in rows)
+    want = {(r["x"], r["y"]) for r in df.collect()}
+    assert got == want
