@@ -340,3 +340,27 @@ def test_runtime_bloom_filter_injection(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_lloyd_runs_one_job_per_iteration(spark):
+    """The scale contract of the iteration loop, asserted physically:
+    each Lloyd iteration is exactly ONE Spark job (assign+combine+k-row
+    reduce+collect), so per-iteration driver traffic is k rows and
+    total job count is linear in iterations -- no hidden extra actions
+    (recaching, size estimation, view re-materialization) sneak in."""
+    from kmeans_with_mapreduce_cuda_spark.operators.kmeans import lloyd_2d
+
+    pts = points_xy(spark, SF_DIR).repartition(4).cache()
+    pts.count()
+    init = [(10.0, 20000.0), (25.0, 50000.0), (40.0, 80000.0)]
+    lloyd_2d(pts, init, max_iter=1, tol=0.0)  # warm; view already exists
+
+    sc = spark.sparkContext
+    sc.setJobGroup("lloyd-audit", "count jobs per iteration")
+    try:
+        lloyd_2d(pts, init, max_iter=5, tol=0.0)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("lloyd-audit")
+    assert len(jobs) == 5, jobs
+    pts.unpersist()
