@@ -480,6 +480,31 @@ def rel_ansi_sql_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_ANSI_Q3)
 
 
+_ANSI_GROUP_BY_ALL = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_quantity >= 25
+    GROUP BY ALL
+"""
+
+
+@query(
+    "rel_group_by_all",
+    oracle=_ANSI_GROUP_BY_ALL,
+    doc="Modern-ANSI surface: GROUP BY ALL (group on every non-aggregate "
+    "select item) -- the identical string runs on spark.sql() and "
+    "DuckDB.  Semantics equal to the explicit GROUP BY, plan identical "
+    "(Catalyst expands ALL during analysis).",
+)
+def rel_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_ANSI_GROUP_BY_ALL)
+
+
 # --- Pivot --------------------------------------------------------------------
 
 @query(
