@@ -51,6 +51,10 @@ _PRIORITY = [
     "udf_mapreduce_kmeans_step",
     "rel_approx_distinct",
     "rel_approx_percentile",
+    # round-3 fix/addition: the micros RANGE frame (rewritten after the
+    # sf0.1 divergence) and the newest verbatim-ANSI query
+    "rel_window_range_frame",
+    "rel_group_by_all",
     # one representative per absence-category (§2.2), cheapest first
     "rel_filter_agg",
     "rel_join_broadcast",

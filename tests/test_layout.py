@@ -138,3 +138,36 @@ def test_zorder_clustering_narrows_both_columns(spark, tmp_path):
         back.agg(F.sum("l_quantity")).collect()[0][0]
         == li.agg(F.sum("l_quantity")).collect()[0][0]
     )
+
+
+def test_zorder_key_matches_python_twin(spark):
+    """The Column-expression Morton key must equal a plain-Python bit
+    interleave on a sample -- locks the normalize+interleave arithmetic
+    against refactors."""
+    from kmeans_with_mapreduce_cuda_spark.functions.layout import (
+        zorder_key_2d,
+    )
+
+    bits = 8
+    lo_a, hi_a, lo_b, hi_b = 0.0, 1000.0, -50.0, 450.0
+
+    def py_key(a, b):
+        top = (1 << bits) - 1
+        na = min(top, max(0, int((a - lo_a) * (top / (hi_a - lo_a)))))
+        nb = min(top, max(0, int((b - lo_b) * (top / (hi_b - lo_b)))))
+        k = 0
+        for i in range(bits):
+            k |= (na & (1 << i)) << i
+            k |= (nb & (1 << i)) << (i + 1)
+        return k
+
+    rows = [
+        (float(a), float(b))
+        for a in (0, 1, 3.7, 499.9, 500, 999.99, 1000, 2000, -5)
+        for b in (-50, -49.2, 0, 199.5, 449, 450, 600)
+    ]
+    df = spark.createDataFrame(rows, ["a", "b"]).withColumn(
+        "k", zorder_key_2d("a", "b", (lo_a, hi_a), (lo_b, hi_b), bits)
+    )
+    for r in df.collect():
+        assert r["k"] == py_key(r["a"], r["b"]), (r["a"], r["b"])

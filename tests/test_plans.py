@@ -364,3 +364,26 @@ def test_lloyd_runs_one_job_per_iteration(spark):
     jobs = sc.statusTracker().getJobIdsForGroup("lloyd-audit")
     assert len(jobs) == 5, jobs
     pts.unpersist()
+
+
+def test_lloyd_nd_sql_step_plan_is_narrow(spark):
+    """The n-D single-SQL iteration (dim=64): no join, exactly one
+    exchange, map-side partial aggregation -- same physical contract as
+    the 2-D step."""
+    import re
+
+    from kmeans_with_mapreduce_cuda_spark.operators.kmeans import (
+        _step_sql_nd,
+    )
+    from kmeans_with_mapreduce_cuda_spark.sources import load_table
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    e.createOrReplaceTempView("_plan_audit_emb")
+    cents = [[float(i * 64 + j) for j in range(64)] for i in range(4)]
+    plan = plan_of(
+        spark.sql(_step_sql_nd("_plan_audit_emb", cents, 64, "embedding"))
+    )
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges == 1, plan
+    assert "partial_avg" in plan, plan
+    assert "Join" not in plan, plan
