@@ -1354,6 +1354,55 @@ def _drain_stream_to_table(spark: SparkSession, df: DataFrame, prefix: str) -> D
 
 
 @query(
+    "stream_session_windows",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts
+               FROM events),
+    g AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN ts - lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        FROM e
+    ),
+    s AS (
+        SELECT user_id, ts,
+               sum(brk) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sid
+        FROM g
+    )
+    SELECT user_id,
+           CAST(strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS VARCHAR)
+               AS session_start_s,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    HAVING max(ts) + INTERVAL 30 MINUTE
+           <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
+    """,
+    doc="Native streaming session windows, hash-checked: the REAL "
+    "streaming job (file source -> session_window(ts, 30 min) gap-merge "
+    "-> append-mode memory sink, availableNow).  Append mode emits a "
+    "session once the watermark (max event time - 2 h) passes its END "
+    "(last event + gap), so the oracle is the batch gap-merge "
+    "restricted to sessions closed at stream end -- the watermark-"
+    "driven state eviction is exactly what the hash verifies.  The "
+    "built-in JVM-state twin of the applyInPandasWithState sessionizer "
+    "(streaming/streams.py).",
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import read_events_stream, session_window_stream
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return _drain_stream_to_table(
+        spark,
+        session_window_stream(read_events_stream(spark, sf_dir)),
+        "_gate_sessionwin_",
+    )
+
+
+@query(
     "stream_hourly_counts",
     oracle="""
     SELECT CAST(strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS VARCHAR)
