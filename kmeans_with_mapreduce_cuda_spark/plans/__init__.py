@@ -52,9 +52,11 @@ _PRIORITY = [
     "rel_approx_distinct",
     "rel_approx_percentile",
     # round-3 fix/addition: the micros RANGE frame (rewritten after the
-    # sf0.1 divergence) and the newest verbatim-ANSI query
+    # sf0.1 divergence), the newest verbatim-ANSI query, and the native
+    # streaming session windows (newest stateful operator)
     "rel_window_range_frame",
     "rel_group_by_all",
+    "stream_session_windows",
     # one representative per absence-category (§2.2), cheapest first
     "rel_filter_agg",
     "rel_join_broadcast",
