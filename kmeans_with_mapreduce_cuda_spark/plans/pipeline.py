@@ -731,19 +731,53 @@ def mm_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mm_decode_features",
-    oracle=None,
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST('stub' AS VARCHAR) AS decode_status,
+           TRUE AS feat_dim_ok,
+           TRUE AS feat_normalized,
+           TRUE AS feat_nonneg
+    FROM documents
+    """,
     doc="Multimodal decode + feature extraction via mapInPandas (Arrow "
     "batches).  The codec is STUBBED (no image libs in the container; "
     "deterministic fake features from byte histograms) -- the Spark-side "
     "plumbing (schema, batching, parallelism) is real and tested "
     "(tests/test_multimodal.py asserts determinism + batch-size "
-    "invariance).  Rows-only check: Python code is not SQL-expressible.",
+    "invariance).  Hash-checked as value+claim: width/height/channels/"
+    "status are exact values the oracle derives from byte length, and "
+    "the Python-internal feature vector is checked by invariants the "
+    "oracle states as TRUE -- dimension == FEATURE_DIM, L1-normalized "
+    "(or all-zero for an empty payload), non-negative.",
 )
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.multimodal import decode_and_featurize, documents_as_binary
+    from ..operators.multimodal import (
+        FEATURE_DIM,
+        decode_and_featurize,
+        documents_as_binary,
+    )
 
     d = documents_as_binary(load_table(spark, sf_dir, "documents"))
-    return decode_and_featurize(d)
+    out = decode_and_featurize(d)
+    fsum = F.aggregate(
+        "features", F.lit(0.0), lambda acc, v: acc + v.cast("double")
+    )
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        "channels",
+        "decode_status",
+        (F.size("features") == FEATURE_DIM).alias("feat_dim_ok"),
+        (
+            (F.abs(fsum - 1.0) <= 1e-3)
+            | ((F.col("width") == 1) & (fsum == 0.0))
+        ).alias("feat_normalized"),
+        F.forall("features", lambda v: v >= 0.0).alias("feat_nonneg"),
+    )
 
 
 @query(
