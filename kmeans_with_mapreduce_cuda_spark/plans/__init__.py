@@ -19,10 +19,18 @@ from . import pipeline  # noqa: F401,E402
 #      they are the right thing to lose to a timeout.
 # ---------------------------------------------------------------------------
 
+# Round-4 ROTATION (VERDICT r3 item 1): the driver's cut has been exactly
+# 50 entries for three straight rounds, so the prefix must rotate, not just
+# prioritize.  First 50 this round = the 13-query O-series core (always
+# verified) + the 17 queries that have NEVER appeared in a driver
+# CORRECTNESS file (r3 verdict list) + the 20 least-recently-verified
+# (r3 gate-cut tail: last driver-green in r1/r2).  The ~37 queries that
+# have been green three rounds running sit past the cut for one round;
+# union driver coverage target after r4: 94/94.
 _PRIORITY = [
     # K-Means core: scan -> seed -> map -> shuffle -> reduce -> iterate ->
-    # sink, INCLUDING the n-D generalizations (round-2 gate cut them; they
-    # are the operators that carry the embedding workloads at scale)
+    # sink, INCLUDING the n-D generalizations (they carry the embedding
+    # workloads at scale)
     "o01_scan_limit",
     "o02_seed_sample",
     "o03_distance_expr",
@@ -36,9 +44,57 @@ _PRIORITY = [
     "o12_kmeans_two_steps",
     "o13_sink_format",
     "o14_sse",
-    # newest hash-checked queries next (round-2/3 additions): the least
-    # battle-tested code must not sit permanently past the budget cut
-    # (round-2 ADVICE) -- regressions surface here first
+    # --- the 17 never-driver-verified (r3 VERDICT "What's wrong" #1) ---
+    # relational tail first (cheap, pure-SQL), then the heavier
+    # similarity / MLlib / multimodal / text / streaming entries
+    "rel_window_rank_funcs",
+    "rel_unpivot",
+    "rel_null_semantics",
+    "rel_stats_agg",
+    "rel_map_funcs",
+    "rel_exists_subquery",
+    "rel_recursive_cte",
+    "rel_lateral_subquery",
+    "text_ngram_freq",
+    "text_repetition_ratio",
+    "text_normalize",
+    "kmeans_mllib_sizes",
+    "sim_ann_ivf",
+    "sim_ann_ivf_fixed",
+    "mm_decode_features",
+    "stream_sliding_counts",
+    "stream_static_join",
+    # --- 20 least-recently-verified: r3 gate-cut (last green r1/r2) ---
+    "o12_kmeans_five_steps",
+    "o14_sse_by_k",
+    "o02_seed_farthest",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_simhash",
+    "mm_payload_meta",
+    "mm_resize_meta",
+    "mm_frame_sample",
+    "sim_topk_bruteforce",
+    "pipe_stratified_sample",
+    "pipe_source_mixture",
+    "pipe_train_val_test",
+    "pipe_token_packing",
+    "udtf_shingles",
+    "stream_hourly_counts",
+    "rel_join_outer",
+    "rel_window_lag",
+    # ------------------- 50-entry cut lands here -------------------
+    # three-rounds-green representatives, rotated past the cut for r4;
+    # newest-first within the group so any regression in recent code
+    # still surfaces earliest if the budget reaches further than 50
+    "udf_mapreduce_kmeans_step",
+    "rel_approx_distinct",
+    "rel_approx_percentile",
+    "rel_window_range_frame",
+    "rel_group_by_all",
+    "stream_session_windows",
     "udf_group_normalize",
     "text_bpe_token_stats",
     "text_lang_id_ngram",
@@ -46,18 +102,6 @@ _PRIORITY = [
     "pipe_corpus_clean",
     "rel_join_chain_q5",
     "stream_stream_join",
-    # round-3 rows-only -> hash-checked upgrades (claim booleans): the
-    # newest oracle formulations, so they verify early
-    "udf_mapreduce_kmeans_step",
-    "rel_approx_distinct",
-    "rel_approx_percentile",
-    # round-3 fix/addition: the micros RANGE frame (rewritten after the
-    # sf0.1 divergence), the newest verbatim-ANSI query, and the native
-    # streaming session windows (newest stateful operator)
-    "rel_window_range_frame",
-    "rel_group_by_all",
-    "stream_session_windows",
-    # one representative per absence-category (§2.2), cheapest first
     "rel_filter_agg",
     "rel_join_broadcast",
     "rel_join_shuffle",
@@ -77,28 +121,11 @@ _PRIORITY = [
     "rel_subquery_scalar",
     "rel_ansi_sql_verbatim",
     "rel_sessionize_batch",
-    # north-star extensions: dedup / text / multimodal / similarity /
-    # assembly / streaming -- each hash-checked
     "dedup_exact_groups",
     "dedup_exact_keep",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_simhash",
-    "mm_payload_meta",
-    "mm_resize_meta",
-    "mm_frame_sample",
-    "sim_topk_bruteforce",
-    "pipe_stratified_sample",
-    "pipe_source_mixture",
-    "pipe_train_val_test",
-    "pipe_token_packing",
-    "udtf_shingles",
-    "stream_hourly_counts",
 ]
 
 
