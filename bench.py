@@ -38,22 +38,6 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    timings: dict[str, float] = {}
-
-    def timed(name: str, fn, runs: int = 2) -> None:
-        # best of N: each run is a full re-execution (nothing is cached
-        # between them), so the min is honest steady-state cost with the
-        # first-compile/GC/host-noise tail trimmed -- single-shot numbers
-        # on this box swing up to 2x run-to-run.  The iterative kmeans
-        # entries get a third run: their 10-20 dependent jobs integrate
-        # host noise instead of averaging it out.
-        best = None
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            fn()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
 
     # Warm the JVM/file cache with a trivial count (not reported).
     # 8 cache partitions: measured sweet spot for the iteration loop on
@@ -64,17 +48,24 @@ def main() -> None:
     init15 = [
         (float(2 + 3 * i), float(4000 + 6500 * i)) for i in range(15)
     ]  # fixed spread across the (quantity, extendedprice) plane
-    # one throwaway step first: JIT/codegen warm-up so the measurement is
-    # steady-state iteration cost, not first-compile latency
-    lloyd_2d(points, init15, max_iter=1, tol=0.0)
-    timed("kmeans_df", lambda: lloyd_2d(points, init15, max_iter=10, tol=0.0), runs=3)
 
     emb = load_table(spark, SF_DIR, "embeddings").cache()
     emb.count()
-    timed(
-        "kmeans_mllib",
-        lambda: fit_kmeans(emb, k=15, max_iter=10, tol=0.0, seed=42),
-    )
+
+    def run_registry(name: str):
+        # exhaust the result without collecting rows to the driver
+        REGISTRY[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    entries: list[tuple[str, object]] = [
+        (
+            "kmeans_df",
+            lambda: lloyd_2d(points, init15, max_iter=10, tol=0.0),
+        ),
+        (
+            "kmeans_mllib",
+            lambda: fit_kmeans(emb, k=15, max_iter=10, tol=0.0, seed=42),
+        ),
+    ]
 
     # BASELINE.md parity point: the reference's own workload shape
     # (birch1, first 10k rows, k=15).  20 iterations timed; the reference
@@ -90,27 +81,44 @@ def main() -> None:
             (float(100_000 + 60_000 * i), float(100_000 + 55_000 * (i % 4)))
             for i in range(15)
         ]
-        lloyd_2d(birch, init_b, max_iter=1, tol=0.0)  # warm
-        timed(
-            "kmeans_birch10k_20iter",
-            lambda: lloyd_2d(birch, init_b, max_iter=20, tol=0.0),
-            runs=3,
+        entries.append(
+            (
+                "kmeans_birch10k_20iter",
+                lambda: lloyd_2d(birch, init_b, max_iter=20, tol=0.0),
+            )
         )
 
-    def run_registry(name: str):
-        # exhaust the result without collecting rows to the driver
-        REGISTRY[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    for bench_name, reg_name in [
+        ("tpch_q1", "rel_filter_agg"),
+        ("join_agg", "rel_join_shuffle"),
+        ("join_chain_q5", "rel_join_chain_q5"),
+        ("window_topk", "rel_window_topk"),
+        ("dedup_exact", "dedup_exact_keep"),
+        ("ngram_jaccard", "dedup_ngram_jaccard"),
+        ("minhash_lsh", "dedup_minhash_lsh"),
+        ("sim_topk", "sim_topk_bruteforce"),
+        ("json_variant", "rel_json_variant"),
+        ("token_packing", "pipe_token_packing"),
+    ]:
+        entries.append((bench_name, lambda n=reg_name: run_registry(n)))
 
-    timed("tpch_q1", lambda: run_registry("rel_filter_agg"))
-    timed("join_agg", lambda: run_registry("rel_join_shuffle"))
-    timed("join_chain_q5", lambda: run_registry("rel_join_chain_q5"))
-    timed("window_topk", lambda: run_registry("rel_window_topk"))
-    timed("dedup_exact", lambda: run_registry("dedup_exact_keep"))
-    timed("ngram_jaccard", lambda: run_registry("dedup_ngram_jaccard"))
-    timed("minhash_lsh", lambda: run_registry("dedup_minhash_lsh"))
-    timed("sim_topk", lambda: run_registry("sim_topk_bruteforce"))
-    timed("json_variant", lambda: run_registry("rel_json_variant"))
-    timed("token_packing", lambda: run_registry("pipe_token_packing"))
+    # Interleaved whole-suite repetitions, per-query minima (round-3
+    # verdict item 2): a cold first run on a busy host recorded 7x noise
+    # as a regression under the old per-query best-of-2.  Repetition 1 of
+    # the whole suite is the warm-up (codegen/JIT/file-cache); each query
+    # is then timed again in repetitions 2..N with the rest of the suite
+    # between consecutive runs of the same query, so a host-load spike
+    # hits different queries in different repetitions instead of both
+    # runs of one query.  The reported number is the per-query minimum --
+    # honest steady-state cost, single-shot swings on this box reach 4x.
+    REPS = 3
+    timings: dict[str, float] = {}
+    for _rep in range(REPS):
+        for name, fn in entries:
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            timings[name] = round(min(timings.get(name, dt), dt), 3)
 
     total = round(sum(timings.values()), 3)
     print(
