@@ -175,15 +175,25 @@ _ND_ASSIGN_SQL = f"""
 """
 
 
-_CENTS_ND_CACHE: dict[tuple[str, int], list[list[float]]] = {}
+_CENTS_ND_CACHE: dict[tuple, list[list[float]]] = {}
 
 
 def _cents_nd(spark: SparkSession, sf_dir: str, k: int = _K_ND) -> list[list[float]]:
     """Deterministic n-D seed centroids: the embeddings of vec_id < k
-    (tiny driver-side collect, the seeding boundary).  Memoized per
-    (sf_dir, k): the fixture is immutable, and o04/o09/o12-nd each
-    paying the same ~0.3 s seed collect is pure gate wall-clock."""
-    key = (sf_dir, k)
+    (tiny driver-side collect, the seeding boundary).  Memoized so
+    o04/o09/o12-nd don't each pay the same ~0.3 s seed collect in one
+    gate run.  The key mirrors sources.readers._TABLE_CACHE --
+    (applicationId, sf_dir, mtime, k) -- because fixtures regenerate
+    per round: a session spanning a regeneration must re-derive seeds
+    from the new data, or the oracle (which always reads fresh) would
+    see different centroids and report an opaque hash mismatch."""
+    import os
+
+    try:
+        mtime = os.stat(os.path.join(sf_dir, "embeddings.parquet")).st_mtime_ns
+    except OSError:
+        mtime = None
+    key = (spark.sparkContext.applicationId, sf_dir, mtime, k)
     if key not in _CENTS_ND_CACHE:
         from ..sources.readers import load_table
 

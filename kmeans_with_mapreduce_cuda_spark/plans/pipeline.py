@@ -344,10 +344,9 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "kmeans_mllib_sizes",
     oracle="""
-    SELECT CAST(range AS INTEGER) AS cluster_id,
-           TRUE AS size_positive,
+    SELECT CAST(8 AS BIGINT) AS n_clusters,
+           TRUE AS all_positive,
            (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS total_n
-    FROM range(8)
     """,
     doc="Library layer: MLlib KMeans (k=8, seeded, k-means|| init) over "
     "the embeddings table.  Engine-internal RNG makes the raw sizes "
@@ -355,13 +354,14 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "CLAIM: the model yields exactly k non-empty clusters whose sizes "
     "sum to the table's row count (a complete partition of N -- the "
     "total is computed from the data in BOTH engines, not a literal).  "
-    "The DataFrame-primitive path covers the value-checked equivalent "
-    "(o04/o09), and test_kmeans_mllib asserts SSE parity between the "
-    "two implementations.",
+    "Aggregated to ONE row (round-3 advice): if a fixture regeneration "
+    "ever makes max_iter=2 MLlib produce an empty cluster, the failure "
+    "surfaces as a readable n_clusters value diff, not an opaque "
+    "cardinality mismatch.  The DataFrame-primitive path covers the "
+    "value-checked equivalent (o04/o09), and test_kmeans_mllib asserts "
+    "SSE parity between the two implementations.",
 )
 def kmeans_mllib_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     from ..operators.kmeans_mllib import fit_kmeans, predict_kmeans
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -370,11 +370,12 @@ def kmeans_mllib_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = fit_kmeans(e, k=8, max_iter=2, seed=42)
     pred = predict_kmeans(res.model, e)
     sizes = pred.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy()  # 8 rows: driver-side-tiny total
-    return sizes.select(
-        "cluster_id",
-        (F.col("n") > 0).alias("size_positive"),
-        F.sum("n").over(w).alias("total_n"),
+    # groupBy over predictions only yields non-empty clusters, so
+    # count(*) == 8 IS the "no empty cluster" claim
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.min("n") > 0).alias("all_positive"),
+        F.sum("n").alias("total_n"),
     )
 
 
@@ -592,7 +593,6 @@ def pipe_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import read_events_stream, view_purchase_attribution_stream
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return _drain_stream_to_table(
         spark,
         view_purchase_attribution_stream(read_events_stream(spark, sf_dir)),
@@ -1363,10 +1363,18 @@ def _drain_stream_to_table(spark: SparkSession, df: DataFrame, prefix: str) -> D
     the partition count is free to differ per run; conf restored after
     the drain.  A timeout raises (a partially-filled table would be a
     confusing hash mismatch) and the query is stopped either way.
+
+    Timezone: the streaming queries format event-time windows to strings
+    (tz-dependent), and those strings materialize into the memory sink
+    DURING the drain -- so UTC is pinned here for the drain only and
+    restored in the same finally as shuffle.partitions (round-3 advice:
+    a bare set() permanently mutated the shared gate/test session).
     """
     name = f"{prefix}{next(_STREAM_RUNS)}"
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         q = (
             df.writeStream.format("memory")
@@ -1384,6 +1392,7 @@ def _drain_stream_to_table(spark: SparkSession, df: DataFrame, prefix: str) -> D
             q.stop()  # idempotent after natural termination; never leak
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
     return spark.table(name)
 
 
@@ -1428,7 +1437,6 @@ def _drain_stream_to_table(spark: SparkSession, df: DataFrame, prefix: str) -> D
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import read_events_stream, session_window_stream
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return _drain_stream_to_table(
         spark,
         session_window_stream(read_events_stream(spark, sf_dir)),
@@ -1462,7 +1470,6 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import hourly_counts_stream, read_events_stream
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return _drain_stream_to_table(
         spark,
         hourly_counts_stream(read_events_stream(spark, sf_dir)),
@@ -1500,7 +1507,6 @@ def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import read_events_stream, sliding_counts_stream
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return _drain_stream_to_table(
         spark,
         sliding_counts_stream(read_events_stream(spark, sf_dir)),
@@ -1533,7 +1539,6 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import enriched_counts_stream, read_events_stream
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     dim = (
         load_table(spark, sf_dir, "customer")
         .join(

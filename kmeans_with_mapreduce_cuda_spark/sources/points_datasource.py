@@ -170,8 +170,17 @@ class PointsTextWriter(DataSourceWriter):
         return _PointsCommit(tmp, n)
 
     def commit(self, messages) -> None:
+        import glob
         import os
 
+        if self.overwrite:
+            # Honor mode("overwrite"): a prior write with more partitions
+            # would otherwise leave stale part-*.txt mixed with new data.
+            # Safe to delete before the renames -- the new files are still
+            # under their _tmp_points_* task-temp names, and commit() only
+            # runs after every task has succeeded.
+            for old in glob.glob(os.path.join(self.path, "part-*.txt")):
+                os.remove(old)
         for i, m in enumerate(messages):
             if m is not None:
                 os.rename(

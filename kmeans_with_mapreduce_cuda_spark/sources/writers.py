@@ -134,11 +134,27 @@ def compact_small_files(
     many incremental writes make every later scan pay per-file open +
     footer + task-schedule overhead.  Sizing by actual on-disk bytes
     (not row counts) keeps output files near the parquet sweet spot.
-    The rewrite goes through a temp dir + atomic rename so a crashed
-    compaction never leaves the table half-rewritten."""
+    Crash semantics (two renames on POSIX cannot be jointly atomic):
+    the rewrite lands in ``<path>.compact.tmp``, then ``path`` is
+    swapped via rename(path -> .compact.old); rename(tmp -> path);
+    rm(.compact.old).  A crash before the first rename leaves a stale
+    ``.compact.tmp`` that the next run's mode("overwrite") replaces.
+    A crash between the two renames leaves nothing at ``path`` with the
+    data intact in ``.compact.old`` -- recovered here at entry by
+    restoring ``.compact.old`` to ``path``.  No window loses data; at
+    most one rerun is needed."""
     import math
     import os
     import shutil
+
+    leftover = f"{path}.compact.old"
+    if os.path.exists(leftover) and not os.path.exists(path):
+        # previous compaction crashed between its two renames
+        os.rename(leftover, path)
+    elif os.path.exists(leftover):
+        # crashed after the second rename but before cleanup: ``path``
+        # already holds the compacted data, the .old copy is garbage
+        shutil.rmtree(leftover)
 
     total = sum(
         os.path.getsize(os.path.join(dp, f))

@@ -79,3 +79,26 @@ def test_compact_small_files_reduces_file_count(spark, tmp_path):
     back = spark.read.parquet(dest)
     assert back.count() == before_rows
     assert back.agg(F.sum("l_quantity")).collect()[0][0] == before_sum
+
+
+def test_compact_small_files_recovers_interrupted_swap(spark, tmp_path):
+    """Crash-window recovery (round-3 advice): a compaction that died
+    between its two renames leaves the data in .compact.old and nothing
+    at path; the next call must restore it and complete normally."""
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    dest = str(tmp_path / "interrupted")
+    li.repartition(16).write.mode("overwrite").parquet(dest)
+    before_rows = spark.read.parquet(dest).count()
+
+    # simulate the crash: first rename done, second never happened,
+    # plus a stale tmp dir from the dead run
+    os.rename(dest, dest + ".compact.old")
+    os.makedirs(dest + ".compact.tmp", exist_ok=True)
+    assert not os.path.exists(dest)
+
+    n = compact_small_files(spark, dest, target_file_bytes=1024 * 1024)
+    assert n >= 1
+    assert not os.path.exists(dest + ".compact.old")
+    assert spark.read.parquet(dest).count() == before_rows

@@ -304,3 +304,43 @@ def test_points_text_datasource_write_roundtrip(spark, tmp_path):
         got.update((r["x"], r["y"]) for r in rows)
     want = {(r["x"], r["y"]) for r in df.collect()}
     assert got == want
+
+
+def test_points_text_datasource_overwrite_removes_stale_parts(spark, tmp_path):
+    """mode("overwrite") must not leave stale part files from a prior
+    write with MORE partitions mixed into the new output (round-3
+    advice: commit() previously ignored the overwrite flag)."""
+    from kmeans_with_mapreduce_cuda_spark.sources import register_points_source
+
+    register_points_source(spark)
+    dest = str(tmp_path / "pts_ovw")
+    big = spark.range(0, 400).select(
+        F.col("id").alias("x"), F.col("id").alias("y")
+    )
+    big.repartition(8).write.format("points_text").option("path", dest).mode(
+        "append"
+    ).save()
+
+    import glob
+    import os
+
+    assert len(glob.glob(os.path.join(dest, "part-*.txt"))) == 8
+
+    small = spark.range(1000, 1100).select(
+        F.col("id").alias("x"), F.col("id").alias("y")
+    )
+    small.repartition(2).write.format("points_text").option(
+        "path", dest
+    ).mode("overwrite").save()
+
+    parts = glob.glob(os.path.join(dest, "part-*.txt"))
+    assert len(parts) == 2  # stale part-00002..07 from the 8-way write gone
+    got = set()
+    for p in sorted(parts):
+        rows = (
+            spark.read.format("points_text").option("path", p).load()
+            .select("x", "y")
+            .collect()
+        )
+        got.update((r["x"], r["y"]) for r in rows)
+    assert got == {(i, i) for i in range(1000, 1100)}
