@@ -387,3 +387,30 @@ def test_lloyd_nd_sql_step_plan_is_narrow(spark):
     assert n_exchanges == 1, plan
     assert "partial_avg" in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_minhash_lsh_skew_cap_is_broadcast_anti_join(spark):
+    """The hot-band skew cap (round-2 verdict item) must stay in the
+    plan: band keys above MAX_BAND_BUCKET are excluded via a BROADCAST
+    anti-join before the banded self-join.  This cap costs ~1 s at
+    sf0.1 (BASELINE.md records it as intentional) and is what keeps a
+    boilerplate-heavy corpus from pinning the join on one task at 100
+    TB -- do not "optimize" it away.  Asserted on the operator's own
+    plan: the registry query wraps it in _eager, whose returned plan is
+    a materialized local scan."""
+    from kmeans_with_mapreduce_cuda_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from kmeans_with_mapreduce_cuda_spark.sources import load_table
+
+    res = minhash_lsh_pairs(load_table(spark, SF_DIR, "documents"))
+    try:
+        plan = plan_of(res.pairs)
+        assert "LeftAnti" in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+        # and the candidate generation itself must still be an
+        # equi-join, never a cartesian product over documents
+        assert "CartesianProduct" not in plan, plan
+    finally:
+        for d in res.deps:
+            d.unpersist()
