@@ -16,5 +16,6 @@ from .text import (  # noqa: F401
 )
 from .layout import (  # noqa: F401
     write_zorder_clustered,
+    zorder_key,
     zorder_key_2d,
 )

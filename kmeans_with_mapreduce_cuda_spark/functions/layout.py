@@ -3,10 +3,11 @@ expression.
 
 Range-clustering one column (sources.writers.write_range_clustered)
 gives perfect pruning on THAT column and none on any other.  A Z-order
-key interleaves the bits of two normalized columns, so sorting by it
-tiles the (a, b) plane into locality squares: every output file then
-has a NARROW min/max range on BOTH columns, and parquet footer
-statistics prune scans filtered on either one.  This is how
+key interleaves the bits of n normalized columns round-robin, so
+sorting by it tiles the n-dimensional space into locality cells: every
+output file then has a NARROW min/max range on ALL clustered columns,
+and parquet footer statistics prune scans filtered on any of them.
+This is how
 lakehouse engines implement multi-dimensional clustering; here it is
 ~20 JVM bit-ops per row at WRITE time only, no UDFs.
 """
@@ -31,6 +32,45 @@ def _normalize_to_bits(
     )
 
 
+def zorder_key(
+    cols: list[Column | str],
+    ranges: list[tuple[float, float]],
+    bits: int = 8,
+) -> Column:
+    """Morton key for n columns: normalize each to ``bits`` bits, then
+    interleave round-robin (column j's bit i lands at position
+    i * n + j), so consecutive key values stay local in ALL n
+    dimensions at once.
+
+    ``ranges[j]`` is the (min, max) of ``cols[j]`` -- pass known domain
+    bounds or a one-time ``agg(min, max)`` result; stale bounds only
+    degrade clustering quality, never correctness (values clamp).
+    n * bits must fit a signed long; bits=8 with n=3 tiles space into
+    256^3 cells, far more than any realistic file count needs.  Adding
+    dimensions at fixed ``bits`` widens each file's per-column min/max
+    span (the curse of dimensionality is real for layout too) -- 2-4
+    columns is the useful range, as in lakehouse engines.
+    """
+    n = len(cols)
+    assert n >= 1 and len(ranges) == n
+    assert n * bits <= 63, f"{n} cols x {bits} bits overflows a long key"
+    normed = [
+        _normalize_to_bits(
+            F.col(c) if isinstance(c, str) else c, *rng, bits
+        )
+        for c, rng in zip(cols, ranges)
+    ]
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, col in enumerate(normed):
+            # bit i of column j -> key bit i*n + j: shift left by the
+            # difference (i*n + j) - i
+            key = key.bitwiseOR(
+                F.shiftleft(col.bitwiseAND(F.lit(1 << i)), i * (n - 1) + j)
+            )
+    return key
+
+
 def zorder_key_2d(
     col_a: Column | str,
     col_b: Column | str,
@@ -38,53 +78,33 @@ def zorder_key_2d(
     b_range: tuple[float, float],
     bits: int = 8,
 ) -> Column:
-    """Morton key for two columns: normalize each to ``bits`` bits, then
-    interleave (a's bit i lands at 2i, b's at 2i+1).
-
-    ``a_range`` / ``b_range`` are the (min, max) of each column --
-    pass known domain bounds or a one-time ``agg(min, max)`` result;
-    stale bounds only degrade clustering quality, never correctness
-    (values clamp).  bits=8 tiles the plane into 256x256 cells, far
-    more than any realistic file count needs.
-    """
-    a = _normalize_to_bits(
-        F.col(col_a) if isinstance(col_a, str) else col_a, *a_range, bits
-    )
-    b = _normalize_to_bits(
-        F.col(col_b) if isinstance(col_b, str) else col_b, *b_range, bits
-    )
-    key = F.lit(0).cast("long")
-    for i in range(bits):
-        key = key.bitwiseOR(
-            F.shiftleft(a.bitwiseAND(F.lit(1 << i)), i)
-        ).bitwiseOR(F.shiftleft(b.bitwiseAND(F.lit(1 << i)), i + 1))
-    return key
+    """Morton key for two columns (a's bit i lands at 2i, b's at 2i+1):
+    the n=2 case of :func:`zorder_key`."""
+    return zorder_key([col_a, col_b], [a_range, b_range], bits)
 
 
 def write_zorder_clustered(
     df: DataFrame,
     path: str,
-    col_a: str,
-    col_b: str,
+    *cols: str,
     num_files: int = 16,
     bits: int = 8,
 ) -> None:
-    """Write parquet tiled by the Z-order key of (col_a, col_b): every
-    output file covers one locality square, so footer min/max stats
-    prune scans filtered on EITHER column (asserted against the actual
-    footers in tests/test_layout.py).  Bounds are computed with one
-    tiny min/max aggregation; the key column is dropped from the
-    output."""
-    lo_a, hi_a, lo_b, hi_b = df.agg(
-        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    """Write parquet tiled by the Z-order key of ``cols`` (2+ columns):
+    every output file covers one locality cell, so footer min/max stats
+    prune scans filtered on ANY of the clustered columns (asserted
+    against the actual footers in tests/test_layout.py).  Bounds are
+    computed with one tiny min/max aggregation; the key column is
+    dropped from the output."""
+    assert len(cols) >= 2, "z-ordering needs at least two columns"
+    bounds = df.agg(
+        *[f for c in cols for f in (F.min(c), F.max(c))]
     ).collect()[0]
-    key = zorder_key_2d(
-        col_a,
-        col_b,
-        (float(lo_a), float(hi_a)),
-        (float(lo_b), float(hi_b)),
-        bits,
-    )
+    ranges = [
+        (float(bounds[2 * j]), float(bounds[2 * j + 1]))
+        for j in range(len(cols))
+    ]
+    key = zorder_key(list(cols), ranges, bits)
     (
         df.withColumn("_zkey", key)
         .repartitionByRange(num_files, "_zkey")

@@ -171,3 +171,72 @@ def test_zorder_key_matches_python_twin(spark):
     )
     for r in df.collect():
         assert r["k"] == py_key(r["a"], r["b"]), (r["a"], r["b"])
+
+
+def test_zorder_key_nd_matches_python_twin(spark):
+    """The n-column Morton key (round-4: >2 columns) must equal a plain
+    Python round-robin bit interleave on a 3-D sample."""
+    from kmeans_with_mapreduce_cuda_spark.functions.layout import zorder_key
+
+    bits = 6
+    ranges = [(0.0, 100.0), (-10.0, 10.0), (1000.0, 2000.0)]
+
+    def py_key(vals):
+        top = (1 << bits) - 1
+        n = len(vals)
+        normed = [
+            min(top, max(0, int((v - lo) * (top / (hi - lo)))))
+            for v, (lo, hi) in zip(vals, ranges)
+        ]
+        k = 0
+        for i in range(bits):
+            for j, nv in enumerate(normed):
+                k |= (nv & (1 << i)) << (i * (n - 1) + j)
+        return k
+
+    rows = [
+        (float(a), float(b), float(c))
+        for a in (0, 33.3, 99.9, 150, -1)
+        for b in (-10, -3.5, 0, 9.99, 12)
+        for c in (1000, 1499.5, 1999, 2500)
+    ]
+    df = spark.createDataFrame(rows, ["a", "b", "c"]).withColumn(
+        "k", zorder_key(["a", "b", "c"], ranges, bits)
+    )
+    for r in df.collect():
+        assert r["k"] == py_key((r["a"], r["b"], r["c"])), (
+            r["a"], r["b"], r["c"],
+        )
+
+
+def test_zorder_clustering_3col_narrows_all_columns(spark, tmp_path):
+    """3-column Z-order write: every file's min/max span must shrink
+    well below the domain on ALL THREE clustered columns (each span
+    is necessarily wider than the 2-D case at the same file count --
+    the dimensionality trade documented in layout.py)."""
+    from kmeans_with_mapreduce_cuda_spark.functions.layout import (
+        write_zorder_clustered,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    zdir = str(tmp_path / "zorder3")
+    write_zorder_clustered(
+        li, zdir, "l_orderkey", "l_partkey", "l_suppkey", num_files=64
+    )
+
+    spans = {}
+    for col in ("l_orderkey", "l_partkey", "l_suppkey"):
+        lo, hi = li.agg(F.min(col), F.max(col)).collect()[0]
+        rng = _key_ranges(zdir, col)
+        spans[col] = sum((fhi - flo) / (hi - lo) for flo, fhi in rng) / len(rng)
+    for col, span in spans.items():
+        assert span < 0.6, spans
+
+    back = spark.read.parquet(zdir)
+    assert back.count() == li.count()
+    assert (
+        back.agg(F.sum("l_quantity")).collect()[0][0]
+        == li.agg(F.sum("l_quantity")).collect()[0][0]
+    )
