@@ -316,3 +316,36 @@ def test_native_session_window_stream_matches_batch(spark):
         for r in closed.collect()
     }
     assert e_closed <= g
+
+
+def test_rocksdb_state_store_matches_default_session_windows(spark):
+    """RocksDB provider parity for the SESSION-WINDOW state format
+    (round-3 verdict wishlist): session_window merge state is stored
+    and evicted differently from windowed-agg state, so the hourly-
+    counts RocksDB test does not cover it.  The drained session set
+    must be byte-equal under both providers."""
+    from kmeans_with_mapreduce_cuda_spark.plans import REGISTRY
+    from kmeans_with_mapreduce_cuda_spark.streaming.streams import (
+        ROCKSDB_PROVIDER,
+        use_rocksdb_state,
+    )
+
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(conf)
+    base = {
+        tuple(r)
+        for r in REGISTRY["stream_session_windows"].fn(spark, SF_DIR).collect()
+    }
+    assert base  # non-trivial: sessions actually emitted
+    try:
+        use_rocksdb_state(spark)
+        assert spark.conf.get(conf) == ROCKSDB_PROVIDER
+        rocks = {
+            tuple(r)
+            for r in REGISTRY["stream_session_windows"]
+            .fn(spark, SF_DIR)
+            .collect()
+        }
+    finally:
+        spark.conf.set(conf, old)
+    assert rocks == base
