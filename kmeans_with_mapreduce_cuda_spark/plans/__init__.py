@@ -6,17 +6,15 @@ from . import relational  # noqa: F401,E402
 from . import pipeline  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
-# Gate ordering: the driver's correctness gate walks queries() in
-# registration order under a wall-clock budget (round 1 covered the
-# first 48 of 75).  Re-rank so that a budget cut costs the least
-# verification value:
-#   1. an explicit priority prefix -- the K-Means core pipeline, then
-#      one hash-checked representative of every SURVEY.md §2.2 category
-#      (joins, windows, aggs, strings/dates/json/arrays, streaming,
-#      dedup, text, multimodal, similarity, dataset assembly);
-#   2. the remaining hash-checked variants, original order;
-#   3. rows-only checks (oracle=None) last -- they verify the least, so
-#      they are the right thing to lose to a timeout.
+# Gate ordering policy: the driver's correctness gate walks queries()
+# in registration order and has cut at EXACTLY 50 entries every round,
+# so _PRIORITY is a per-round ROTATION, not a stable ranking.  Each
+# round: (1) the 13-query O-series core first (always driver-verified),
+# (2) then every query with no driver-green row yet, (3) then the
+# least-recently-verified, pushing multi-round-green queries past the
+# cut.  When editing for round N+1, consult CORRECTNESS_r{N}.json for
+# what just got verified and rotate it out.  Queries not in _PRIORITY
+# follow in registration order (hash-checked before rows-only).
 # ---------------------------------------------------------------------------
 
 # Round-4 ROTATION (VERDICT r3 item 1): the driver's cut has been exactly

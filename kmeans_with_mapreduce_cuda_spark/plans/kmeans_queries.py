@@ -182,18 +182,14 @@ def _cents_nd(spark: SparkSession, sf_dir: str, k: int = _K_ND) -> list[list[flo
     """Deterministic n-D seed centroids: the embeddings of vec_id < k
     (tiny driver-side collect, the seeding boundary).  Memoized so
     o04/o09/o12-nd don't each pay the same ~0.3 s seed collect in one
-    gate run.  The key mirrors sources.readers._TABLE_CACHE --
-    (applicationId, sf_dir, mtime, k) -- because fixtures regenerate
-    per round: a session spanning a regeneration must re-derive seeds
-    from the new data, or the oracle (which always reads fresh) would
-    see different centroids and report an opaque hash mismatch."""
-    import os
+    gate run.  Keyed on the shared fixture_cache_key (+ k) because
+    fixtures regenerate per round: a session spanning a regeneration
+    must re-derive seeds from the new data, or the oracle (which always
+    reads fresh) would see different centroids and report an opaque
+    hash mismatch."""
+    from ..sources.readers import fixture_cache_key
 
-    try:
-        mtime = os.stat(os.path.join(sf_dir, "embeddings.parquet")).st_mtime_ns
-    except OSError:
-        mtime = None
-    key = (spark.sparkContext.applicationId, sf_dir, mtime, k)
+    key = (fixture_cache_key(spark, sf_dir, "embeddings"), k)
     if key not in _CENTS_ND_CACHE:
         from ..sources.readers import load_table
 

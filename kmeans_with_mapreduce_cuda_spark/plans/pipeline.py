@@ -595,7 +595,9 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _drain_stream_to_table(
         spark,
-        view_purchase_attribution_stream(read_events_stream(spark, sf_dir)),
+        lambda: view_purchase_attribution_stream(
+            read_events_stream(spark, sf_dir)
+        ),
         "_gate_attrib_",
     )
 
@@ -1349,9 +1351,10 @@ def sim_ann_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_RUNS = iter(range(1_000_000))
 
 
-def _drain_stream_to_table(spark: SparkSession, df: DataFrame, prefix: str) -> DataFrame:
-    """Run a streaming DataFrame to completion (availableNow) into a
-    fresh append-mode memory sink and return the emitted table.
+def _drain_stream_to_table(spark: SparkSession, build, prefix: str) -> DataFrame:
+    """Build a streaming DataFrame (``build``: zero-arg callable) and run
+    it to completion (availableNow) into a fresh append-mode memory sink,
+    returning the emitted table.
 
     State-store partitioning: the stateful agg runs one task per shuffle
     partition per microbatch, and each partition carries HDFS-state-store
@@ -1365,10 +1368,14 @@ def _drain_stream_to_table(spark: SparkSession, df: DataFrame, prefix: str) -> D
     confusing hash mismatch) and the query is stopped either way.
 
     Timezone: the streaming queries format event-time windows to strings
-    (tz-dependent), and those strings materialize into the memory sink
-    DURING the drain -- so UTC is pinned here for the drain only and
-    restored in the same finally as shuffle.partitions (round-3 advice:
-    a bare set() permanently mutated the shared gate/test session).
+    (tz-dependent), so UTC is pinned for the drain and restored in the
+    same finally as shuffle.partitions (round-3 advice: a bare set()
+    permanently mutated the shared gate/test session).  The DataFrame is
+    constructed INSIDE the pin via the ``build`` callable -- Spark
+    resolves session.timeZone into TimeZoneAware expressions at analysis
+    time, i.e. at DataFrame creation, so a stream built before the
+    conf.set would capture whatever zone the session happened to be in
+    and the pin would silently not apply.
     """
     name = f"{prefix}{next(_STREAM_RUNS)}"
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
@@ -1376,6 +1383,7 @@ def _drain_stream_to_table(spark: SparkSession, df: DataFrame, prefix: str) -> D
     spark.conf.set("spark.sql.shuffle.partitions", "2")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
+        df = build()
         q = (
             df.writeStream.format("memory")
             .queryName(name)
@@ -1439,7 +1447,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _drain_stream_to_table(
         spark,
-        session_window_stream(read_events_stream(spark, sf_dir)),
+        lambda: session_window_stream(read_events_stream(spark, sf_dir)),
         "_gate_sessionwin_",
     )
 
@@ -1472,7 +1480,7 @@ def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _drain_stream_to_table(
         spark,
-        hourly_counts_stream(read_events_stream(spark, sf_dir)),
+        lambda: hourly_counts_stream(read_events_stream(spark, sf_dir)),
         "_gate_hourly_",
     )
 
@@ -1509,7 +1517,7 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _drain_stream_to_table(
         spark,
-        sliding_counts_stream(read_events_stream(spark, sf_dir)),
+        lambda: sliding_counts_stream(read_events_stream(spark, sf_dir)),
         "_gate_sliding_",
     )
 
@@ -1549,7 +1557,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _drain_stream_to_table(
         spark,
-        enriched_counts_stream(read_events_stream(spark, sf_dir), dim),
+        lambda: enriched_counts_stream(read_events_stream(spark, sf_dir), dim),
         "_gate_enriched_",
     )
 

@@ -172,20 +172,37 @@ class PointsTextWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         import glob
         import os
+        import re
 
-        if self.overwrite:
-            # Honor mode("overwrite"): a prior write with more partitions
-            # would otherwise leave stale part-*.txt mixed with new data.
-            # Safe to delete before the renames -- the new files are still
-            # under their _tmp_points_* task-temp names, and commit() only
-            # runs after every task has succeeded.
-            for old in glob.glob(os.path.join(self.path, "part-*.txt")):
-                os.remove(old)
+        existing = set(glob.glob(os.path.join(self.path, "part-*.txt")))
+        if not self.overwrite and existing:
+            # Append must not clobber: part files from prior writes keep
+            # their names, new files continue the numbering after the
+            # highest existing index.
+            taken = [
+                int(m.group(1))
+                for p in existing
+                if (m := re.search(r"part-(\d+)\.txt$", p))
+            ]
+            base = max(taken) + 1 if taken else 0
+        else:
+            base = 0
+        written = set()
         for i, m in enumerate(messages):
             if m is not None:
-                os.rename(
-                    m.tmp_file, os.path.join(self.path, f"part-{i:05d}.txt")
-                )
+                final = os.path.join(self.path, f"part-{base + i:05d}.txt")
+                os.rename(m.tmp_file, final)  # atomic per-file replace
+                written.add(final)
+        if self.overwrite:
+            # Honor mode("overwrite"): drop stale part files from a prior
+            # write with MORE partitions.  Deleting AFTER the renames (not
+            # before) keeps the crash window data-safe: each rename
+            # atomically replaces its target, so at every instant the
+            # directory holds a readable mix of old and new files and a
+            # rerun converges -- a delete-first protocol would leave only
+            # invisible _tmp_points_* files if the driver died mid-commit.
+            for old in existing - written:
+                os.remove(old)
 
     def abort(self, messages) -> None:
         import os

@@ -38,6 +38,25 @@ TABLES = (
 _TABLE_CACHE: dict[tuple, DataFrame] = {}
 
 
+def fixture_cache_key(
+    spark: SparkSession, sf_dir: str, name: str
+) -> tuple | None:
+    """THE session+fixture invalidation key: (applicationId, sf_dir,
+    name, file mtime_ns), or None when the file can't be stat'ed.
+    Every in-process memo over fixture content must key on this (the
+    fixtures regenerate between rounds, and a session can span a
+    regeneration) -- used by _TABLE_CACHE here and the seed-centroid
+    memo in plans/kmeans_queries.py.  Single definition so the recipe
+    can't drift between call sites."""
+    import os
+
+    try:
+        st = os.stat(os.path.join(sf_dir, f"{name}.parquet"))
+    except OSError:
+        return None
+    return (spark.sparkContext.applicationId, sf_dir, name, st.st_mtime_ns)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan for one fixture table.  Column pruning + predicate
     pushdown reach the scan because callers select/filter on the returned
@@ -52,18 +71,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     dir in one session, and re-running file listing + footer/schema
     resolution per query is ~0.1-0.2 s of pure wall-clock each.
     """
-    import os
-
-    try:
-        st = os.stat(os.path.join(sf_dir, f"{name}.parquet"))
-        key = (
-            spark.sparkContext.applicationId,
-            sf_dir,
-            name,
-            st.st_mtime_ns,
-        )
-    except OSError:
-        key = None
+    key = fixture_cache_key(spark, sf_dir, name)
     if key is not None and key in _TABLE_CACHE:
         return _TABLE_CACHE[key]
     df = _load_table_uncached(spark, sf_dir, name)

@@ -344,3 +344,40 @@ def test_points_text_datasource_overwrite_removes_stale_parts(spark, tmp_path):
         )
         got.update((r["x"], r["y"]) for r in rows)
     assert got == {(i, i) for i in range(1000, 1100)}
+
+
+def test_points_text_datasource_append_does_not_clobber(spark, tmp_path):
+    """Append mode must extend the part numbering past existing files,
+    never rename onto them (a second append previously overwrote
+    part-00000/00001 of the first write)."""
+    from kmeans_with_mapreduce_cuda_spark.sources import register_points_source
+
+    register_points_source(spark)
+    dest = str(tmp_path / "pts_app")
+    first = spark.range(0, 100).select(
+        F.col("id").alias("x"), F.col("id").alias("y")
+    )
+    first.repartition(4).write.format("points_text").option(
+        "path", dest
+    ).mode("append").save()
+    second = spark.range(100, 150).select(
+        F.col("id").alias("x"), F.col("id").alias("y")
+    )
+    second.repartition(2).write.format("points_text").option(
+        "path", dest
+    ).mode("append").save()
+
+    import glob
+    import os
+
+    parts = glob.glob(os.path.join(dest, "part-*.txt"))
+    assert len(parts) == 6  # 4 + 2, nothing replaced
+    got = set()
+    for p in sorted(parts):
+        rows = (
+            spark.read.format("points_text").option("path", p).load()
+            .select("x", "y")
+            .collect()
+        )
+        got.update((r["x"], r["y"]) for r in rows)
+    assert got == {(i, i) for i in range(150)}

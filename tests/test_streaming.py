@@ -349,3 +349,33 @@ def test_rocksdb_state_store_matches_default_session_windows(spark):
     finally:
         spark.conf.set(conf, old)
     assert rocks == base
+
+
+def test_streaming_gate_queries_pin_utc_regardless_of_session_tz(spark):
+    """The gate's window-to-string formatting must not depend on the
+    ambient session timezone.  Spark bakes session.timeZone into
+    TimeZoneAware expressions at ANALYSIS time, so the UTC pin must
+    wrap DataFrame construction, not just the drain -- this is the
+    regression test for the round-4 review finding (a stream built
+    before conf.set captured the ambient zone and the pin silently
+    did not apply)."""
+    from kmeans_with_mapreduce_cuda_spark.plans import REGISTRY
+
+    conf = "spark.sql.session.timeZone"
+    old = spark.conf.get(conf)
+    base = {
+        tuple(r)
+        for r in REGISTRY["stream_hourly_counts"].fn(spark, SF_DIR).collect()
+    }
+    try:
+        spark.conf.set(conf, "America/New_York")
+        skewed = {
+            tuple(r)
+            for r in REGISTRY["stream_hourly_counts"]
+            .fn(spark, SF_DIR)
+            .collect()
+        }
+        assert spark.conf.get(conf) == "America/New_York"  # restored, not leaked
+    finally:
+        spark.conf.set(conf, old)
+    assert skewed == base
