@@ -262,3 +262,75 @@ def token_hashes_sql(text_expr: str = "text", salt: str = "sh:") -> str:
     toks = f"regexp_split_to_array(trim(lower({text_expr})), '\\s+')"
     h = f"CAST(('0x' || substr(md5('{salt}' || t), 1, 8)) AS BIGINT)"
     return f"[ {h} FOR t IN {toks} ]"
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int | None = MAX_BAND_BUCKET,
+) -> LshPairs:
+    """SimHash LSH: near-dup candidate pairs by banding the 16-bit
+    SimHash -- the scale path the plain per-doc ``text_simhash`` query
+    points at.
+
+    The 16 bits split into ``bands`` contiguous slices (16/bands bits
+    each); docs agreeing on ANY slice become candidates, then the exact
+    Hamming distance over the full 16 bits (``bit_count(a XOR b)``)
+    filters to ``<= max_hamming``.  Pigeonhole guarantee: a pair
+    differing in fewer than ``bands`` bits cannot differ in every band,
+    so recall is EXACT (not probabilistic) for
+    ``max_hamming <= bands - 1`` -- the default 3/4 is lossless while
+    joining on 4-bit keys instead of comparing all pairs.
+
+    Same scale shape as :func:`minhash_lsh_pairs`: banded equi-self-join
+    (never all-pairs), and the identical hot-bucket cap -- a 16-bit
+    simhash has only 2^4 values per 4-bit band, so on a large corpus
+    every band key is hot and the cap is what bounds the quadratic
+    within-bucket blowup (raise it, or widen the simhash, at corpus
+    scale).  Caller must unpersist ``deps`` after materializing.
+    """
+    assert 16 % bands == 0
+    width = 16 // bands
+    mask = (1 << width) - 1
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        simhash16_from_hashes(token_hashes(text_col)).alias("sh"),
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("sh", b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("v"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sh.select("id", "sh", F.explode(band_structs).alias("bk")).persist()
+
+    sizes = banded.groupBy("bk").agg(F.count(F.lit(1)).alias("n_docs"))
+    if max_bucket is not None:
+        capped = sizes.where(F.col("n_docs") > max_bucket)
+        joinable = banded.join(
+            F.broadcast(capped.select("bk")), "bk", "left_anti"
+        )
+    else:
+        capped = sizes.where(F.lit(False))
+        joinable = banded
+    a, b = joinable.alias("a"), joinable.alias("b")
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    pairs = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")))
+        .where(ham <= max_hamming)
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return LshPairs(pairs=pairs, deps=[banded], capped_buckets=capped)

@@ -132,3 +132,67 @@ def test_lsh_pairs_bucket_and_threshold_contract(spark):
         assert r["vec_a"] < r["vec_b"]
         assert r["cos_sim"] >= 0.3
         assert 0 <= r["bucket"] < 16
+
+
+def test_simhash_near_pairs_exact_recall_vs_bruteforce(spark):
+    """simhash_near_pairs with max_hamming <= bands-1 has a pigeonhole
+    recall GUARANTEE: its pair set must exactly equal the brute-force
+    all-pairs Hamming filter (uncapped; the cap is exercised by the
+    skew tests' pattern)."""
+    from kmeans_with_mapreduce_cuda_spark.operators.dedup import (
+        simhash16_from_hashes,
+        simhash_near_pairs,
+        token_hashes,
+    )
+
+    d = load_table(spark, SF_DIR, "documents").limit(300)
+    res = simhash_near_pairs(d, max_hamming=3, bands=4, max_bucket=None)
+    try:
+        got = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in res.pairs.collect()
+        }
+    finally:
+        for dep in res.deps:
+            dep.unpersist()
+
+    sh = d.select(
+        F.col("doc_id").alias("id"),
+        simhash16_from_hashes(token_hashes("text")).alias("sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    want = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .where(ham <= 3)
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert got  # fixture contains at least one near-dup pair
+
+
+def test_simhash_near_pairs_plan_is_banded_equi_join(spark):
+    """The candidate join must be an equi-join on the band key -- never
+    a cartesian/BNL all-pairs comparison."""
+    from kmeans_with_mapreduce_cuda_spark.operators.dedup import (
+        simhash_near_pairs,
+    )
+
+    d = load_table(spark, SF_DIR, "documents")
+    res = simhash_near_pairs(d)
+    try:
+        plan = res.pairs._sc._jvm.PythonSQLUtils.explainString(
+            res.pairs._jdf.queryExecution(), "formatted"
+        )
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "LeftAnti" in plan, plan  # the hot-bucket cap is present
+    finally:
+        for dep in res.deps:
+            dep.unpersist()
