@@ -56,14 +56,21 @@ def main() -> None:
         # exhaust the result without collecting rows to the driver
         REGISTRY[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
-    entries: list[tuple[str, object]] = [
+    # (name, fn, samples-per-repetition): the iterative kmeans entries
+    # take 2 back-to-back samples per rep -- their 10-20 dependent jobs
+    # INTEGRATE host-load noise over several seconds instead of
+    # averaging it out, so they need more draws than the sub-second
+    # one-job queries for the minimum to reach steady state.
+    entries: list[tuple[str, object, int]] = [
         (
             "kmeans_df",
             lambda: lloyd_2d(points, init15, max_iter=10, tol=0.0),
+            2,
         ),
         (
             "kmeans_mllib",
             lambda: fit_kmeans(emb, k=15, max_iter=10, tol=0.0, seed=42),
+            2,
         ),
     ]
 
@@ -85,6 +92,7 @@ def main() -> None:
             (
                 "kmeans_birch10k_20iter",
                 lambda: lloyd_2d(birch, init_b, max_iter=20, tol=0.0),
+                2,
             )
         )
 
@@ -100,7 +108,7 @@ def main() -> None:
         ("json_variant", "rel_json_variant"),
         ("token_packing", "pipe_token_packing"),
     ]:
-        entries.append((bench_name, lambda n=reg_name: run_registry(n)))
+        entries.append((bench_name, lambda n=reg_name: run_registry(n), 1))
 
     # Interleaved whole-suite repetitions, per-query minima (round-3
     # verdict item 2): a cold first run on a busy host recorded 7x noise
@@ -114,11 +122,12 @@ def main() -> None:
     REPS = 3
     timings: dict[str, float] = {}
     for _rep in range(REPS):
-        for name, fn in entries:
-            t0 = time.perf_counter()
-            fn()
-            dt = time.perf_counter() - t0
-            timings[name] = round(min(timings.get(name, dt), dt), 3)
+        for name, fn, samples in entries:
+            for _ in range(samples):
+                t0 = time.perf_counter()
+                fn()
+                dt = time.perf_counter() - t0
+                timings[name] = round(min(timings.get(name, dt), dt), 3)
 
     total = round(sum(timings.values()), 3)
     print(
