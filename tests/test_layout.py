@@ -240,3 +240,35 @@ def test_zorder_clustering_3col_narrows_all_columns(spark, tmp_path):
         back.agg(F.sum("l_quantity")).collect()[0][0]
         == li.agg(F.sum("l_quantity")).collect()[0][0]
     )
+
+
+def test_zorder_key_3col_is_bijective_and_invertible(spark):
+    """Exhaustive whole-formula check: with bits=4 and ranges (0,15) the
+    normalization is the identity, so over ALL 16^3 = 4096 input combos
+    the Morton key must (a) be distinct per combo (bijection -- no two
+    cells collide) and (b) decode back to the inputs by de-interleaving
+    (bit i*n+j of the key is bit i of column j)."""
+    from kmeans_with_mapreduce_cuda_spark.functions.layout import zorder_key
+
+    bits, n = 4, 3
+    rows = [
+        (float(a), float(b), float(c))
+        for a in range(16)
+        for b in range(16)
+        for c in range(16)
+    ]
+    got = (
+        spark.createDataFrame(rows, ["a", "b", "c"])
+        .withColumn(
+            "k", zorder_key(["a", "b", "c"], [(0.0, 15.0)] * 3, bits)
+        )
+        .collect()
+    )
+    assert len({r["k"] for r in got}) == 16 ** 3  # bijective
+    for r in got:
+        k = r["k"]
+        decoded = [0, 0, 0]
+        for i in range(bits):
+            for j in range(n):
+                decoded[j] |= ((k >> (i * n + j)) & 1) << i
+        assert decoded == [int(r["a"]), int(r["b"]), int(r["c"])], (r, decoded)
