@@ -381,3 +381,43 @@ def test_points_text_datasource_append_does_not_clobber(spark, tmp_path):
         )
         got.update((r["x"], r["y"]) for r in rows)
     assert got == {(i, i) for i in range(150)}
+
+
+def test_load_table_events_handles_both_ts_physical_types(spark, tmp_path):
+    """The driver regenerates fixtures between rounds and the events.ts
+    parquet physical type has ALREADY flipped once (TIMESTAMP(NANOS)
+    through round 2, plain timestamp[us] from round 3).  load_table must
+    yield identical instants for both encodings of the same data."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = [1_700_000_000_000_000 + i * 37_000_000 for i in range(200)]  # us
+    base = {
+        "event_id": list(range(200)),
+        "user_id": [i % 7 for i in range(200)],
+    }
+
+    us_dir, ns_dir = str(tmp_path / "us"), str(tmp_path / "ns")
+    for d in (us_dir, ns_dir):
+        os.makedirs(d)
+    pq.write_table(
+        pa.table({**base, "ts": pa.array(ts, pa.timestamp("us"))}),
+        os.path.join(us_dir, "events.parquet"),
+    )
+    pq.write_table(
+        pa.table({**base, "ts": pa.array([t * 1000 for t in ts], pa.timestamp("ns"))}),
+        os.path.join(ns_dir, "events.parquet"),
+    )
+
+    got_us = {
+        (r["event_id"], r["ts"])
+        for r in load_table(spark, us_dir, "events").collect()
+    }
+    got_ns = {
+        (r["event_id"], r["ts"])
+        for r in load_table(spark, ns_dir, "events").collect()
+    }
+    assert got_us == got_ns
+    assert len(got_us) == 200
