@@ -132,3 +132,46 @@ def test_cosine_lsh_bucket_cap_bounds_hot_bucket(spark):
         e, n_planes=3, seed=7, threshold=0.3, max_bucket=None
     ).count()
     assert uncapped >= 40 * 39 // 2
+
+
+def test_simhash_near_pairs_bucket_cap_bounds_hot_band(spark):
+    """Same hot-band contract for the SimHash LSH path: 60 identical
+    boilerplate docs share all 4 band values; with max_bucket=20 they
+    contribute no pairs and every capped key reports its cardinality,
+    while a small-bucket near-dup pair still surfaces."""
+    from kmeans_with_mapreduce_cuda_spark.operators.dedup import (
+        simhash_near_pairs,
+    )
+
+    boiler = [(i, "all rights reserved footer text common to every page")
+              for i in range(60)]
+    near = [
+        (1000, "the quick brown fox jumps over the lazy dog tonight"),
+        (1001, "the quick brown fox jumps over the lazy dog today"),
+    ]
+    d = spark.createDataFrame(boiler + near, "doc_id bigint, text string")
+
+    res = simhash_near_pairs(d, max_bucket=20)
+    try:
+        pairs = res.pairs.collect()
+        capped = res.capped_buckets.collect()
+    finally:
+        for dep in res.deps:
+            dep.unpersist()
+
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert not any(a < 60 and b < 60 for a, b in got), sorted(got)[:5]
+    # near-dup pair: one word differs -> tiny Hamming distance, its band
+    # buckets are size <= 2 + however many boilerplate hashes collide --
+    # the docs are a single-token edit so their simhashes are close
+    assert (1000, 1001) in got
+    assert capped and all(r["n_docs"] == 60 for r in capped)
+
+    res2 = simhash_near_pairs(d, max_bucket=None)
+    try:
+        n_uncapped = res2.pairs.count()
+        assert res2.capped_buckets.count() == 0
+    finally:
+        for dep in res2.deps:
+            dep.unpersist()
+    assert n_uncapped >= 1770  # identical docs: hamming 0, all pair
