@@ -414,3 +414,42 @@ def test_minhash_lsh_skew_cap_is_broadcast_anti_join(spark):
     finally:
         for d in res.deps:
             d.unpersist()
+
+
+def test_sim_ann_ivf_candidates_join_is_equi_on_cell(spark):
+    """IVF ANN candidate generation must equi-join on cell_id (hash
+    join with the exploded nprobe probe list broadcast), never a
+    cartesian / nested loop over the full vector table -- the property
+    that keeps it sublinear at 100 TB.  Audited on the operator itself:
+    the GATE query's plan additionally contains a deliberate 3-row-
+    broadcast nested loop for its exact-recall claim side, which is the
+    bounded reference twin, not the ANN path."""
+    from kmeans_with_mapreduce_cuda_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+    )
+    from kmeans_with_mapreduce_cuda_spark.sources import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    indexed, cents = build_ivf_index(emb, n_cells=8, max_iter=2)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    plan = plan_of(ivf_topk(indexed, cents, queries, k=5, nprobe=2))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "cell_id" in plan, plan
+
+
+def test_asof_join_has_no_join_operator(spark):
+    """The as-of join is implemented as union + ONE window pass (carry
+    the last order forward), not as a range join: the plan must contain
+    a window and NO join operator at all -- the formulation that avoids
+    the cartesian blowup a naive t1<=t2 join plans at scale."""
+    import re
+
+    plan = plan_of(REGISTRY["rel_asof_join"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert re.search(r"\bWindow\b", plan), plan
