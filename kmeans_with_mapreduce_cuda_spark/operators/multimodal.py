@@ -256,3 +256,60 @@ def sample_frames(
             )
 
     return df.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def decode_and_featurize_arrow(
+    df: DataFrame, payload_col: str = "payload", use_real_codec: bool = False
+) -> DataFrame:
+    """Arrow-native twin of :func:`decode_and_featurize` via
+    ``mapInArrow``: consumes/produces ``pyarrow.RecordBatch`` directly,
+    skipping the Arrow<->pandas conversion entirely.
+
+    This is the right surface when the hot column is large ``binary``
+    payloads: the pandas bridge materializes every blob as a Python
+    ``bytes`` object in an object-dtype Series (one copy + one PyObject
+    per blob per batch), while RecordBatches keep the payload buffer as
+    a single contiguous Arrow allocation.  Output is bit-identical to
+    the pandas path (asserted in tests/test_multimodal.py); the same
+    deterministic stub codec applies.
+    """
+    if use_real_codec:
+        _require_real_codec("decode_and_featurize_arrow")
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in it:
+            tbl = batch.to_pydict()
+            payloads = [b or b"" for b in tbl[payload_col]]
+            n = [len(b) for b in payloads]
+            feats = []
+            for b in payloads:
+                arr = np.frombuffer(b[:4096], dtype=np.uint8).astype(np.int64)
+                idx = (arr + np.arange(arr.size)) % FEATURE_DIM
+                counts = np.bincount(idx, minlength=FEATURE_DIM).astype(
+                    np.float32
+                )
+                total = counts.sum() or 1.0
+                feats.append((counts / total).tolist())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(tbl["doc_id"], pa.int64()),
+                    pa.array([v % 640 + 1 for v in n], pa.int32()),
+                    pa.array([v % 480 + 1 for v in n], pa.int32()),
+                    pa.array([3] * len(n), pa.int32()),
+                    pa.array(feats, pa.list_(pa.float32())),
+                    pa.array(["stub"] * len(n), pa.string()),
+                ],
+                names=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "channels",
+                    "features",
+                    "decode_status",
+                ],
+            )
+
+    return df.mapInArrow(batches, schema=DECODE_SCHEMA)

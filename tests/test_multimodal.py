@@ -166,3 +166,32 @@ def test_sample_frames_multi_emit(spark):
     assert got == exp
     for r in rows[:5]:
         assert len(r["frame_payload"]) == 64
+
+
+def test_map_in_arrow_decode_matches_pandas_path(spark):
+    """The mapInArrow twin (raw RecordBatches, no pandas bridge -- the
+    preferred surface for large binary payloads) must produce exactly
+    the mapInPandas path's rows."""
+    from kmeans_with_mapreduce_cuda_spark.operators.multimodal import (
+        decode_and_featurize,
+        decode_and_featurize_arrow,
+        documents_as_binary,
+    )
+
+    d = documents_as_binary(
+        load_table(spark, SF_DIR, "documents").limit(200)
+    )
+
+    def canon(rows):
+        return sorted(
+            (
+                r["doc_id"], r["width"], r["height"], r["channels"],
+                tuple(r["features"]), r["decode_status"],
+            )
+            for r in rows
+        )
+
+    got = canon(decode_and_featurize_arrow(d).collect())
+    exp = canon(decode_and_featurize(d).collect())
+    assert got == exp
+    assert len(got) == 200
