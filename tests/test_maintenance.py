@@ -102,3 +102,23 @@ def test_compact_small_files_recovers_interrupted_swap(spark, tmp_path):
     assert n >= 1
     assert not os.path.exists(dest + ".compact.old")
     assert spark.read.parquet(dest).count() == before_rows
+
+
+def test_compact_small_files_cleans_leftover_old_copy(spark, tmp_path):
+    """The other crash window: compaction died AFTER swapping in the
+    compacted data but before removing .compact.old.  The next call
+    must discard the stale copy and proceed normally."""
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    dest = str(tmp_path / "post_swap")
+    li.repartition(16).write.mode("overwrite").parquet(dest)
+    before_rows = spark.read.parquet(dest).count()
+
+    # simulate: both renames done, cleanup never ran
+    li.limit(10).write.mode("overwrite").parquet(dest + ".compact.old")
+
+    n = compact_small_files(spark, dest, target_file_bytes=1024 * 1024)
+    assert n >= 1
+    assert not os.path.exists(dest + ".compact.old")
+    assert spark.read.parquet(dest).count() == before_rows
