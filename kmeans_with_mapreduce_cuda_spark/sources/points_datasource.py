@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -54,6 +55,9 @@ class PointsTextDataSource(DataSource):
             )
         return PointsTextWriter(self.options, overwrite)
 
+    def streamReader(self, schema) -> "PointsStreamReader":
+        return PointsStreamReader(self.options)
+
 
 class _ByteRange(InputPartition):
     def __init__(self, path: str, start: int, end: int, index: int):
@@ -83,44 +87,54 @@ class PointsTextReader(DataSourceReader):
         ]
 
     def read(self, partition: _ByteRange):
-        # line numbers must be globally consistent across partitions for
-        # the reference's array-index semantics: count lines by their
-        # first byte offset; each range re-derives its starting line
-        # number by scanning... too costly -- instead emit the byte
-        # offset of the line start as line_no surrogate (monotone in
-        # file order, stable under any partitioning).
-        with open(partition.path, "rb") as f:
-            # Hadoop LineRecordReader pairing: a line belongs to the range
-            # containing its FIRST byte.  The left range breaks (below)
-            # before reading a line that starts at >= end, so this range
-            # must KEEP a line that starts exactly at ``start``.  Seeking
-            # to start-1 and reading one line consumes only the previous
-            # line's trailing newline when byte start-1 is '\n' (leaving
-            # us positioned exactly at ``start``), and otherwise consumes
-            # the tail of the partial line the left range owns.  An
-            # unconditional skip from ``start`` would drop a line whose
-            # first byte lands exactly on the split boundary -- read by
-            # neither side.
-            if partition.start:
-                f.seek(partition.start - 1)
-                f.readline()
-            else:
-                f.seek(0)
-            while True:
-                pos = f.tell()
-                if pos >= partition.end:
-                    break
-                line = f.readline()
-                if not line:
-                    break
-                parts = line.split()
-                if len(parts) < 2:
-                    continue  # reference scanner yields garbage; we drop
-                try:
-                    x, y = int(parts[0]), int(parts[1])
-                except ValueError:
-                    continue
-                yield (pos, x, y)
+        return _scan_byte_range(
+            partition.path, partition.start, partition.end
+        )
+
+
+def _scan_byte_range(path: str, start: int, end: int):
+    """Yield (line_start_offset, x, y) for every well-formed line whose
+    FIRST byte lies in [start, end) -- shared by the batch reader's
+    byte-range splits and the stream reader's per-microbatch splits.
+
+    Line numbers must be globally consistent across partitions for the
+    reference's array-index semantics: counting lines per range would
+    need a scan from byte 0, so the line-start byte offset serves as the
+    line_no surrogate (monotone in file order, stable under any
+    partitioning).
+
+    Hadoop LineRecordReader pairing: a line belongs to the range
+    containing its FIRST byte.  The left range breaks (below) before
+    reading a line that starts at >= end, so this range must KEEP a
+    line that starts exactly at ``start``.  Seeking to start-1 and
+    reading one line consumes only the previous line's trailing newline
+    when byte start-1 is '\\n' (leaving us positioned exactly at
+    ``start``), and otherwise consumes the tail of the partial line the
+    left range owns.  An unconditional skip from ``start`` would drop a
+    line whose first byte lands exactly on the split boundary -- read
+    by neither side.
+    """
+    with open(path, "rb") as f:
+        if start:
+            f.seek(start - 1)
+            f.readline()
+        else:
+            f.seek(0)
+        while True:
+            pos = f.tell()
+            if pos >= end:
+                break
+            line = f.readline()
+            if not line:
+                break
+            parts = line.split()
+            if len(parts) < 2:
+                continue  # reference scanner yields garbage; we drop
+            try:
+                x, y = int(parts[0]), int(parts[1])
+            except ValueError:
+                continue
+            yield (pos, x, y)
 
 
 def register_points_source(spark) -> None:
@@ -210,3 +224,91 @@ class PointsTextWriter(DataSourceWriter):
         for m in messages:
             if m is not None and os.path.exists(m.tmp_file):
                 os.remove(m.tmp_file)
+
+
+def _last_newline_at_or_before(path: str, lo: int, hi: int) -> int:
+    """Largest offset p in (lo, hi] such that byte p-1 is a newline --
+    i.e. the end of the last COMPLETE line -- or ``lo`` if no newline
+    exists in (lo, hi].  Scans backward in bounded chunks so a huge
+    catch-up range never loads into driver memory."""
+    chunk = 1 << 16
+    with open(path, "rb") as f:
+        end = hi
+        while end > lo:
+            start = max(lo, end - chunk)
+            f.seek(start)
+            buf = f.read(end - start)
+            nl = buf.rfind(b"\n")
+            if nl >= 0:
+                return start + nl + 1
+            end = start
+    return lo
+
+
+class PointsStreamReader(DataSourceStreamReader):
+    """Streaming side of the connector: tail a growing points file.
+
+    The reference engine is strictly batch; this is the Structured
+    Streaming generalization of its scanner -- ``spark.readStream
+    .format("points_text")`` turns the same whitespace point file into
+    an exactly-once stream (offsets checkpointed by the engine, batch
+    replay is deterministic byte-range re-scan).
+
+    Offset model: ``{"pos": <byte offset>}``, the end of the last
+    complete line shipped so far.  latestOffset() clamps to the last
+    newline at-or-before the current file size so a producer caught
+    MID-LINE never yields a truncated-but-parseable point (e.g.
+    ``123 456`` seen as ``123 45``); the partial line ships with the
+    batch after its newline lands.  Each microbatch's byte range is
+    split into ``n_partitions`` executor-side tasks reusing the batch
+    reader's first-byte ownership rule -- reads happen on executors
+    (this is why DataSourceStreamReader, not the driver-side
+    SimpleDataSourceStreamReader).  A shrunken file (truncation) raises
+    rather than silently rewinding.
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("points_text: 'path' option is required")
+        self.n_partitions = int(options.get("n_partitions", "4"))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        import os
+
+        try:
+            size = os.path.getsize(self.path)
+        except OSError:
+            return {"pos": 0}
+        return {"pos": _last_newline_at_or_before(self.path, 0, size)}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["pos"]), int(end["pos"])
+        if hi < lo:
+            raise RuntimeError(
+                f"points_text stream: file shrank ({hi} < {lo}); "
+                "truncation is not a supported stream transition"
+            )
+        if hi == lo:
+            return [_ByteRange(self.path, lo, lo, 0)]
+        n = max(1, min(self.n_partitions, hi - lo))
+        step = (hi - lo + n - 1) // n
+        return [
+            _ByteRange(self.path, lo + i * step, min(lo + (i + 1) * step, hi), i)
+            for i in range(n)
+            if lo + i * step < hi
+        ]
+
+    def read(self, partition: _ByteRange):
+        return _scan_byte_range(
+            partition.path, partition.start, partition.end
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the engine's checkpoint; nothing to clean
+
+    def stop(self) -> None:
+        pass

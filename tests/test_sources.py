@@ -421,3 +421,58 @@ def test_load_table_events_handles_both_ts_physical_types(spark, tmp_path):
     }
     assert got_us == got_ns
     assert len(got_us) == 200
+
+
+def test_points_text_stream_reader_tails_file_exactly_once(spark, tmp_path):
+    """Streaming side of the connector: availableNow drains against one
+    checkpoint must (1) ship each line exactly once across restarts,
+    (2) hold back a partial trailing line until its newline lands, and
+    (3) split each catch-up range into executor-side byte-range tasks
+    (same ownership rule as the batch reader)."""
+    import os
+
+    from kmeans_with_mapreduce_cuda_spark.sources import register_points_source
+
+    register_points_source(spark)
+    src = str(tmp_path / "feed.txt")
+    ckpt = str(tmp_path / "ckpt")
+
+    out = str(tmp_path / "out")
+
+    def drain():
+        # parquet sink: checkpoint-recoverable (the memory sink is not),
+        # so each availableNow drain resumes from the committed offset
+        q = (
+            spark.readStream.format("points_text")
+            .option("path", src)
+            .option("n_partitions", "3")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+        return {
+            (r["x"], r["y"]) for r in spark.read.parquet(out).collect()
+        }
+
+    with open(src, "w") as f:
+        for i in range(100):
+            f.write(f"{i} {i * 2}\n")
+    assert drain() == {(i, 2 * i) for i in range(100)}
+
+    # append 50 complete lines + one PARTIAL line (no newline): the
+    # partial "999 9" must NOT ship as a truncated-but-parseable point
+    with open(src, "a") as f:
+        for i in range(100, 150):
+            f.write(f"{i} {i * 2}\n")
+        f.write("999 9")
+    assert drain() == {(i, 2 * i) for i in range(150)}  # exactly once, no (999, 9)
+
+    # complete the partial line: exactly the finished point arrives
+    with open(src, "a") as f:
+        f.write("99\n")
+    assert drain() == {(i, 2 * i) for i in range(150)} | {(999, 999)}
