@@ -379,3 +379,54 @@ def test_streaming_gate_queries_pin_utc_regardless_of_session_tz(spark):
     finally:
         spark.conf.set(conf, old)
     assert skewed == base
+
+
+def test_streaming_source_composes_with_kmeans_scoring(spark, tmp_path):
+    """End-to-end composition: the connector's STREAMING reader feeding
+    the stateless nearest-centroid scorer -- tail a points file, assign
+    each arriving point, land parquet.  The drained assignment must
+    equal the batch path over the same file (same argmin projection,
+    same ownership-rule scan)."""
+    from kmeans_with_mapreduce_cuda_spark.operators.kmeans import assign_2d
+    from kmeans_with_mapreduce_cuda_spark.sources import (
+        read_points_text,
+        register_points_source,
+    )
+    from kmeans_with_mapreduce_cuda_spark.streaming.streams import (
+        stream_assign_kmeans,
+    )
+
+    register_points_source(spark)
+    src = str(tmp_path / "pts.txt")
+    with open(src, "w") as f:
+        for i in range(500):
+            f.write(f"{i * 13 % 1000} {i * 29 % 1000}\n")
+    cents = [(100.0, 100.0), (500.0, 500.0), (900.0, 200.0)]
+
+    stream = (
+        spark.readStream.format("points_text")
+        .option("path", src)
+        .option("n_partitions", "3")
+        .load()
+    )
+    out = str(tmp_path / "scored")
+    q = (
+        stream_assign_kmeans(stream, cents)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    q.stop()
+    got = {
+        (r["x"], r["y"], r["cluster_id"])
+        for r in spark.read.parquet(out).collect()
+    }
+    exp = {
+        (r["x"], r["y"], r["cluster_id"])
+        for r in assign_2d(read_points_text(spark, src), cents).collect()
+    }
+    assert got == exp
+    assert len({c for _, _, c in got}) == 3  # all clusters hit
