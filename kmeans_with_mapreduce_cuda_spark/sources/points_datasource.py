@@ -226,12 +226,14 @@ class PointsTextWriter(DataSourceWriter):
                 os.remove(m.tmp_file)
 
 
-def _last_newline_at_or_before(path: str, lo: int, hi: int) -> int:
+def _last_newline_at_or_before(
+    path: str, lo: int, hi: int, chunk: int = 1 << 16
+) -> int:
     """Largest offset p in (lo, hi] such that byte p-1 is a newline --
     i.e. the end of the last COMPLETE line -- or ``lo`` if no newline
     exists in (lo, hi].  Scans backward in bounded chunks so a huge
-    catch-up range never loads into driver memory."""
-    chunk = 1 << 16
+    catch-up range never loads into driver memory (``chunk`` is a
+    parameter only so tests can force the multi-chunk path)."""
     with open(path, "rb") as f:
         end = hi
         while end > lo:

@@ -96,3 +96,31 @@ def test_fixed_width_lines_align_on_boundaries():
             assert sorted(got) == _reference_parse(data), n
     finally:
         os.unlink(path)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    data=st.binary(max_size=400),
+    lo=st.integers(min_value=0, max_value=400),
+    chunk=st.integers(min_value=1, max_value=64),
+)
+def test_last_newline_clamp_matches_rfind_oracle(data, lo, chunk):
+    """The stream reader's partial-line clamp (backward chunked scan)
+    must agree with the obvious whole-buffer oracle for every content /
+    window / chunk-size combination -- including newline-free tails
+    longer than one chunk and lo landing mid-line."""
+    from kmeans_with_mapreduce_cuda_spark.sources.points_datasource import (
+        _last_newline_at_or_before,
+    )
+
+    lo = min(lo, len(data))
+    with tempfile.NamedTemporaryFile(delete=False) as f:
+        f.write(data)
+        path = f.name
+    try:
+        got = _last_newline_at_or_before(path, lo, len(data), chunk=chunk)
+    finally:
+        os.unlink(path)
+    nl = data.rfind(b"\n", lo, len(data))
+    want = (nl + 1) if nl >= 0 else lo
+    assert got == want, (data, lo, chunk)
