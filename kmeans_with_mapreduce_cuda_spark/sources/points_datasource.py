@@ -23,6 +23,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -57,6 +58,14 @@ class PointsTextDataSource(DataSource):
 
     def streamReader(self, schema) -> "PointsStreamReader":
         return PointsStreamReader(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> "PointsStreamWriter":
+        if len(schema.fields) < 2:
+            raise ValueError(
+                "points_text stream writer needs at least two columns "
+                f"(x, y); got {schema.simpleString()}"
+            )
+        return PointsStreamWriter(self.options)
 
 
 class _ByteRange(InputPartition):
@@ -314,3 +323,59 @@ class PointsStreamReader(DataSourceStreamReader):
 
     def stop(self) -> None:
         pass
+
+
+class PointsStreamWriter(DataSourceStreamWriter):
+    """Streaming sink side of the connector: each microbatch lands as
+    the reference's text format under the target directory.
+
+    Exactly-once story: task temp files + driver-rename (same commit
+    protocol as the batch writer), with BATCH-ID-DETERMINISTIC final
+    names (``part-<batchId>-<task>.txt``) -- when the engine replays a
+    microbatch after a failure, commit() re-renames over the same
+    targets instead of duplicating data, so the sink is idempotent per
+    (batchId, partition).  abort() removes only that attempt's temp
+    files; committed batches are never touched.
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("points_text: 'path' option is required")
+
+    def write(self, iterator) -> "_PointsCommit":
+        import os
+        import tempfile
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(
+            prefix=f"_tmp_stream_points_{pid}_", dir=self.path
+        )
+        n = 0
+        with os.fdopen(fd, "w") as f:
+            for row in iterator:
+                f.write(f"{row[0]} {row[1]}\n")
+                n += 1
+        return _PointsCommit(tmp, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import os
+
+        for i, m in enumerate(messages):
+            if m is not None:
+                os.rename(
+                    m.tmp_file,
+                    os.path.join(
+                        self.path, f"part-{batchId:08d}-{i:05d}.txt"
+                    ),
+                )
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_file):
+                os.remove(m.tmp_file)

@@ -476,3 +476,46 @@ def test_points_text_stream_reader_tails_file_exactly_once(spark, tmp_path):
     with open(src, "a") as f:
         f.write("99\n")
     assert drain() == {(i, 2 * i) for i in range(150)} | {(999, 999)}
+
+
+def test_points_text_stream_writer_roundtrip(spark, tmp_path):
+    """Full streaming round-trip THROUGH the connector: readStream
+    points_text -> writeStream points_text.  Batch-id-deterministic
+    part names make microbatch replay idempotent; content must equal
+    the source file and no temp files may survive the commit."""
+    import glob
+    import os
+
+    from kmeans_with_mapreduce_cuda_spark.sources import register_points_source
+
+    register_points_source(spark)
+    src = str(tmp_path / "in.txt")
+    with open(src, "w") as f:
+        for i in range(300):
+            f.write(f"{i} {i * 7 % 500}\n")
+    out = str(tmp_path / "out_txt")
+
+    q = (
+        spark.readStream.format("points_text")
+        .option("path", src)
+        .load()
+        .select("x", "y")
+        .writeStream.format("points_text")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    q.stop()
+
+    parts = glob.glob(os.path.join(out, "part-*.txt"))
+    assert parts and not glob.glob(os.path.join(out, "_tmp_stream_*"))
+    got = set()
+    for p in parts:
+        rows = (
+            spark.read.format("points_text").option("path", p).load()
+            .select("x", "y").collect()
+        )
+        got.update((r["x"], r["y"]) for r in rows)
+    assert got == {(i, i * 7 % 500) for i in range(300)}
