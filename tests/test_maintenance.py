@@ -122,3 +122,36 @@ def test_compact_small_files_cleans_leftover_old_copy(spark, tmp_path):
     assert n >= 1
     assert not os.path.exists(dest + ".compact.old")
     assert spark.read.parquet(dest).count() == before_rows
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Long-running pipelines add columns over time; readers must merge
+    footer schemas across file generations (old files yield NULL for
+    columns they predate) and pushdown must still reach both
+    generations.  This is the mergeSchema contract our maintenance
+    surface relies on -- pinned here so an engine upgrade can't drop it
+    silently."""
+    dest = str(tmp_path / "evolving")
+    o = load_table(spark, SF_DIR, "orders")
+    gen1 = o.select("o_orderkey", "o_totalprice").where(
+        F.col("o_orderkey") % 2 == 0
+    )
+    gen1.write.mode("append").parquet(dest)
+    gen2 = o.select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).where(F.col("o_orderkey") % 2 == 1)
+    gen2.write.mode("append").parquet(dest)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(dest)
+    assert set(merged.columns) == {
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    }
+    n_total = o.count()
+    assert merged.count() == n_total
+    # old-generation rows surface the new column as NULL
+    nulls = merged.where(F.col("o_orderpriority").isNull()).count()
+    assert nulls == gen1.count()
+    # predicate over the evolved column still prunes correctly
+    urgent = merged.where(F.col("o_orderpriority") == "1-URGENT").count()
+    exp = gen2.where(F.col("o_orderpriority") == "1-URGENT").count()
+    assert urgent == exp
