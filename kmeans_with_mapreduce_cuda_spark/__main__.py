@@ -37,6 +37,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="floor printed centroid coords exactly as the reference's "
         "uint64 floor-division means do (o13_sink_format semantics)",
     )
+    p.add_argument(
+        "--follow",
+        metavar="OUT_DIR",
+        help="after fitting, stream the input file through the "
+        "points_text streaming source, score each point against the "
+        "fitted centroids, and land (x, y, cluster_id) parquet under "
+        "OUT_DIR (availableNow drain; offsets checkpoint under "
+        "OUT_DIR/_checkpoint, so re-running after the file grows "
+        "processes only the new lines, exactly once)",
+    )
     return p
 
 
@@ -78,6 +88,36 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> li
     print(f"Data loading and initialization time: {t_load * 1000:.0f} ms")
     print(f"Kmeans compute time: {t_compute * 1000:.0f} ms")
     print(f"Total time: {(time.perf_counter() - t_start) * 1000:.0f} ms")
+
+    if args.follow:
+        import os
+
+        from .sources.points_datasource import register_points_source
+        from .streaming.streams import stream_assign_kmeans
+
+        register_points_source(spark)
+        stream = (
+            spark.readStream.format("points_text")
+            .option("path", args.input)
+            .load()
+        )
+        q = (
+            stream_assign_kmeans(stream, cents)
+            .select("x", "y", "cluster_id")
+            .writeStream.format("parquet")
+            .option("path", args.follow)
+            .option(
+                "checkpointLocation", os.path.join(args.follow, "_checkpoint")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("--follow drain did not finish in 600s")
+        q.stop()
+        n = spark.read.parquet(args.follow).count()
+        print(f"Streamed assignments: {n} points total in {args.follow}")
 
     pts.unpersist()
     if own_session:

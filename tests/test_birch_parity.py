@@ -106,3 +106,32 @@ def test_cli_parity_ints_floors_coords(spark, tmp_path):
     assert all(pat.match(ln) for ln in floored), floored
     # non-negative domain: floor == truncate
     assert floored == plain
+
+
+def test_cli_follow_streams_incrementally(spark, tmp_path, capsys):
+    """--follow: fit on the batch prefix, then drain the SAME file
+    through the streaming source + scorer into parquet.  Re-running
+    after the file grows must process only the appended lines (offsets
+    checkpointed under OUT/_checkpoint), keeping the output exactly-once."""
+    import shutil
+
+    from kmeans_with_mapreduce_cuda_spark.__main__ import main
+
+    src = tmp_path / "birch_follow.txt"
+    shutil.copyfile(BIRCH, src)
+    # trim to a known prefix so append counts are exact
+    lines = src.read_text().splitlines()[:400]
+    src.write_text("\n".join(lines) + "\n")
+    out = str(tmp_path / "scored")
+
+    args = [str(src), "--k", "3", "--limit", "300", "--iters", "2",
+            "--follow", out]
+    main(args, spark=spark)
+    first = spark.read.parquet(out).count()
+    assert first == 400  # whole current file scored (not just --limit)
+
+    with open(src, "a") as f:
+        f.writelines(ln + "\n" for ln in lines[:50])
+    main(args, spark=spark)
+    assert spark.read.parquet(out).count() == 450  # +50, nothing re-shipped
+    assert set(spark.read.parquet(out).columns) == {"x", "y", "cluster_id"}
