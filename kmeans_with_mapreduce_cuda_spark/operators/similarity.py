@@ -223,3 +223,59 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select(q_id_col, id_col, F.round("_sim", 6).alias("cos_sim"), "rank")
     )
+
+
+def quantize_embeddings_int8(
+    df: DataFrame, features: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: q[i] = round(v[i] * 127 /
+    max|v|), stored with the float scale max|v|/127.
+
+    The standard memory/IO lever for vector search at corpus scale: an
+    int8 code array is 4x smaller than float32, so 4x more of the index
+    fits in executor memory / page cache and every ANN scan reads 4x
+    fewer bytes.  Pure JVM higher-order expressions -- no UDF, columnar
+    all the way to parquet (which stores the tinyint array compactly).
+    All-zero vectors get scale 0 and all-zero codes.
+    """
+    v = F.col(features).cast("array<double>")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(0.0))
+    # nullif guards the 0-scale division; coalesce restores 0 codes
+    q = F.transform(
+        v,
+        lambda x: F.coalesce(
+            F.round(x / F.nullif(scale, F.lit(0.0))), F.lit(0.0)
+        ).cast("tinyint"),
+    )
+    return df.select(
+        F.col(id_col),
+        q.alias("q_code"),
+        F.round(scale, 9).cast("float").alias("q_scale"),
+    )
+
+
+def int8_cosine(
+    a_code: Column | str,
+    b_code: Column | str,
+    a_scale: Column | str,
+    b_scale: Column | str,
+) -> Column:
+    """Approximate cosine from int8 codes: the per-vector scales cancel
+    in the normalized dot product, so this is just the cosine of the
+    code vectors -- scales matter only for reconstructing magnitudes.
+    Quantization error is bounded by the rounding step (<=0.5/127 per
+    component before normalization)."""
+    ac = F.col(a_code) if isinstance(a_code, str) else a_code
+    bc = F.col(b_code) if isinstance(b_code, str) else b_code
+    to_d = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    a, b = to_d(ac), to_d(bc)
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+    )
+    norm = lambda v: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x
+        )
+    )
+    return dot / F.nullif(norm(a) * norm(b), F.lit(0.0))

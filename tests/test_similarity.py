@@ -196,3 +196,66 @@ def test_simhash_near_pairs_plan_is_banded_equi_join(spark):
     finally:
         for dep in res.deps:
             dep.unpersist()
+
+
+def test_int8_quantization_roundtrip_and_recall(spark):
+    """Int8 embedding quantization (the 4x memory/IO lever for vector
+    search at corpus scale): codes must stay in [-127, 127] with at
+    least one component at full scale per non-zero vector, dequantized
+    values must sit within half a rounding step of the original, and
+    int8-cosine top-10 must overlap float-cosine top-10 >= 80% on real
+    embeddings."""
+    from kmeans_with_mapreduce_cuda_spark.operators.similarity import (
+        brute_force_topk,
+        int8_cosine,
+        quantize_embeddings_int8,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings").limit(500)
+    q = quantize_embeddings_int8(e)
+    joined = e.join(q, "vec_id").select("vec_id", "embedding", "q_code", "q_scale")
+
+    rows = joined.collect()
+    assert len(rows) == 500
+    for r in rows:
+        codes, scale, emb = r["q_code"], r["q_scale"], r["embedding"]
+        assert all(-127 <= c <= 127 for c in codes)
+        if scale > 0:
+            assert max(abs(c) for c in codes) == 127  # full-scale hit
+            for c, v in zip(codes, emb):
+                assert abs(c * scale - v) <= scale * 0.5 + 1e-6
+
+    # recall: int8 cosine top-10 vs exact float top-10 for 5 queries
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    exact = brute_force_topk(
+        e.select("vec_id", F.col("embedding").alias("emb")), queries, k=10
+    )
+    exact_ids = {
+        (r["q_id"], r["vec_id"]) for r in exact.collect()
+    }
+
+    qq = quantize_embeddings_int8(queries, features="q_emb", id_col="q_id")
+    from pyspark.sql.window import Window
+
+    cand = q.crossJoin(
+        F.broadcast(
+            qq.select(
+                F.col("q_id"),
+                F.col("q_code").alias("qq_code"),
+                F.col("q_scale").alias("qq_scale"),
+            )
+        )
+    ).where(F.col("q_id") != F.col("vec_id"))
+    w = Window.partitionBy("q_id").orderBy(F.col("_sim").desc(), F.col("vec_id"))
+    approx = (
+        cand.withColumn(
+            "_sim", int8_cosine("q_code", "qq_code", "q_scale", "qq_scale")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+    )
+    approx_ids = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
+    overlap = len(exact_ids & approx_ids) / len(exact_ids)
+    assert overlap >= 0.8, overlap
