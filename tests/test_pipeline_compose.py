@@ -1,0 +1,63 @@
+"""End-to-end composition of the dataset-assembly operators: a user
+chains clean -> split -> pack as ONE declarative plan.  The individual
+pipe_* gate queries verify each stage against DuckDB; this verifies the
+stages actually COMPOSE (schemas line up, determinism survives
+chaining, invariants hold on the composed output)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kmeans_with_mapreduce_cuda_spark.functions.hashing import md5_long
+from kmeans_with_mapreduce_cuda_spark.functions.text import tokens
+from kmeans_with_mapreduce_cuda_spark.plans import REGISTRY
+
+from conftest import SF_DIR
+
+BUDGET = 512
+
+
+def test_clean_split_pack_composes_as_one_plan(spark):
+    survivors = REGISTRY["pipe_corpus_clean"].fn(spark, SF_DIR)
+    # split assignment: same md5 rule as pipe_train_val_test
+    h = md5_long("doc_id", "mix42:") % 100
+    split = F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
+    with_split = survivors.select(
+        "doc_id", "n_tokens", split.alias("split")
+    )
+    # greedy packing per split: running token sum // budget = pack id
+    w = (
+        Window.partitionBy("split")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = with_split.withColumn(
+        "pack_id", ((F.sum("n_tokens").over(w) - 1) / BUDGET).cast("bigint")
+    )
+    rows = packed.collect()
+    assert rows
+
+    # splits partition the survivor set exactly
+    assert {r["split"] for r in rows} == {"train", "val", "test"}
+    assert len(rows) == survivors.count()
+
+    # packing invariant: within each (split, pack), doc order is by id
+    # and the pack's token total stays within budget + one doc overhang
+    from collections import defaultdict
+
+    packs = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r["split"], r["doc_id"])):
+        packs[(r["split"], r["pack_id"])].append(r)
+    for (s, pid), docs in packs.items():
+        total = sum(d["n_tokens"] for d in docs)
+        assert total <= BUDGET + max(d["n_tokens"] for d in docs), (s, pid)
+
+    # token conservation: nothing lost or duplicated by the chain
+    assert sum(r["n_tokens"] for r in rows) == (
+        survivors.agg(F.sum("n_tokens")).collect()[0][0]
+    )
+
+    # determinism: re-running the composed plan is bit-identical
+    again = packed.collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
