@@ -45,3 +45,38 @@ def test_query_on_empty_tables(spark, empty_sf_dir, name):
     df = REGISTRY[name].fn(spark, empty_sf_dir)
     assert df.count() == 0
     assert df.schema == REGISTRY[name].fn(spark, SF_DIR).schema
+
+
+def test_simhash_near_pairs_empty_input(spark):
+    from kmeans_with_mapreduce_cuda_spark.operators.dedup import (
+        simhash_near_pairs,
+    )
+
+    d = spark.createDataFrame([], "doc_id bigint, text string")
+    res = simhash_near_pairs(d)
+    try:
+        assert res.pairs.count() == 0
+        assert res.pairs.columns == ["doc_a", "doc_b", "hamming"]
+        assert res.capped_buckets.count() == 0
+    finally:
+        for dep in res.deps:
+            dep.unpersist()
+
+
+def test_int8_quantization_empty_and_zero_vectors(spark):
+    from kmeans_with_mapreduce_cuda_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    out = quantize_embeddings_int8(empty)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "q_code", "q_scale"]
+
+    zeros = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [0.0, 3.0, -4.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings_int8(zeros).collect()}
+    assert rows[1]["q_scale"] == 0.0 and all(c == 0 for c in rows[1]["q_code"])
+    assert rows[2]["q_scale"] > 0 and max(abs(c) for c in rows[2]["q_code"]) == 127
