@@ -1687,3 +1687,188 @@ def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.col("lang").alias("lang_actual"), pred.alias("lang_pred")
     )
+
+
+# --- Round-4 additions: semantic dedup, contamination, streaming dedup -------
+
+@query(
+    "dedup_semantic_clustered",
+    oracle=f"""
+    WITH cents AS (
+        SELECT CAST(vec_id AS INTEGER) AS cell_id, embedding::DOUBLE[] AS cemb
+        FROM embeddings WHERE vec_id < 8
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    assigned AS (
+        SELECT vec_id, emb, cell_id FROM (
+            SELECT e.vec_id, e.emb, c.cell_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_IVF_DIST.format(a="e.emb", b="c.cemb")},
+                                c.cell_id
+                   ) AS rn
+            FROM e CROSS JOIN cents c
+        ) WHERE rn = 1
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.emb, b.emb)
+                 / (sqrt(list_dot_product(a.emb, a.emb))
+                    * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos_sim
+    FROM assigned a JOIN assigned b
+      ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.emb, b.emb)
+          / (sqrt(list_dot_product(a.emb, a.emb))
+             * sqrt(list_dot_product(b.emb, b.emb))) >= 0.35
+    """,
+    doc="Semantic (embedding) dedup at scale: K-Means cells as blocking "
+    "-- assign every vector to its nearest fixed centroid (k=8, "
+    "embeddings of vec_id<8; same ties-to-lowest-id argmin as O4), then "
+    "cosine-compare only WITHIN a cell.  The within-cell equi-join "
+    "replaces dedup_embedding_cosine's quadratic all-pairs: at 100 TB "
+    "the candidate set shrinks by ~k x (cells shuffle-partition "
+    "cleanly), at the cost of missing pairs that straddle a cell "
+    "boundary -- the standard recall trade of clustered dedup "
+    "(SemDeDup-style).  Full table, no id cap: the blocking IS the "
+    "bound.  Ties the reference's K-Means core to the pipeline "
+    "extensions: the coarse quantizer is the O4 assignment operator.",
+)
+def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.distance import cosine_similarity
+    from ..operators.kmeans import assign_nd
+    from .kmeans_queries import _cents_nd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _cents_nd(spark, sf_dir, k=8)
+    assigned = assign_nd(e, cents, out="cell_id").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        "cell_id",
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"), "cell_id"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"), "cell_id"
+    )
+    sim = cosine_similarity("emb_a", "emb_b")
+    return (
+        a.join(b, "cell_id")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("_sim", sim)
+        .where(F.col("_sim") >= 0.35)
+        .select("vec_a", "vec_b", F.round("_sim", 6).alias("cos_sim"))
+    )
+
+
+@query(
+    "text_contamination",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct([
+            list_aggregate(toks[i:i+2], 'string_agg', ' ')
+            FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)
+        ])) AS shingle
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+              FROM documents)
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+              FROM corpus GROUP BY doc_id),
+    hits AS (
+        SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        FROM corpus c JOIN bench b ON c.shingle = b.shingle
+        GROUP BY c.doc_id
+    )
+    SELECT h.doc_id, h.n_overlap, s.n_shingles,
+           round(CAST(h.n_overlap AS DOUBLE) / s.n_shingles, 6)
+               AS overlap_ratio,
+           CAST(h.n_overlap AS DOUBLE) / s.n_shingles >= 0.5 AS contaminated
+    FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+    """,
+    doc="Benchmark-contamination check for training corpora: distinct "
+    "3-gram shingle overlap between every corpus document and a "
+    "(small) held-out benchmark set (here doc_id % 97 = 0), reporting "
+    "per-doc overlap count / ratio and a contaminated flag at ratio "
+    ">= 0.5.  The benchmark shingle set is broadcast -- benchmarks are "
+    "KBs-to-MBs while the corpus is the 100 TB side, so the corpus "
+    "never shuffles: explode + broadcast-hash-join + per-doc count is "
+    "one pass over the data.  The standard decontamination pass every "
+    "LLM data pipeline runs before training.",
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, corpus = _contamination_build(spark, sf_dir)
+    return _eager(spark, out, deps=[corpus])
+
+
+def _contamination_build(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Lazy contamination plan + its persisted dependency (exposed
+    separately so tests/test_plans.py can audit the broadcast shape
+    without the _eager collect)."""
+    from ..functions.text import word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = F.array_distinct(word_shingles("text", 3))
+    bench = (
+        d.where(F.col("doc_id") % 97 == 0)
+        .select(F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+    # Materialize per-doc shingle arrays once (two consumers: explode
+    # side + sizes side) -- same contract as dedup_ngram_jaccard.
+    corpus = (
+        d.where(F.col("doc_id") % 97 != 0)
+        .select("doc_id", sh.alias("_sh"))
+        .persist()
+    )
+    shingles = corpus.select("doc_id", F.explode("_sh").alias("shingle"))
+    sizes = corpus.select(
+        "doc_id", F.size("_sh").cast("bigint").alias("n_shingles")
+    )
+    hits = (
+        shingles.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    ratio = F.col("n_overlap") / F.col("n_shingles")
+    out = (
+        hits.join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "n_overlap",
+            "n_shingles",
+            F.round(ratio, 6).alias("overlap_ratio"),
+            (ratio >= 0.5).alias("contaminated"),
+        )
+    )
+    return out, corpus
+
+
+@query(
+    "stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    doc="Streaming exact dedup with bounded state: "
+    "dropDuplicatesWithinWatermark on (user_id, event_type) keeps each "
+    "key in state only until the 2 h watermark passes it -- the only "
+    "dedup formulation that survives an unbounded stream (plain "
+    "dropDuplicates retains ALL keys forever).  Projected to the key "
+    "columns so the result is arrival-order-independent.  The fixture "
+    "drains as ONE microbatch (one parquet file), so no key's state is "
+    "evicted mid-run and the emitted set equals SELECT DISTINCT; with "
+    "eviction (a key recurring later than the watermark delay) the "
+    "stream would legitimately re-emit -- that semantics is covered by "
+    "the multi-batch unit test in tests/test_streaming.py.",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.streams import dedup_stream, read_events_stream
+
+    return _drain_stream_to_table(
+        spark,
+        lambda: dedup_stream(
+            read_events_stream(spark, sf_dir), keys=["user_id", "event_type"]
+        ).select("user_id", "event_type"),
+        "_gate_dedup_",
+    )

@@ -1375,3 +1375,51 @@ def rel_lateral_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+# --- Manual skew salting (round 4) ------------------------------------------
+
+@query(
+    "rel_salted_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Manual salted join: the fact side gets a deterministic salt "
+    "(xxhash64(key) mod 8), the dim side is replicated 8x with an "
+    "exploded salt sequence, and the join runs on (key, salt) -- a hot "
+    "key's rows spread over 8 reducer partitions instead of one.  "
+    "Result is identical to the plain join (oracle = unsalted SQL).  "
+    "This is the portable fallback when AQE skew-join can't fire "
+    "(e.g. a skewed key under an aggregation that defeats the "
+    "post-shuffle split, or engines/DSv2 paths without AQE); "
+    "operators/skew.py demonstrates the AQE-native path on the same "
+    "shape.  The 8x dim replication is the price -- only worth it when "
+    "the dim is small relative to the hot key's row count, which is "
+    "exactly the 100 TB skew regime.  shuffle_hash hint keeps the demo "
+    "honest (no broadcast: salting a broadcast join would be pointless).",
+)
+def rel_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_salt = 8
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "_salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(n_salt)).cast("int")
+    )
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    return (
+        li.join(
+            o.hint("shuffle_hash"),
+            (li.l_orderkey == o.o_orderkey) & (li._salt == o._salt),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )

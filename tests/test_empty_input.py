@@ -23,6 +23,8 @@ QUERIES = [
     "dedup_minhash_lsh",
     "text_token_stats",
     "text_repetition_ratio",
+    "text_contamination",
+    "rel_salted_join",
     "pipe_train_val_test",
     "pipe_token_packing",
     "udtf_shingles",

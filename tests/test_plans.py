@@ -453,3 +453,39 @@ def test_asof_join_has_no_join_operator(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert re.search(r"\bWindow\b", plan), plan
+
+
+def test_salted_join_is_shuffle_hash_on_key_and_salt(spark):
+    """rel_salted_join's claims: no broadcast (salting one would be
+    pointless), a hash join whose keys include the salt column so a hot
+    key spreads across reducers."""
+    plan = plan_of(REGISTRY["rel_salted_join"].fn(spark, SF_DIR))
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "_salt" in plan, plan
+
+
+def test_semantic_dedup_pairs_join_is_equi_on_cell(spark):
+    """dedup_semantic_clustered must never degrade to a cartesian /
+    nested-loop pair generation: the K-Means cell id is the equi key
+    and the vec_a < vec_b ordering is a post-join filter."""
+    plan = plan_of(REGISTRY["dedup_semantic_clustered"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "cell_id" in plan, plan
+
+
+def test_contamination_broadcasts_benchmark_shingles(spark):
+    """text_contamination's 100 TB shape: the benchmark shingle set is
+    the broadcast side; the corpus side must not shuffle for the
+    overlap join (its only exchange is the per-doc count aggregation)."""
+    from kmeans_with_mapreduce_cuda_spark.plans.pipeline import (
+        _contamination_build,
+    )
+
+    out, corpus = _contamination_build(spark, SF_DIR)
+    try:
+        plan = plan_of(out)
+        assert "BroadcastHashJoin" in plan, plan
+    finally:
+        corpus.unpersist()

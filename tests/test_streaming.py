@@ -430,3 +430,56 @@ def test_streaming_source_composes_with_kmeans_scoring(spark, tmp_path):
     }
     assert got == exp
     assert len({c for _, _, c in got}) == 3  # all clusters hit
+
+
+def test_dedup_stream_eviction_readmits_after_watermark(spark, tmp_path):
+    """Multi-batch watermark semantics of dropDuplicatesWithinWatermark
+    (referenced by the stream_dedup gate docstring): a key whose state
+    was evicted by the advancing watermark is legitimately RE-EMITTED on
+    recurrence, while a key recurring within the watermark window stays
+    suppressed.
+
+    Expiry (expires_at = stored ts + delay) is checked by the
+    END-OF-BATCH state cleanup against that batch's watermark, not at
+    lookup time, so eviction takes one extra batch to become visible:
+
+    Batch 1 (file 1): 'a' @ 00:00, 'w' @ 01:00 -> both emitted; end-of-
+    batch watermark advances to 01:00 - 10 min = 00:50.
+    Batch 2 (file 2): 'a'/'w' @ 01:05 -> both still in state at lookup
+    (cleanup hasn't run) -> suppressed; cleanup then removes 'a'
+    (expires_at 00:10 < watermark) and keeps 'w' (expires_at 01:10).
+    Batch 3 (file 3): 'a' @ 01:10 -> no state -> RE-EMITTED;
+    'w' @ 01:10 -> still in state -> suppressed.
+    """
+    import os
+    import pandas as pd
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    batches = [
+        ( ["a", "w"], [t0, t0 + pd.Timedelta(hours=1)] ),
+        ( ["a", "w"], [t0 + pd.Timedelta(minutes=65)] * 2 ),
+        ( ["a", "w"], [t0 + pd.Timedelta(minutes=70)] * 2 ),
+    ]
+    for i, (ks, tss) in enumerate(batches):
+        f = src / f"b{i}.parquet"
+        # micros, not pandas' default nanos: the schema below says
+        # `timestamp`, and the shared session may carry nanosAsLong=true
+        pd.DataFrame({"k": ks, "ts": tss}).to_parquet(
+            f, coerce_timestamps="us"
+        )
+        # file source takes oldest-mtime first under maxFilesPerTrigger=1;
+        # pin the order explicitly rather than trusting write latency
+        os.utime(f, (1_000_000 + i, 1_000_000 + i))
+
+    stream = (
+        spark.readStream.schema("k string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["k"])
+    )
+    got = _run_to_memory(stream, "t_dedup_evict", spark).toPandas()
+    counts = got.groupby("k").size().to_dict()
+    assert counts == {"a": 2, "w": 1}, counts
