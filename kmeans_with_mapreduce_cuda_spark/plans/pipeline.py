@@ -1872,3 +1872,74 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("user_id", "event_type"),
         "_gate_dedup_",
     )
+
+
+@query(
+    "sim_int8_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    codes AS (
+        SELECT vec_id,
+               CASE WHEN amax > 0
+                    THEN [round(x / (amax / 127.0)) FOR x IN emb]
+                    ELSE [0.0 FOR x IN emb] END AS code
+        FROM (SELECT vec_id, emb,
+                     list_max([abs(x) FOR x IN emb]) AS amax
+              FROM e)
+    ),
+    q AS (SELECT vec_id AS q_id, code AS q_code FROM codes
+          WHERE vec_id IN {_QUERY_IDS})
+    SELECT q_id, vec_id AS neighbor_id, cos8, rank FROM (
+        SELECT q.q_id, c.vec_id,
+               round(list_dot_product(q.q_code, c.code)
+                     / (sqrt(list_dot_product(q.q_code, q.q_code))
+                        * sqrt(list_dot_product(c.code, c.code))), 6) AS cos8,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.q_id
+                   ORDER BY list_dot_product(q.q_code, c.code)
+                        / (sqrt(list_dot_product(q.q_code, q.q_code))
+                           * sqrt(list_dot_product(c.code, c.code))) DESC,
+                        c.vec_id
+               ) AS rank
+        FROM q CROSS JOIN codes c
+        WHERE q.q_id <> c.vec_id
+    ) WHERE rank <= 10
+    """,
+    doc="Quantized similarity serving: int8-code cosine top-10 for the "
+    "same 3 queries as sim_topk_bruteforce, hash-checked end-to-end "
+    "(quantize -> code dot product -> rank).  The scales cancel in the "
+    "normalized dot product, so scoring runs entirely on the tinyint "
+    "codes -- a 4x smaller scan than the float path, which is the whole "
+    "point at index scale; sim_topk_bruteforce is the float baseline "
+    "the recall tests compare against (tests/test_similarity.py).  "
+    "Same broadcast-queries / shuffle-free-scoring shape as the float "
+    "path; the oracle mirrors Spark's round-half-away quantization "
+    "exactly (round(x / (max|x|/127))).",
+)
+def sim_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import int8_cosine, quantize_embeddings_int8
+
+    e = load_table(spark, sf_dir, "embeddings")
+    codes = quantize_embeddings_int8(e)
+    q = codes.where(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("q_code").alias("qq_code"),
+        F.col("q_scale").alias("qq_scale"),
+    )
+    sim = int8_cosine("qq_code", "q_code", "qq_scale", "q_scale")
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("_sim8").desc(), F.col("vec_id")
+    )
+    return (
+        codes.crossJoin(F.broadcast(q))
+        .where(F.col("q_id") != F.col("vec_id"))
+        .withColumn("_sim8", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("_sim8", 6).alias("cos8"),
+            "rank",
+        )
+    )
