@@ -1399,8 +1399,13 @@ def rel_lateral_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "operators/skew.py demonstrates the AQE-native path on the same "
     "shape.  The 8x dim replication is the price -- only worth it when "
     "the dim is small relative to the hot key's row count, which is "
-    "exactly the 100 TB skew regime.  shuffle_hash hint keeps the demo "
-    "honest (no broadcast: salting a broadcast join would be pointless).",
+    "exactly the 100 TB skew regime.  The merge (sort-merge) hint keeps "
+    "the demo honest (no broadcast: salting a broadcast join would be "
+    "pointless) AND spill-safe: a shuffle_hash hint here must build an "
+    "in-memory hash map of the x8-replicated dim per partition, and "
+    "OOMed at the 5x-replicated probe scale (sf0.5, 6M build rows) -- "
+    "sort-merge spills to disk instead, the only safe default when the "
+    "salted build side is itself data-scale.",
 )
 def rel_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_salt = 8
@@ -1412,7 +1417,7 @@ def rel_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            o.hint("shuffle_hash"),
+            o.hint("merge"),
             (li.l_orderkey == o.o_orderkey) & (li._salt == o._salt),
         )
         .groupBy("o_orderpriority")

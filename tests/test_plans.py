@@ -455,12 +455,13 @@ def test_asof_join_has_no_join_operator(spark):
     assert re.search(r"\bWindow\b", plan), plan
 
 
-def test_salted_join_is_shuffle_hash_on_key_and_salt(spark):
+def test_salted_join_is_sort_merge_on_key_and_salt(spark):
     """rel_salted_join's claims: no broadcast (salting one would be
-    pointless), a hash join whose keys include the salt column so a hot
-    key spreads across reducers."""
+    pointless), a spill-safe sort-merge join (shuffle_hash OOMs building
+    the replicated dim at probe scale) whose keys include the salt
+    column so a hot key spreads across reducers."""
     plan = plan_of(REGISTRY["rel_salted_join"].fn(spark, SF_DIR))
-    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
     assert "_salt" in plan, plan
 
