@@ -1943,3 +1943,52 @@ def sim_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@query(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE mh AS ({_minhash_sql()}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM mh
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM mh
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach AS (
+        SELECT node, node AS comp FROM nodes
+        UNION
+        SELECT e.b AS node, r.comp FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT CAST(node AS BIGINT) AS doc_id,
+           CAST(min(comp) AS BIGINT) AS component_id
+    FROM reach GROUP BY node
+    """,
+    doc="Duplicate-CLUSTER resolution: MinHash/LSH candidate pairs "
+    "resolved into connected components by iterative min-label "
+    "propagation (operators/dedup.py:connected_components), output "
+    "(doc_id, component_id = min doc id in the cluster).  The missing "
+    "step between pair generation and deletion: keep-min-per-PAIR "
+    "over-deletes whenever A~B and B~C.  The oracle is the transitive "
+    "closure as a recursive CTE over the same md5-portable pair SQL -- "
+    "label propagation's fixpoint IS the closure's min, so the hash "
+    "check verifies actual convergence, not just plumbing.  Converges "
+    "in O(cluster diameter) rounds; LSH clusters are quasi-cliques, so "
+    "2-4 rounds in practice (the adversarial long-chain case is the "
+    "large-star/small-star formulation, documented in the operator).",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components, minhash_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    res = minhash_lsh_pairs(d, max_bucket=1000)
+    pairs = _eager(spark, res.pairs.select("doc_a", "doc_b"), deps=res.deps)
+    comp = connected_components(pairs)
+    return _eager(
+        spark,
+        comp.labels.select(
+            F.col("node").alias("doc_id"),
+            F.col("comp").alias("component_id"),
+        ),
+        deps=comp.deps,
+    )

@@ -21,10 +21,13 @@ QUERIES = [
     "rel_grouping_sets",
     "dedup_exact_keep",
     "dedup_minhash_lsh",
+    "dedup_components",
     "text_token_stats",
     "text_repetition_ratio",
     "text_contamination",
     "rel_salted_join",
+    "sim_int8_topk",
+    "stream_dedup",
     "pipe_train_val_test",
     "pipe_token_packing",
     "udtf_shingles",

@@ -61,3 +61,53 @@ def test_clean_split_pack_composes_as_one_plan(spark):
     # determinism: re-running the composed plan is bit-identical
     again = packed.collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_connected_components_resolves_chains_and_islands(spark):
+    """Label propagation must find the transitive closure, not just
+    direct neighbors: a 6-node path (worst diameter per edge count),
+    a triangle (the quasi-clique LSH shape), and an isolated pair."""
+    from kmeans_with_mapreduce_cuda_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        # path 1-2-3-4-5-6, triangle 10-11-12, island 20-21
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+         (10, 11), (11, 12), (10, 12),
+         (20, 21)],
+        "doc_a bigint, doc_b bigint",
+    )
+    res = connected_components(edges)
+    try:
+        got = {r["node"]: r["comp"] for r in res.labels.collect()}
+    finally:
+        for dep in res.deps:
+            dep.unpersist()
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_connected_components_max_iter_bounds_rounds(spark):
+    """max_iter is a hard round bound: a 6-node path needs ~5
+    propagation rounds; max_iter=1 must stop early (labels then only
+    reflect direct neighbors) without erroring."""
+    from kmeans_with_mapreduce_cuda_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)],
+        "doc_a bigint, doc_b bigint",
+    )
+    res = connected_components(edges, max_iter=1)
+    try:
+        got = {r["node"]: r["comp"] for r in res.labels.collect()}
+    finally:
+        for dep in res.deps:
+            dep.unpersist()
+    # after one round node 6 has only seen 5's initial label
+    assert got[1] == 1 and got[6] == 5
