@@ -1992,3 +1992,73 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         deps=comp.deps,
     )
+
+
+@query(
+    "pipe_doc_chunking",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, len(toks) AS n_tokens,
+               unnest(range(0, greatest(len(toks), 1), 48)) AS chunk_start,
+               toks
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(chunk_start / 48 AS BIGINT) AS chunk_id,
+           CAST(chunk_start AS BIGINT) AS chunk_start,
+           CAST(least(64, n_tokens - chunk_start) AS BIGINT) AS chunk_len,
+           md5(list_aggregate(
+               toks[chunk_start + 1:chunk_start + least(64, n_tokens - chunk_start)],
+               'string_agg', ' ')) AS chunk_md5
+    FROM chunks
+    """,
+    doc="Long-document chunking with overlap: every document is split "
+    "into windows of 64 tokens at stride 48 (16-token overlap so no "
+    "context is lost at a boundary) -- the standard pre-training "
+    "sequence-preparation step for documents longer than the model "
+    "context.  Emits (doc_id, chunk_id, start, len, md5-of-chunk-text); "
+    "the md5 makes the hash check content-verifying without shipping "
+    "chunk bodies through the gate.  Pure JVM: tokenize once, "
+    "sequence() for the stride grid, posexplode + slice + array_join "
+    "-- a narrow per-row fan-out (like O5 multi-emit), zero shuffles, "
+    "embarrassingly parallel at any corpus size.",
+)
+def pipe_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    size, stride = 64, 48
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("toks"))
+    n = F.size("toks")
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)
+    )
+    chunk_len = F.least(F.lit(size), n - F.col("chunk_start"))
+    return (
+        t.select("doc_id", "toks", n.alias("n_tokens"), starts.alias("_starts"))
+        .select(
+            "doc_id",
+            "toks",
+            "n_tokens",
+            F.posexplode("_starts").alias("chunk_id", "chunk_start"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.col("chunk_start").cast("bigint").alias("chunk_start"),
+            chunk_len.cast("bigint").alias("chunk_len"),
+            F.md5(
+                F.array_join(
+                    F.slice(
+                        "toks", F.col("chunk_start") + 1, chunk_len
+                    ),
+                    " ",
+                )
+            ).alias("chunk_md5"),
+        )
+    )

@@ -28,6 +28,7 @@ QUERIES = [
     "rel_salted_join",
     "sim_int8_topk",
     "stream_dedup",
+    "pipe_doc_chunking",
     "pipe_train_val_test",
     "pipe_token_packing",
     "udtf_shingles",
