@@ -2062,3 +2062,108 @@ def pipe_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_md5"),
         )
     )
+
+
+@query(
+    "dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE mh AS ({_minhash_sql()}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM mh
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM mh
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach AS (
+        SELECT node, node AS comp FROM nodes
+        UNION
+        SELECT e.b AS node, r.comp FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comps AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node)
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM comps WHERE node <> comp)
+    """,
+    doc="End-to-end near-dup dedup: the corpus minus every non-canonical "
+    "duplicate-cluster member (canonical = min doc id per connected "
+    "component of the MinHash/LSH pair graph).  Composes "
+    "minhash_lsh_pairs -> connected_components -> broadcast anti-join: "
+    "the duplicate set is tiny relative to the corpus (pairs only), so "
+    "the corpus-side scan never shuffles -- the industrial shape for "
+    "deleting near-dups from 100 TB.  Contrast dedup_exact_keep (exact "
+    "twin) and dedup_components (the cluster view this consumes).",
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components, minhash_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    res = minhash_lsh_pairs(d, max_bucket=1000)
+    pairs = _eager(spark, res.pairs.select("doc_a", "doc_b"), deps=res.deps)
+    comp = connected_components(pairs)
+    dupes = _eager(
+        spark,
+        comp.labels.where(F.col("node") != F.col("comp")).select("node"),
+        deps=comp.deps,
+    )
+    return d.join(
+        F.broadcast(dupes), d.doc_id == dupes.node, "left_anti"
+    ).select("doc_id")
+
+
+@query(
+    "rel_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+          JOIN v ON e.user_id = v.user_id AND e.ts >= v.t1
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+          JOIN c ON e.user_id = c.user_id AND e.ts >= c.t2
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+    UNION ALL
+    SELECT 'view_click', CAST(count(*) AS BIGINT) FROM c
+    UNION ALL
+    SELECT 'view_click_purchase', CAST(count(*) AS BIGINT) FROM p
+    """,
+    doc="Ordered event funnel (view -> click -> purchase): per-user "
+    "earliest view, earliest click at-or-after it, earliest purchase "
+    "at-or-after that; reports users reaching each stage.  Classic "
+    "product-analytics shape the reference cannot express.  Every "
+    "stage is a groupBy(user_id) + equi-join on user_id: after the "
+    "first shuffle the stages are co-partitioned, so AQE reuses the "
+    "partitioning instead of re-shuffling -- at 100 TB the funnel "
+    "costs one user_id shuffle of the filtered events, not three.  "
+    "Timestamps are only compared, never formatted (tz-independent).",
+)
+def rel_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .alias("e")
+        .join(v.alias("v"), "user_id")
+        .where(F.col("e.ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("e.ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .alias("e")
+        .join(c.alias("c"), "user_id")
+        .where(F.col("e.ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("e.ts").alias("t3"))
+    )
+    cnt = lambda df, s: df.agg(  # noqa: E731
+        F.lit(s).alias("stage"), F.count(F.lit(1)).alias("n_users")
+    )
+    return (
+        cnt(v, "view")
+        .unionAll(cnt(c, "view_click"))
+        .unionAll(cnt(p, "view_click_purchase"))
+    )

@@ -22,6 +22,7 @@ QUERIES = [
     "dedup_exact_keep",
     "dedup_minhash_lsh",
     "dedup_components",
+    "dedup_survivors",
     "text_token_stats",
     "text_repetition_ratio",
     "text_contamination",
