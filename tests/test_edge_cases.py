@@ -243,3 +243,46 @@ def test_group_normalize_degenerate_groups_yield_null(spark):
     # and the registered gate query's UDF behaves identically (the body
     # above mirrors plans/pipeline.py:udf_group_normalize)
     assert "udf_group_normalize" in REGISTRY
+
+
+def test_funnel_respects_event_order(spark, tmp_path):
+    """A purchase BEFORE the user's first view (or a click before it)
+    must not advance the funnel: stages are ordered by event time, not
+    mere existence."""
+    import pandas as pd
+
+    rows = [
+        # user 1: clean view -> click -> purchase
+        (1, "2024-01-01 00:00:00", "view"),
+        (1, "2024-01-01 00:01:00", "click"),
+        (1, "2024-01-01 00:02:00", "purchase"),
+        # user 2: purchase first, then view; no click -> view stage only
+        (2, "2024-01-01 00:00:00", "purchase"),
+        (2, "2024-01-01 00:01:00", "view"),
+        # user 3: click before view, second click after -> view+click
+        (3, "2024-01-01 00:00:00", "click"),
+        (3, "2024-01-01 00:01:00", "view"),
+        (3, "2024-01-01 00:05:00", "click"),
+        # user 4: clicks but never views -> reaches nothing
+        (4, "2024-01-01 00:00:00", "click"),
+        (4, "2024-01-01 00:01:00", "purchase"),
+    ]
+    src = tmp_path / "funnel_events"
+    src.mkdir()
+    pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": pd.to_datetime([r[1] for r in rows]),
+            "user_id": [r[0] for r in rows],
+            "event_type": [r[2] for r in rows],
+            "value": [0.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(src / "events.parquet", coerce_timestamps="us")
+    from kmeans_with_mapreduce_cuda_spark.plans.registry import REGISTRY
+
+    got = {
+        r["stage"]: r["n_users"]
+        for r in REGISTRY["rel_funnel"].fn(spark, str(src)).collect()
+    }
+    assert got == {"view": 3, "view_click": 2, "view_click_purchase": 1}

@@ -490,3 +490,21 @@ def test_contamination_broadcasts_benchmark_shingles(spark):
         assert "BroadcastHashJoin" in plan, plan
     finally:
         corpus.unpersist()
+
+
+def test_dedup_survivors_delete_is_broadcast_anti_join(spark):
+    """dedup_survivors' 100 TB shape: the duplicate set (pair members
+    only) broadcasts; the corpus-side scan joins LeftAnti with no
+    Exchange on the corpus side."""
+    plan = plan_of(REGISTRY["dedup_survivors"].fn(spark, SF_DIR))
+    assert "LeftAnti" in plan, plan
+    assert "Broadcast" in plan, plan
+    assert "Exchange hashpartitioning(doc_id" not in plan, plan
+
+
+def test_funnel_has_no_cartesian(spark):
+    """rel_funnel stage-chains equi-joins on user_id -- never a
+    nested-loop/cartesian product."""
+    plan = plan_of(REGISTRY["rel_funnel"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
