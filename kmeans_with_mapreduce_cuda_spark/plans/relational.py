@@ -1428,3 +1428,53 @@ def rel_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@query(
+    "rel_retention",
+    oracle="""
+    WITH su AS (SELECT user_id, min(date_trunc('week', ts)) AS cw
+                FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw
+            FROM events),
+    j AS (SELECT s.user_id, s.cw, a.aw
+          FROM act a JOIN su s ON a.user_id = s.user_id
+          WHERE a.aw >= s.cw)
+    SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', cw, aw) / 7 AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM j GROUP BY cw, date_diff('day', cw, aw) / 7
+    """,
+    doc="Weekly cohort retention: users cohorted by the week of their "
+    "first signup event, counted as retained in every later week they "
+    "show ANY activity.  The other classic product-analytics shape "
+    "(with rel_funnel): distinct per-user week activity, one equi-join "
+    "on user_id against the cohort table, grouped count-distinct.  "
+    "Both engines truncate weeks to Monday (date_trunc('week')); the "
+    "cohort label is formatted, so the drain pins nothing extra -- "
+    "same UTC-session exposure as rel_date_funcs.  At 100 TB the "
+    "distinct-activity projection collapses the event volume to "
+    "users x weeks BEFORE the join -- the join input is bounded by "
+    "the calendar, not the event count.",
+)
+def rel_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.date_trunc("week", "ts")).alias("cw"))
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("aw")
+    ).distinct()
+    j = act.join(su, "user_id").where(F.col("aw") >= F.col("cw"))
+    offset = (
+        F.datediff(F.to_date("aw"), F.to_date("cw")) / 7
+    ).cast("bigint")
+    return (
+        j.groupBy(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            offset.alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
