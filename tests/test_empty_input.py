@@ -23,6 +23,7 @@ QUERIES = [
     "dedup_minhash_lsh",
     "dedup_components",
     "dedup_survivors",
+    "dedup_incremental",
     "text_token_stats",
     "text_repetition_ratio",
     "text_contamination",

@@ -111,3 +111,82 @@ def test_connected_components_max_iter_bounds_rounds(spark):
             dep.unpersist()
     # after one round node 6 has only seen 5's initial label
     assert got[1] == 1 and got[6] == 5
+
+
+def test_connected_components_matches_union_find_property(spark):
+    """Property test: on random small graphs, label propagation's
+    fixpoint must equal a driver-side union-find's components."""
+    from hypothesis import given, settings, strategies as st
+
+    from kmeans_with_mapreduce_cuda_spark.operators.dedup import (
+        connected_components,
+    )
+
+    def union_find(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical label = min node id in the component
+        return {n: find(n) for n in parent}
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=30),
+                st.integers(min_value=0, max_value=30),
+            ).filter(lambda e: e[0] != e[1]),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def check(edge_list):
+        df = spark.createDataFrame(edge_list, "doc_a bigint, doc_b bigint")
+        res = connected_components(df)
+        try:
+            got = {r["node"]: r["comp"] for r in res.labels.collect()}
+        finally:
+            for dep in res.deps:
+                dep.unpersist()
+        exp = union_find(edge_list)
+        # path compression in find() may leave stale parents; resolve
+        exp = {n: exp[c] if exp[c] != c else c for n, c in exp.items()}
+        while any(exp[c] != c for n, c in exp.items() for c in [exp[n]]):
+            exp = {n: exp[exp[n]] for n in exp}
+        assert got == exp
+
+    check()
+
+
+def test_incremental_dedup_cross_batch_semantics(spark):
+    """A delta doc duplicating a BASE doc is dropped; delta-internal
+    duplicates keep the min id; novel content survives."""
+    from kmeans_with_mapreduce_cuda_spark.plans.pipeline import (
+        incremental_dedup_keep,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id bigint, text string"
+    )
+    delta = spark.createDataFrame(
+        [(10, "alpha"),      # dup of base -> dropped
+         (11, "gamma"),      # novel -> kept
+         (12, "delta"),      # novel, duplicated within delta
+         (13, "delta"),      # -> only 12 kept
+         ],
+        "doc_id bigint, text string",
+    )
+    got = sorted(
+        r["doc_id"] for r in incremental_dedup_keep(base, delta).collect()
+    )
+    assert got == [11, 12]
