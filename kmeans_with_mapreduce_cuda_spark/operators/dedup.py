@@ -353,6 +353,7 @@ def connected_components(
     a: str = "doc_a",
     b: str = "doc_b",
     max_iter: int = 20,
+    jump: bool = True,
 ) -> DataFrame:
     """Resolve near-dup candidate PAIRS into duplicate CLUSTERS:
     iterative min-label propagation until fixpoint, returning
@@ -361,19 +362,36 @@ def connected_components(
     This is the missing step between LSH pair generation and actual
     dedup -- keeping "one doc per pair" over-deletes when A~B and B~C
     (A and C are the same cluster).  Each round every node takes the
-    min of its own label and its neighbors' labels: one shuffle join +
-    one grouped min per round, all JVM.
+    min of its own label, its neighbors' labels, and (with ``jump``)
+    its LABEL'S label -- the pointer-jumping/path-doubling step that
+    lets labels skip along already-discovered chains.  All JVM: one
+    (two with jump) shuffle join + one grouped min per round.
 
     Scale judgment: plain propagation converges in O(graph diameter)
-    rounds.  Near-dup graphs are quasi-cliques (LSH bands link most
-    members of a duplicate cluster directly), so the diameter is tiny
-    and 3-5 rounds suffice on real corpora; for adversarial long-chain
-    graphs the alternating large-star/small-star formulation
+    rounds; pointer jumping roughly halves the unresolved distance
+    each round, giving O(log diameter) -- the difference between 63
+    and ~7 rounds on a 64-node chain (asserted in
+    tests/test_pipeline_compose.py).  Near-dup graphs are
+    quasi-cliques (LSH bands link most members of a duplicate cluster
+    directly) where either converges in 2-4 rounds, but jump=True is
+    the default because adversarial chains cost almost nothing to
+    defend against (the extra join is labels-with-labels, bounded by
+    node count).  The alternating large-star/small-star formulation
     (Kiveris et al., "Connected Components in MapReduce and Beyond")
-    drops rounds to O(log n) at the cost of two joins per round --
-    documented as future work, not needed for dedup-cluster shapes.
-    Each round's labels are persisted and the previous round's are
-    unpersisted (the lloyd-loop contract) so lineage never re-executes.
+    additionally shrinks the EDGE set per round; not needed at the
+    pair volumes LSH emits.  Each round's labels are persisted and
+    the previous round's are dropped (the lloyd-loop contract) so
+    lineage never re-executes.
+
+    Lineage discipline: every round references `labels` in THREE
+    branches (self + neighbor msgs + jump), so the logical plan would
+    triple per round and analysis time would blow up exponentially --
+    persist() caches results but does NOT truncate the plan.  Each
+    round's labels therefore go through localCheckpoint(eager=True),
+    which materializes to executor block storage and cuts the lineage
+    to a leaf -- the standard pattern for iterative graph algorithms
+    (GraphFrames' CC does the same).  Old checkpoint blocks are
+    released by the ContextCleaner once unreferenced.
 
     The convergence check (any label still shrinking?) is a 1-row
     driver boundary per round -- the same D2H shape as the K-Means
@@ -386,19 +404,23 @@ def connected_components(
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels.count()
     for _ in range(max_iter):
         msgs = sym.join(labels, sym.src == labels.node).select(
             F.col("dst").alias("node"), F.col("comp")
         )
+        cand = labels.select("node", "comp").unionAll(msgs)
+        if jump:
+            l1, l2 = labels.alias("l1"), labels.alias("l2")
+            jumped = l1.join(
+                l2, F.col("l1.comp") == F.col("l2.node")
+            ).select(F.col("l1.node").alias("node"), F.col("l2.comp"))
+            cand = cand.unionAll(jumped)
         new = (
-            labels.select("node", "comp")
-            .unionAll(msgs)
-            .groupBy("node")
+            cand.groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         shrunk = (
             new.join(
@@ -408,11 +430,10 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new
         if shrunk == 0:
             break
     out = labels.select("node", "comp")
-    # same explicit unpersist contract as LshPairs: the gate query
-    # materializes via _eager(deps=res.deps).
+    # deps kept for the caller-unpersist contract (a no-op on
+    # checkpointed frames, retained so call sites stay uniform).
     return Components(labels=out, deps=[labels])

@@ -190,3 +190,33 @@ def test_incremental_dedup_cross_batch_semantics(spark):
         r["doc_id"] for r in incremental_dedup_keep(base, delta).collect()
     )
     assert got == [11, 12]
+
+
+def test_pointer_jumping_converges_logarithmically(spark):
+    """A 64-node path needs 63 plain-propagation rounds; pointer
+    jumping covers distance 2^r - 1 after r rounds, so 8 rounds must
+    reach the fixpoint -- and plain propagation at the same budget
+    must NOT (the adversarial-chain defense the jump join buys)."""
+    from kmeans_with_mapreduce_cuda_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a bigint, doc_b bigint"
+    )
+
+    res = connected_components(edges, max_iter=8, jump=True)
+    try:
+        got = {r["node"]: r["comp"] for r in res.labels.collect()}
+    finally:
+        for dep in res.deps:
+            dep.unpersist()
+    assert got == {i: 0 for i in range(64)}
+
+    res = connected_components(edges, max_iter=8, jump=False)
+    try:
+        got = {r["node"]: r["comp"] for r in res.labels.collect()}
+    finally:
+        for dep in res.deps:
+            dep.unpersist()
+    assert got[63] != 0  # 8 plain rounds only see distance 8
