@@ -1478,3 +1478,123 @@ def rel_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@query(
+    "rel_constraints",
+    oracle="""
+    SELECT 'orphan_lineitem' AS chk, CAST(count(*) AS BIGINT) AS n_violations
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'dup_orderkey', CAST(count(*) AS BIGINT) FROM
+        (SELECT o_orderkey FROM orders GROUP BY o_orderkey
+         HAVING count(*) > 1) d
+    UNION ALL
+    SELECT 'null_custkey', CAST(count(*) AS BIGINT) FROM orders
+    WHERE o_custkey IS NULL
+    UNION ALL
+    SELECT 'bad_discount', CAST(count(*) AS BIGINT) FROM lineitem
+    WHERE l_discount < 0 OR l_discount > 1
+    """,
+    doc="Data-quality constraint audit (the expectations gate a pipeline "
+    "runs before training or publishing): referential integrity "
+    "(orphan fact rows via anti-join), key uniqueness (grouped "
+    "HAVING), null checks, and domain-range checks -- one row per "
+    "constraint with its violation count, all-zeros = pass.  Scale "
+    "shape: the FK check is the only join and it is an anti-join on "
+    "the key (sort-merge/broadcast as sizes dictate); everything else "
+    "is a scan-side aggregate.  The hash check pins EXACT violation "
+    "counts, so a fixture regression that introduced bad rows would "
+    "surface as a value diff, not silence.",
+)
+def rel_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    orphan = li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+    dup = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+    row = lambda df, name: df.agg(  # noqa: E731
+        F.lit(name).alias("chk"), F.count(F.lit(1)).alias("n_violations")
+    )
+    return (
+        row(orphan, "orphan_lineitem")
+        .unionAll(row(dup, "dup_orderkey"))
+        .unionAll(row(o.where(F.col("o_custkey").isNull()), "null_custkey"))
+        .unionAll(
+            row(
+                li.where(
+                    (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+                ),
+                "bad_discount",
+            )
+        )
+    )
+
+
+@query(
+    "rel_resample",
+    oracle="""
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               round(avg(value), 6) AS v
+        FROM events WHERE user_id < 5 GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    span AS (SELECT user_id, min(h) AS h0, max(h) AS h1
+             FROM hourly GROUP BY user_id),
+    grid AS (SELECT user_id,
+                    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+             FROM span),
+    j AS (SELECT g.user_id, g.h, hr.v
+          FROM grid g LEFT JOIN hourly hr
+            ON hr.user_id = g.user_id AND hr.h = g.h)
+    SELECT user_id, CAST(epoch(h) AS BIGINT) AS hour_epoch,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS v_filled,
+           v IS NULL AS gap
+    FROM j
+    """,
+    doc="Time-series resample + gap fill: per-user hourly means on a "
+    "DENSE hourly grid between each user's first and last event, "
+    "missing hours forward-filled from the last observation (the "
+    "hypertable/time_bucket_gapfill workload class).  Pure relational: "
+    "sequence() explodes the calendar per user (bounded by span, not "
+    "event count), a left equi-join attaches observations, and "
+    "last(ignoreNulls) over an ordered window carries values forward. "
+    "Hours compare as instants (epoch seconds) -- no tz-dependent "
+    "formatting.  Bounded to user_id < 5 because the dense grid is "
+    "output-scale; at 100 TB the same plan runs per-entity with the "
+    "grid partitioned by user.",
+)
+def rel_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 5)
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+    )
+    span = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    j = grid.join(hourly, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.unix_timestamp("h").alias("hour_epoch"),
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        F.col("v").isNull().alias("gap"),
+    )

@@ -28,6 +28,7 @@ QUERIES = [
     "text_repetition_ratio",
     "text_contamination",
     "rel_salted_join",
+    "rel_resample",
     "sim_int8_topk",
     "stream_dedup",
     "pipe_doc_chunking",
