@@ -354,7 +354,7 @@ def connected_components(
     b: str = "doc_b",
     max_iter: int = 20,
     jump: bool = True,
-) -> DataFrame:
+) -> "Components":
     """Resolve near-dup candidate PAIRS into duplicate CLUSTERS:
     iterative min-label propagation until fixpoint, returning
     (node, comp) with comp = the smallest node id reachable from node.
@@ -406,7 +406,7 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         msgs = sym.join(labels, sym.src == labels.node).select(
             F.col("dst").alias("node"), F.col("comp")
         )
@@ -422,6 +422,9 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=True)
         )
+        if it == max_iter - 1:  # no next round: the check can't matter
+            labels = new
+            break
         shrunk = (
             new.join(
                 labels.select("node", F.col("comp").alias("old")), "node"
@@ -437,3 +440,20 @@ def connected_components(
     # deps kept for the caller-unpersist contract (a no-op on
     # checkpointed frames, retained so call sites stay uniform).
     return Components(labels=out, deps=[labels])
+
+
+def incremental_dedup_keep(
+    base: DataFrame, delta: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Incremental (delta-vs-corpus) exact dedup: surviving delta ids =
+    min id per content hash within the delta, minus hashes already
+    present in the base corpus.  Only 16-byte digests move; at scale
+    the base digest index is bucketed by hash so its anti-join side is
+    scan-in-place (see the dedup_incremental gate query)."""
+    bh = base.select(F.md5(text).alias("h")).distinct()
+    keep = (
+        delta.select(F.col(id_col), F.md5(text).alias("h"))
+        .groupBy("h")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return keep.join(bh, "h", "left_anti").select(id_col)

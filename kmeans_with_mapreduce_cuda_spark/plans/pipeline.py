@@ -1733,16 +1733,34 @@ def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "extensions: the coarse quantizer is the O4 assignment operator.",
 )
 def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, assigned = _semantic_dedup_build(spark, sf_dir)
+    return _eager(spark, out, deps=[assigned])
+
+
+def _semantic_dedup_build(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Lazy semantic-dedup plan + its persisted dependency (exposed
+    separately so tests/test_plans.py can audit the join shape without
+    the _eager collect)."""
     from ..functions.distance import cosine_similarity
     from ..operators.kmeans import assign_nd
     from .kmeans_queries import _cents_nd
 
     e = load_table(spark, sf_dir, "embeddings")
     cents = _cents_nd(spark, sf_dir, k=8)
-    assigned = assign_nd(e, cents, out="cell_id").select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("emb"),
-        "cell_id",
+    # Persist the assignment: both self-join sides consume it and the
+    # k x 64-dim distance HOF is the query's dominant compute -- same
+    # multi-consumer contract as dedup_ngram_jaccard (released via
+    # _eager below; the pair set is small).
+    assigned = (
+        assign_nd(e, cents, out="cell_id")
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("emb"),
+            "cell_id",
+        )
+        .persist()
     )
     a = assigned.select(
         F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"), "cell_id"
@@ -1751,13 +1769,14 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"), "cell_id"
     )
     sim = cosine_similarity("emb_a", "emb_b")
-    return (
+    out = (
         a.join(b, "cell_id")
         .where(F.col("vec_a") < F.col("vec_b"))
         .withColumn("_sim", sim)
         .where(F.col("_sim") >= 0.35)
         .select("vec_a", "vec_b", F.round("_sim", 6).alias("cos_sim"))
     )
+    return out, assigned
 
 
 @query(
@@ -2192,22 +2211,10 @@ def rel_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "duplicates (tests/test_pipeline_compose.py).",
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import incremental_dedup_keep
+
     d = load_table(spark, sf_dir, "documents")
     return incremental_dedup_keep(
         d.where(F.col("doc_id") % 10 < 8),
         d.where(F.col("doc_id") % 10 >= 8),
     )
-
-
-def incremental_dedup_keep(
-    base: DataFrame, delta: DataFrame, text: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Surviving delta ids: min id per content hash within the delta,
-    minus hashes already present in the base corpus."""
-    bh = base.select(F.md5(text).alias("h")).distinct()
-    keep = (
-        delta.select(F.col(id_col), F.md5(text).alias("h"))
-        .groupBy("h")
-        .agg(F.min(id_col).alias(id_col))
-    )
-    return keep.join(bh, "h", "left_anti").select(id_col)

@@ -171,7 +171,7 @@ def test_connected_components_matches_union_find_property(spark):
 def test_incremental_dedup_cross_batch_semantics(spark):
     """A delta doc duplicating a BASE doc is dropped; delta-internal
     duplicates keep the min id; novel content survives."""
-    from kmeans_with_mapreduce_cuda_spark.plans.pipeline import (
+    from kmeans_with_mapreduce_cuda_spark.operators.dedup import (
         incremental_dedup_keep,
     )
 

@@ -470,10 +470,18 @@ def test_semantic_dedup_pairs_join_is_equi_on_cell(spark):
     """dedup_semantic_clustered must never degrade to a cartesian /
     nested-loop pair generation: the K-Means cell id is the equi key
     and the vec_a < vec_b ordering is a post-join filter."""
-    plan = plan_of(REGISTRY["dedup_semantic_clustered"].fn(spark, SF_DIR))
-    assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "cell_id" in plan, plan
+    from kmeans_with_mapreduce_cuda_spark.plans.pipeline import (
+        _semantic_dedup_build,
+    )
+
+    out, assigned = _semantic_dedup_build(spark, SF_DIR)
+    try:
+        plan = plan_of(out)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "cell_id" in plan, plan
+    finally:
+        assigned.unpersist()
 
 
 def test_contamination_broadcasts_benchmark_shingles(spark):
