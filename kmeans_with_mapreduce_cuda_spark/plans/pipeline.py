@@ -2218,3 +2218,178 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.where(F.col("doc_id") % 10 < 8),
         d.where(F.col("doc_id") % 10 >= 8),
     )
+
+
+_SQ8_COS = (
+    "list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@query(
+    "sim_ann_ivf_sq8",
+    oracle=f"""
+    WITH cents AS (
+        SELECT CAST(vec_id AS INTEGER) AS cell_id, embedding::DOUBLE[] AS cemb
+        FROM embeddings WHERE vec_id < 4
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    codes AS (
+        SELECT vec_id,
+               CASE WHEN amax > 0
+                    THEN [round(x / (amax / 127.0)) FOR x IN emb]
+                    ELSE [0.0 FOR x IN emb] END AS code
+        FROM (SELECT vec_id, emb,
+                     list_max([abs(x) FOR x IN emb]) AS amax FROM e)
+    ),
+    indexed AS (
+        SELECT vec_id, emb, cell_id FROM (
+            SELECT e.vec_id, e.emb, c.cell_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_IVF_DIST.format(a="e.emb", b="c.cemb")},
+                                c.cell_id
+                   ) AS rn
+            FROM e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e
+          WHERE vec_id IN (0, 7, 42)),
+    probes AS (
+        SELECT q_id, q_emb, cell_id FROM (
+            SELECT q.q_id, q.q_emb, c.cell_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY {_IVF_DIST.format(a="q.q_emb", b="c.cemb")},
+                                c.cell_id
+                   ) AS rn
+            FROM q CROSS JOIN cents c
+        ) WHERE rn <= 2
+    ),
+    cand8 AS (
+        SELECT q_id, q_emb, vec_id, emb FROM (
+            SELECT p.q_id, p.q_emb, i.vec_id, i.emb,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.q_id
+                       ORDER BY {_SQ8_COS.format(a="qc.code", b="ic.code")}
+                                DESC, i.vec_id
+                   ) AS rank8
+            FROM probes p
+            JOIN indexed i ON i.cell_id = p.cell_id
+            JOIN codes qc ON qc.vec_id = p.q_id
+            JOIN codes ic ON ic.vec_id = i.vec_id
+            WHERE p.q_id <> i.vec_id
+        ) WHERE rank8 <= 10
+    )
+    SELECT q_id, vec_id AS neighbor_id, cos_sim, rank FROM (
+        SELECT q_id, vec_id,
+               round({_SQ8_COS.format(a="q_emb", b="emb")}, 6) AS cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_id
+                   ORDER BY {_SQ8_COS.format(a="q_emb", b="emb")} DESC,
+                            vec_id
+               ) AS rank
+        FROM cand8
+    ) WHERE rank <= 5
+    """,
+    doc="The full modern vector-serving stack composed and hash-checked "
+    "end-to-end (FAISS IVF-SQ8 shape): route each query to its 2 "
+    "nearest of 4 fixed cells (float distance, ties to lowest cell), "
+    "score candidates INSIDE probed cells with int8-code cosine (the "
+    "4x-smaller scan), keep the int8 top-10, then RESCORE those 10 "
+    "with exact float cosine and return the top-5.  Every stage is "
+    "deterministic relational algebra, so the oracle mirrors the whole "
+    "pipeline -- cell assignment, quantization, both rankings.  At "
+    "100 TB the int8 pass reads a quarter of the bytes and the float "
+    "pass touches only 10 rows per query; the cell equi-join prunes "
+    "the scan to nprobe/n_cells of the index.",
+)
+def sim_ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import (
+        int8_cosine,
+        quantize_embeddings_int8,
+    )
+    from ..operators.kmeans import assign_nd
+    from ..functions.distance import cosine_similarity
+    from .kmeans_queries import _cents_nd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _cents_nd(spark, sf_dir, k=4)
+    codes = quantize_embeddings_int8(e)
+    indexed = (
+        assign_nd(e, cents, out="cell_id")
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("emb"),
+            "cell_id",
+        )
+        .join(codes, "vec_id")
+    )
+    q = e.where(F.col("vec_id").isin(0, 7, 42)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+    )
+    # nprobe=2 nearest cells per query, same literal-centroid HOF as
+    # ivf_topk (operators/similarity.py:189-214)
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("q_emb"),
+                    F.array(*[F.lit(float(v)) for v in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for c in cents
+        ]
+    )
+    pairs = F.transform(
+        dists, lambda d, i: F.struct(d.alias("d"), i.alias("cell"))
+    )
+    probes = (
+        q.withColumn(
+            "cell_id",
+            F.explode(
+                F.slice(
+                    F.transform(F.array_sort(pairs), lambda s: s["cell"]), 1, 2
+                )
+            ),
+        )
+        .join(
+            codes.select(
+                F.col("vec_id").alias("q_id"),
+                F.col("q_code").alias("qq_code"),
+                F.col("q_scale").alias("qq_scale"),
+            ),
+            "q_id",
+        )
+    )
+    sim8 = int8_cosine("qq_code", "q_code", "qq_scale", "q_scale")
+    w8 = Window.partitionBy("q_id").orderBy(
+        F.col("_sim8").desc(), F.col("vec_id")
+    )
+    cand = (
+        indexed.join(F.broadcast(probes), "cell_id")
+        .where(F.col("q_id") != F.col("vec_id"))
+        .withColumn("_sim8", sim8)
+        .withColumn("rank8", F.row_number().over(w8))
+        .where(F.col("rank8") <= 10)
+    )
+    simf = cosine_similarity("q_emb", "emb")
+    wf = Window.partitionBy("q_id").orderBy(
+        F.col("_sim").desc(), F.col("vec_id")
+    )
+    return (
+        cand.withColumn("_sim", simf)
+        .withColumn("rank", F.row_number().over(wf))
+        .where(F.col("rank") <= 5)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("_sim", 6).alias("cos_sim"),
+            "rank",
+        )
+    )
