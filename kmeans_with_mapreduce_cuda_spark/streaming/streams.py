@@ -456,3 +456,47 @@ def session_window_stream(
             "n_events",
         )
     )
+
+
+def ingest_dedup_foreach_batch(
+    spark: SparkSession,
+    index_path: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """foreachBatch sink implementing streaming corpus ingestion with
+    exact dedup against everything ingested so far -- the streaming
+    twin of the batch ``dedup_incremental`` gate query.
+
+    State is a parquet DIGEST INDEX (one md5 per ingested content),
+    not the documents: per batch, (1) dedup the batch internally (min
+    id per hash), (2) anti-join its digests against the index, (3)
+    append survivors to ``out_path`` and their digests to
+    ``index_path``.  Only 16-byte digests persist as state, so the
+    index stays a tiny fraction of the corpus; at scale it is bucketed
+    by hash so the per-batch anti-join is scan-in-place on the index
+    side.  foreachBatch gives exactly-once appends under Spark's
+    checkpointing when the writes are idempotent per batch_id (parquet
+    append here is at-least-once on retry -- production uses a
+    transactional sink; the semantics under test are the dedup ones).
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        hashed = batch_df.select(
+            F.col(id_col), F.md5(F.col(text_col)).alias("h")
+        )
+        keep = hashed.groupBy("h").agg(F.min(id_col).alias(id_col))
+        try:
+            idx = spark.read.parquet(index_path)
+            novel = keep.join(idx, "h", "left_anti")
+        except AnalysisException:  # first batch: no index yet
+            novel = keep
+        novel = novel.localCheckpoint(eager=True)  # read idx BEFORE appending
+        novel.select(id_col).write.mode("append").parquet(out_path)
+        novel.select("h").write.mode("append").parquet(index_path)
+
+    return fn

@@ -483,3 +483,51 @@ def test_dedup_stream_eviction_readmits_after_watermark(spark, tmp_path):
     got = _run_to_memory(stream, "t_dedup_evict", spark).toPandas()
     counts = got.groupby("k").size().to_dict()
     assert counts == {"a": 2, "w": 1}, counts
+
+
+def test_streaming_ingest_dedup_matches_batch_incremental(spark, tmp_path):
+    """foreachBatch digest-index ingestion must reproduce batch
+    first-occurrence dedup over the concatenated batches: a doc
+    repeating EARLIER-batch content is dropped, an intra-batch dup
+    keeps the min id, novel content always lands."""
+    import pandas as pd
+
+    from kmeans_with_mapreduce_cuda_spark.streaming.streams import (
+        ingest_dedup_foreach_batch,
+    )
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    batches = [
+        [(1, "alpha"), (2, "beta")],
+        [(10, "alpha"), (11, "gamma"), (12, "gamma")],  # 10 dup, 12 intra-dup
+        [(20, "beta"), (21, "delta")],                   # 20 dup of batch 1
+    ]
+    import os
+    for i, rows in enumerate(batches):
+        f = src / f"b{i}.parquet"
+        pd.DataFrame(
+            {"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]}
+        ).to_parquet(f)
+        os.utime(f, (1_000_000 + i, 1_000_000 + i))
+
+    out, idx = str(tmp_path / "out"), str(tmp_path / "idx")
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            ingest_dedup_foreach_batch(spark, idx, out)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 11, 21]
+    # index holds exactly one digest per distinct content
+    assert spark.read.parquet(idx).distinct().count() == 4
