@@ -336,16 +336,46 @@ def simhash_near_pairs(
     return LshPairs(pairs=pairs, deps=[banded], capped_buckets=capped)
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free a localCheckpoint'ed DataFrame's executor blocks NOW.
+
+    DataFrame.unpersist() is a no-op for checkpointed frames (their
+    blocks belong to the internal LogicalRDD, not the cache manager),
+    and waiting for the ContextCleaner means blocks pile up until a
+    driver GC happens to run.  The checkpointed RDD is reachable as
+    queryExecution.analyzed (a LogicalRDD) -> .rdd; best-effort since
+    it crosses into internals -- on any failure the ContextCleaner
+    still reclaims eventually."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
+class _CheckpointHandle:
+    """Adapter giving a checkpointed DataFrame the same ``unpersist()``
+    surface as a cached one, so Components.deps works with the shared
+    _eager/deps release contract."""
+
+    def __init__(self, df: DataFrame) -> None:
+        self._df = df
+
+    def unpersist(self) -> None:
+        _release_local_checkpoint(self._df)
+
+
 class Components(NamedTuple):
     """Result of connected-components resolution.
 
     labels  (node, comp) DataFrame -- comp is the min reachable node id
-    deps    persisted intermediates the caller must unpersist after
-            materializing ``labels``
+    deps    release handles the caller must ``unpersist()`` after
+            materializing ``labels`` (they free the final round's
+            localCheckpoint blocks; intermediate rounds are released
+            inside the loop)
     """
 
     labels: DataFrame
-    deps: list[DataFrame]
+    deps: list
 
 
 def connected_components(
@@ -423,6 +453,7 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         if it == max_iter - 1:  # no next round: the check can't matter
+            _release_local_checkpoint(labels)
             labels = new
             break
         shrunk = (
@@ -433,13 +464,34 @@ def connected_components(
             .limit(1)
             .count()
         )
+        _release_local_checkpoint(labels)  # old round: deterministic free
         labels = new
         if shrunk == 0:
             break
     out = labels.select("node", "comp")
-    # deps kept for the caller-unpersist contract (a no-op on
-    # checkpointed frames, retained so call sites stay uniform).
-    return Components(labels=out, deps=[labels])
+    # same explicit release contract as LshPairs: the gate query
+    # materializes via _eager(deps=res.deps).
+    return Components(labels=out, deps=[_CheckpointHandle(labels)])
+
+
+def incremental_dedup_keep_digests(
+    digests: DataFrame,
+    delta: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Core of incremental dedup against a pre-hashed digest index:
+    surviving delta (h, id) rows = min id per content hash within the
+    delta, minus hashes present in ``digests`` (a single-column ``h``
+    DataFrame).  Shared by the batch gate query (dedup_incremental)
+    and the streaming foreachBatch ingest sink so their dedup key and
+    tie-break rules cannot drift apart."""
+    keep = (
+        delta.select(F.col(id_col), F.md5(text).alias("h"))
+        .groupBy("h")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return keep.join(digests, "h", "left_anti")
 
 
 def incremental_dedup_keep(
@@ -451,9 +503,6 @@ def incremental_dedup_keep(
     the base digest index is bucketed by hash so its anti-join side is
     scan-in-place (see the dedup_incremental gate query)."""
     bh = base.select(F.md5(text).alias("h")).distinct()
-    keep = (
-        delta.select(F.col(id_col), F.md5(text).alias("h"))
-        .groupBy("h")
-        .agg(F.min(id_col).alias(id_col))
+    return incremental_dedup_keep_digests(bh, delta, text, id_col).select(
+        id_col
     )
-    return keep.join(bh, "h", "left_anti").select(id_col)

@@ -171,6 +171,45 @@ def persist_ivf_index(indexed: DataFrame, path: str) -> None:
     write_partitioned_parquet(indexed, path, ["cell_id"])
 
 
+def route_to_cells(
+    queries: DataFrame,
+    cents: CentroidsND,
+    nprobe: int,
+    q_features: str = "q_emb",
+) -> DataFrame:
+    """Attach a ``cell_id`` per (query, probed cell): each query routes
+    to its ``nprobe`` nearest centroids by squared-Euclidean distance,
+    ties to the lowest cell id (array_sort on (dist, idx) structs).
+    The single source of the probe semantics -- used by ivf_topk and
+    the composed IVF-SQ8 gate query so tie-break/nprobe rules cannot
+    drift between them."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col(q_features).cast("array<double>"),
+                    F.array(*[F.lit(float(v)) for v in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for c in cents
+        ]
+    )
+    pairs = F.transform(
+        dists, lambda d, i: F.struct(d.alias("d"), i.alias("cell"))
+    )
+    probe_cells = F.slice(
+        F.transform(F.array_sort(pairs), lambda s: s["cell"]), 1, nprobe
+    )
+    return (
+        queries.withColumn("_probe", probe_cells)
+        .withColumn("cell_id", F.explode("_probe"))
+        .drop("_probe")
+    )
+
+
 def ivf_topk(
     indexed: DataFrame,
     cents: CentroidsND,
@@ -186,32 +225,7 @@ def ivf_topk(
     brute-force only within those cells (equi-join on cell_id -- the scan
     prunes to nprobe/n_cells of the data instead of a full cross join).
     """
-    # nprobe nearest cells per query, from the same k literal centroids.
-    q = queries
-    dists = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    F.col(q_features).cast("array<double>"),
-                    F.array(*[F.lit(float(v)) for v in c]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            for c in cents
-        ]
-    )
-    # indices of the nprobe smallest distances (array_sort on (dist, idx))
-    pairs = F.transform(
-        dists, lambda d, i: F.struct(d.alias("d"), i.alias("cell"))
-    )
-    probe_cells = F.slice(
-        F.transform(F.array_sort(pairs), lambda s: s["cell"]), 1, nprobe
-    )
-    q = q.withColumn("_probe", probe_cells).withColumn(
-        "cell_id", F.explode("_probe")
-    ).drop("_probe")
+    q = route_to_cells(queries, cents, nprobe, q_features=q_features)
 
     sim = cosine_similarity(q_features, F.col(features).cast("array<double>"))
     w = Window.partitionBy(q_id_col).orderBy(F.col("_sim").desc(), F.col(id_col))

@@ -2197,7 +2197,8 @@ def rel_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
               WHERE doc_id % 10 >= 8),
     keep AS (SELECT h, CAST(min(doc_id) AS BIGINT) AS doc_id
              FROM delta GROUP BY h)
-    SELECT doc_id FROM keep WHERE h NOT IN (SELECT h FROM base)
+    SELECT doc_id FROM keep k
+    WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.h = k.h)
     """,
     doc="Incremental (delta-vs-corpus) exact dedup: a new batch "
     "(doc_id % 10 >= 8 here; a daily increment in production) is "
@@ -2330,34 +2331,10 @@ def sim_ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"),
         F.col("embedding").cast("array<double>").alias("q_emb"),
     )
-    # nprobe=2 nearest cells per query, same literal-centroid HOF as
-    # ivf_topk (operators/similarity.py:189-214)
-    dists = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    F.col("q_emb"),
-                    F.array(*[F.lit(float(v)) for v in c]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            for c in cents
-        ]
-    )
-    pairs = F.transform(
-        dists, lambda d, i: F.struct(d.alias("d"), i.alias("cell"))
-    )
+    from ..operators.similarity import route_to_cells
+
     probes = (
-        q.withColumn(
-            "cell_id",
-            F.explode(
-                F.slice(
-                    F.transform(F.array_sort(pairs), lambda s: s["cell"]), 1, 2
-                )
-            ),
-        )
+        route_to_cells(q, cents, nprobe=2)
         .join(
             codes.select(
                 F.col("vec_id").alias("q_id"),

@@ -483,18 +483,26 @@ def ingest_dedup_foreach_batch(
     """
     from pyspark.sql.utils import AnalysisException
 
+    from ..operators.dedup import incremental_dedup_keep_digests
+
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        hashed = batch_df.select(
-            F.col(id_col), F.md5(F.col(text_col)).alias("h")
-        )
-        keep = hashed.groupBy("h").agg(F.min(id_col).alias(id_col))
         try:
             idx = spark.read.parquet(index_path)
-            novel = keep.join(idx, "h", "left_anti")
-        except AnalysisException:  # first batch: no index yet
-            novel = keep
+        except AnalysisException as e:
+            # ONLY a genuinely absent index means "first batch".  Any
+            # other analysis failure (corrupt index, empty dir after a
+            # partial append, permissions) must fail loudly: falling
+            # through would skip the anti-join and silently re-ingest
+            # duplicates.
+            cond = getattr(e, "getCondition", getattr(e, "getErrorClass", lambda: None))()
+            if cond != "PATH_NOT_FOUND":
+                raise
+            idx = spark.createDataFrame([], "h string")
+        novel = incremental_dedup_keep_digests(
+            idx, batch_df, text_col, id_col
+        )
         novel = novel.localCheckpoint(eager=True)  # read idx BEFORE appending
         novel.select(id_col).write.mode("append").parquet(out_path)
         novel.select("h").write.mode("append").parquet(index_path)

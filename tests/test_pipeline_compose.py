@@ -158,11 +158,9 @@ def test_connected_components_matches_union_find_property(spark):
         finally:
             for dep in res.deps:
                 dep.unpersist()
+        # find() resolves to the root, and union-by-min makes every root
+        # the component minimum, so exp maps node -> component min.
         exp = union_find(edge_list)
-        # path compression in find() may leave stale parents; resolve
-        exp = {n: exp[c] if exp[c] != c else c for n, c in exp.items()}
-        while any(exp[c] != c for n, c in exp.items() for c in [exp[n]]):
-            exp = {n: exp[exp[n]] for n in exp}
         assert got == exp
 
     check()
@@ -220,3 +218,24 @@ def test_pointer_jumping_converges_logarithmically(spark):
         for dep in res.deps:
             dep.unpersist()
     assert got[63] != 0  # 8 plain rounds only see distance 8
+
+
+def test_connected_components_releases_checkpoint_blocks(spark):
+    """Intermediate rounds are freed inside the loop and the deps
+    handle frees the final round: after release, the session holds no
+    more cached RDDs than before the run."""
+    from kmeans_with_mapreduce_cuda_spark.operators.dedup import (
+        connected_components,
+    )
+
+    sc = spark.sparkContext
+    before = len(sc._jsc.sc().getRDDStorageInfo())
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "doc_a bigint, doc_b bigint"
+    )
+    res = connected_components(edges)
+    res.labels.collect()
+    for dep in res.deps:
+        dep.unpersist()
+    after = len(sc._jsc.sc().getRDDStorageInfo())
+    assert after == before, (before, after)
