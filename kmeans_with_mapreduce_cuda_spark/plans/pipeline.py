@@ -2370,3 +2370,369 @@ def sim_ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# --- Corpus-wide boilerplate removal (CCNet-style duplicated-line strip) -----
+
+@query(
+    "text_boilerplate_strip",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest([
+                   list_aggregate(t[(i-1)*8+1:(i-1)*8+8], 'string_agg', ' ')
+                   FOR i IN range(1, CAST(ceil(len(t) / 8.0) AS INT) + 1)
+               ]) AS chunk
+        FROM toks
+    ),
+    g2 AS (
+        SELECT doc_id, md5(chunk) AS ck,
+               len(regexp_split_to_array(chunk, ' ')) AS wc
+        FROM g
+    ),
+    freq AS (SELECT ck, count(DISTINCT doc_id) AS df FROM g2 GROUP BY ck)
+    SELECT g2.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boiler_chunks,
+           CAST(sum(CASE WHEN f.df < 2 THEN g2.wc ELSE 0 END) AS BIGINT)
+               AS n_tokens_kept
+    FROM g2 JOIN freq f USING (ck)
+    GROUP BY g2.doc_id
+    """,
+    doc="CCNet-style boilerplate removal: split each doc into consecutive "
+    "8-token segments, count each segment's corpus-wide document "
+    "frequency, and strip segments appearing in >= 2 documents (the "
+    "CCNet duplicated-line rule; real crawls segment on newlines -- the "
+    "synthetic corpus has none, so fixed-width token windows stand in). "
+    "Scale shape: the frequency shuffle and the join back both key on "
+    "the segment's 16-byte md5 digest, never the segment text, so "
+    "shuffle bytes are O(segments), independent of segment width; the "
+    "per-doc re-aggregation keys on doc_id.  Two digest-keyed "
+    "shuffles total -- the same plan CCNet runs over Common Crawl.",
+)
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    nch = F.ceil(F.size(toks) / F.lit(8)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+    )
+    g = d.select(F.col("doc_id"), F.explode(chunks).alias("chunk")).select(
+        "doc_id",
+        F.md5(F.col("chunk")).alias("ck"),
+        F.size(F.split(F.col("chunk"), " ")).alias("wc"),
+    )
+    freq = g.groupBy("ck").agg(F.count_distinct("doc_id").alias("df"))
+    return (
+        g.join(freq, "ck")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias(
+                "n_boiler_chunks"
+            ),
+            F.sum(F.when(F.col("df") < 2, F.col("wc")).otherwise(0)).alias(
+                "n_tokens_kept"
+            ),
+        )
+    )
+
+
+# --- PII redaction ------------------------------------------------------------
+
+#: Engine-portable PII regexes (valid Java regex AND RE2): kept to the
+#: common subset -- char classes, \d, \b, bounded repetition.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d[\d ]{6,}\d"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=rf"""
+    WITH injected AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' contact user' || doc_id || '@example.com now'
+                       ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN ' from 10.0.' || (doc_id % 256) || '.1 logged'
+                       ELSE '' END
+               || CASE WHEN doc_id % 13 = 0
+                       THEN ' call +1 555 0' || (100 + doc_id % 900)
+                            || ' 2345 today'
+                       ELSE '' END AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(t, '{PII_IPV4}')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(t, '{PII_PHONE}')) AS BIGINT)
+               AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '{PII_EMAIL}', '<EMAIL>', 'g'),
+               '{PII_IPV4}', '<IP>', 'g'),
+               '{PII_PHONE}', '<PHONE>', 'g')) AS scrubbed_md5
+    FROM injected
+    """,
+    doc="PII redaction: scrub emails / IPv4 addresses / phone numbers with "
+    "engine-portable regexes (Java-regex AND RE2 common subset), counting "
+    "redactions per type; the md5 of the scrubbed text hash-checks the "
+    "full replacement semantics, not just the counts.  The synthetic "
+    "corpus contains no PII, so both engines first inject deterministic "
+    "doc_id-derived PII into a slice of docs -- the oracle then genuinely "
+    "verifies match + replacement behavior.  Scale shape: a per-row "
+    "regex projection, zero shuffles, whole-stage-codegen'd; this is "
+    "the canonical pre-training scrub pass and it streams at scan "
+    "speed on any corpus size.",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(""),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (did % 256).cast("string"),
+                F.lit(".1 logged"),
+            ),
+        ).otherwise(""),
+        F.when(
+            did % 13 == 0,
+            F.concat(
+                F.lit(" call +1 555 0"),
+                (F.lit(100) + did % 900).cast("string"),
+                F.lit(" 2345 today"),
+            ),
+        ).otherwise(""),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), 0))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), 0))
+        .cast("bigint")
+        .alias("n_ips"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), 0))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+# --- TF-IDF top terms ---------------------------------------------------------
+
+@query(
+    "text_tfidf_topterms",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tf, w, rank FROM (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               tf.tf * (n.n_docs + 1.0) / (d.df + 1.0) AS w,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * (n.n_docs + 1.0) / (d.df + 1.0) DESC,
+                            tf.term
+               ) AS rank
+        FROM tf JOIN dfreq d USING (term) CROSS JOIN n
+    ) WHERE rank <= 3
+    """,
+    doc="Per-document top-3 salient terms by rarity-weighted term "
+    "frequency: tf(doc,term) * (N+1)/(df(term)+1).  The rational weight "
+    "replaces the classic tf*ln(N/df) because +-*/ are IEEE-exact and "
+    "bit-identical across engines while ln() is library-dependent -- "
+    "same ranking intent, hash-checkable; the weight is emitted "
+    "UNROUNDED because the exact-integer multiply+divide is already "
+    "bit-identical, whereas round() diverges on decimal-half ties "
+    "(see pipe_quality_classifier).  Scale shape: one shuffle to "
+    "(doc_id, term) for tf, one term-keyed shuffle for df (bounded by "
+    "vocabulary, map-side combined), a term-keyed join back, and a "
+    "per-doc window on the already-(doc,term)-clustered rows.  The "
+    "N-scalar joins in as a broadcast of a 1-row aggregate -- no "
+    "collect, no driver literal.",
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    weight = F.col("tf") * (F.col("n_docs") + 1.0) / (F.col("df") + 1.0)
+    w = Window.partitionBy("doc_id").orderBy(weight.desc(), "term")
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("w", weight)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "w", "rank")
+    )
+
+
+# --- Vocabulary build ---------------------------------------------------------
+
+@query(
+    "pipe_vocab_build",
+    oracle=r"""
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents
+    ),
+    counts AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY term
+    ),
+    total AS (SELECT sum(n) AS tot FROM counts),
+    top AS (
+        SELECT term, n FROM counts ORDER BY n DESC, term LIMIT 256
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) - 1 AS BIGINT)
+               AS vocab_id,
+           term, n,
+           sum(n) OVER (
+               ORDER BY n DESC, term
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) / (SELECT tot FROM total) AS cum_frac
+    FROM top
+    """,
+    doc="Tokenizer-prep vocabulary build: corpus unigram counts -> top-256 "
+    "by (count desc, term) -> contiguous vocab ids 0..255 -> cumulative "
+    "corpus-coverage fraction per rank (the curve that picks vocab "
+    "size).  Scale shape: the count shuffle is vocabulary-bounded with "
+    "map-side combine; top-256 compiles to TakeOrderedAndProject "
+    "(per-partition top-k, tiny driver merge -- the full vocabulary "
+    "never lands on one task); the id/coverage window then touches "
+    "only the 256 survivors, and the corpus-total joins in as a "
+    "broadcast 1-row aggregate.",
+)
+def pipe_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("tot"))
+    top = counts.orderBy(F.col("n").desc(), "term").limit(256)
+    w = Window.orderBy(F.col("n").desc(), "term")
+    cum = Window.orderBy(F.col("n").desc(), "term").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("vocab_id", (F.row_number().over(w) - 1).cast("bigint"))
+        .withColumn("cum_frac", F.sum("n").over(cum) / F.col("tot"))
+        .select("vocab_id", "term", "n", "cum_frac")
+    )
+
+
+# --- Hashed linear quality classifier -----------------------------------------
+
+#: Seeded integer weight table (milli-units) for the 16 hash buckets --
+#: a stand-in for trained fastText-style classifier weights; integer so
+#: the per-doc sum is exact and order-free in every engine.
+_QC_WEIGHTS = [((b * 2654435761 + 12345) % 997) - 498 for b in range(16)]
+
+
+@query(
+    "pipe_quality_classifier",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, toks,
+               CAST(list_sum([
+                   {_QC_WEIGHTS}[
+                       (CAST(('0x' || substr(md5('qc:' || tok), 1, 8))
+                             AS BIGINT) % 16) + 1]
+                   FOR tok IN toks
+               ]) AS BIGINT) AS m
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           m / (1000.0 * len(toks)) AS score,
+           m > 0 AS keep
+    FROM scored
+    """,
+    doc="fastText-shaped hashed linear quality classifier as pure "
+    "relational algebra: each token hashes (md5, engine-portable) into "
+    "one of 16 buckets, a seeded integer milli-weight table scores it, "
+    "and the per-doc mean margin decides keep/drop.  Weights are "
+    "integers so the fold is exact and summation-order-free (float "
+    "dot products hash-differ across engines); the final division "
+    "normalizes once per doc and is deliberately UNROUNDED: one IEEE "
+    "division of identical integers is bit-identical in both engines, "
+    "while round() itself diverges on decimal-half ties (0.0639375 "
+    "rounded up by Spark's HALF_UP-on-shortest-repr, down by DuckDB's "
+    "binary-aware round).  Scale shape: a shuffle-free per-row "
+    "projection -- the model is a 16-entry literal array compiled into "
+    "the expression (the broadcast IS the plan, same pattern as the "
+    "k-means centroid literals); inference streams at scan speed and "
+    "is exactly how a trained linear scrubber deploys on 100 TB.",
+)
+def pipe_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    warr = F.array(*[F.lit(w) for w in _QC_WEIGHTS])
+
+    def bucket_weight(tok):
+        b = (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("qc:"), tok)), 1, 8), 16, 10
+            ).cast("bigint")
+            % 16
+        )
+        return F.element_at(warr, (b + 1).cast("int")).cast("bigint")
+
+    toks = tokens("text")
+    m = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, tok: acc + bucket_weight(tok)
+    )
+    n_tok = F.size(toks)
+    return d.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        (m / (1000.0 * n_tok)).alias("score"),
+        (m > 0).alias("keep"),
+    )
