@@ -272,3 +272,40 @@ def test_zorder_key_3col_is_bijective_and_invertible(spark):
             for j in range(n):
                 decoded[j] |= ((k >> (i * n + j)) & 1) << i
         assert decoded == [int(r["a"]), int(r["b"]), int(r["c"])], (r, decoded)
+
+
+def test_zorder_clustering_three_columns(spark, tmp_path):
+    """3-column Z-order write: every file's footer min/max must narrow
+    on ALL THREE interleaved columns (each below ~the full domain), with
+    the expected dimensionality cost vs the 2-column tiling -- more
+    dimensions at fixed key bits widen each per-column span, but all
+    stay prunable."""
+    from kmeans_with_mapreduce_cuda_spark.functions.layout import (
+        write_zorder_clustered,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    zdir = str(tmp_path / "zorder3")
+    write_zorder_clustered(
+        li, zdir, "l_orderkey", "l_partkey", "l_suppkey", num_files=16
+    )
+
+    spans = {}
+    for col in ("l_orderkey", "l_partkey", "l_suppkey"):
+        lo, hi = li.agg(F.min(col), F.max(col)).collect()[0]
+        rng = _key_ranges(zdir, col)
+        spans[col] = sum(
+            (fhi - flo) / max(hi - lo, 1) for flo, fhi in rng
+        ) / len(rng)
+    # all three dimensions prune: mean per-file span well under the domain
+    for col, s in spans.items():
+        assert s < 0.75, (col, s, spans)
+
+    back = spark.read.parquet(zdir)
+    assert back.count() == li.count()
+    assert (
+        back.agg(F.sum("l_quantity")).collect()[0][0]
+        == li.agg(F.sum("l_quantity")).collect()[0][0]
+    )
