@@ -516,3 +516,39 @@ def test_funnel_has_no_cartesian(spark):
     plan = plan_of(REGISTRY["rel_funnel"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_quality_classifier_is_shuffle_free(spark):
+    """pipe_quality_classifier: inference must be a pure projection --
+    the 16-entry weight table is a literal array compiled into the
+    expression, so the plan carries no Exchange and no Join of any
+    kind (the 'broadcast IS the plan' pattern)."""
+    plan = plan_of(REGISTRY["pipe_quality_classifier"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_vocab_build_topk_is_take_ordered(spark):
+    """pipe_vocab_build: the top-256 cut must compile to
+    TakeOrderedAndProject over the count aggregation -- the full
+    vocabulary must never collapse into a single-partition sort; the
+    id/coverage windows run over the 256 survivors only (above the
+    TakeOrdered in the tree)."""
+    plan = plan_of(REGISTRY["pipe_vocab_build"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    tree = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    assert tree.index("Window") < tree.index("TakeOrderedAndProject"), plan
+
+
+def test_boilerplate_strip_shuffles_digests_not_text(spark):
+    """text_boilerplate_strip: every Exchange in the plan must partition
+    on either the md5 digest (ck) or doc_id -- never on the raw chunk
+    string -- so shuffle row width is bounded by the 32-char digest
+    regardless of segment width."""
+    import re
+
+    plan = plan_of(REGISTRY["text_boilerplate_strip"].fn(spark, SF_DIR))
+    parts = re.findall(r"hashpartitioning\(([a-zA-Z_0-9#]+)", plan)
+    assert parts, plan
+    for key in parts:
+        assert key.startswith(("ck#", "doc_id#")), (key, parts)
