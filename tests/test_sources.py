@@ -86,6 +86,24 @@ def test_csv_json_roundtrip(spark, tmp_path):
     assert {(r["n_nationkey"], r["n_name"]) for r in orc_back.collect()} == want
 
 
+def test_xml_roundtrip(spark, tmp_path):
+    """Format breadth: Spark 4's built-in XML source round-trips the
+    same relation (rowTag framing on both write and read; numeric
+    columns come back via schema inference)."""
+    src = load_table(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    xml_dir = str(tmp_path / "xml")
+    (
+        src.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .save(xml_dir)
+    )
+    back = spark.read.format("xml").option("rowTag", "nation").load(xml_dir)
+    want = {(r["n_nationkey"], r["n_name"]) for r in src.collect()}
+    assert {(int(r["n_nationkey"]), r["n_name"]) for r in back.collect()} == want
+
+
 def test_partitioned_sink_prunes(spark, tmp_path):
     """Partitioned parquet written BY cluster_id must (a) round-trip and
     (b) prune partitions when filtered on the partition column."""
