@@ -239,3 +239,34 @@ def test_connected_components_releases_checkpoint_blocks(spark):
         dep.unpersist()
     after = len(sc._jsc.sc().getRDDStorageInfo())
     assert after == before, (before, after)
+
+
+def test_curation_stages_compose_and_agree(spark):
+    """The curation queries must agree when joined per doc: the
+    classifier, boilerplate strip, and PII scrub all tokenize the same
+    way, so their per-doc token accounting is mutually consistent --
+    and the composed keep-filter chain stays one declarative plan."""
+    cls = REGISTRY["pipe_quality_classifier"].fn(spark, SF_DIR)
+    boiler = REGISTRY["text_boilerplate_strip"].fn(spark, SF_DIR)
+    pii = REGISTRY["text_pii_scrub"].fn(spark, SF_DIR)
+
+    joined = (
+        cls.join(boiler, "doc_id")
+        .join(pii.select("doc_id", "scrubbed_md5"), "doc_id")
+    )
+    rows = joined.collect()
+    assert len(rows) == cls.count() == boiler.count()
+
+    for r in rows:
+        removed = r["n_tokens"] - r["n_tokens_kept"]
+        # every chunk holds 1..8 tokens, so the stripped-token count is
+        # bracketed by the boilerplate chunk count
+        assert r["n_boiler_chunks"] <= removed <= 8 * r["n_boiler_chunks"], r
+        # chunking covers the doc exactly: ceil(n_tokens / 8) chunks
+        assert r["n_chunks"] == -(-r["n_tokens"] // 8), r
+
+    # the keep-filter selects a proper, deterministic subset
+    kept = joined.where(F.col("keep")).collect()
+    assert 0 < len(kept) < len(rows)
+    again = joined.where(F.col("keep")).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, kept))
