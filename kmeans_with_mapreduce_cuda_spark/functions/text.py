@@ -79,3 +79,42 @@ def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+#: Seeded integer weight table (milli-units) for the 16 hash buckets of
+#: the hashed linear quality classifier -- a stand-in for trained
+#: fastText-style weights; integer so the per-doc sum is exact and
+#: order-free in every engine.
+QC_WEIGHTS = [((b * 2654435761 + 12345) % 997) - 498 for b in range(16)]
+
+
+def hashed_linear_margin(
+    text: Column | str,
+    weights: list[int] = QC_WEIGHTS,
+    salt: str = "qc:",
+) -> Column:
+    """Integer margin of a hashed linear classifier: each token hashes
+    (md5, engine-portable) into one of ``len(weights)`` buckets and the
+    bucket's milli-weight is summed -- an exact bigint fold, so the
+    value is reproducible regardless of evaluation order.  Normalize
+    with ``margin / (1000.0 * size(tokens(text)))`` for a mean score;
+    the division is a single IEEE op and stays bit-identical across
+    engines (see pipe_quality_classifier).
+    """
+    n = len(weights)
+    warr = F.array(*[F.lit(w) for w in weights])
+
+    def bucket_weight(tok: Column) -> Column:
+        b = (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(salt), tok)), 1, 8), 16, 10
+            ).cast("bigint")
+            % n
+        )
+        return F.element_at(warr, (b + 1).cast("int")).cast("bigint")
+
+    return F.aggregate(
+        tokens(text),
+        F.lit(0).cast("bigint"),
+        lambda acc, tok: acc + bucket_weight(tok),
+    )

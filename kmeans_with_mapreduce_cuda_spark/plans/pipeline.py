@@ -2666,10 +2666,7 @@ def pipe_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Hashed linear quality classifier -----------------------------------------
 
-#: Seeded integer weight table (milli-units) for the 16 hash buckets --
-#: a stand-in for trained fastText-style classifier weights; integer so
-#: the per-doc sum is exact and order-free in every engine.
-_QC_WEIGHTS = [((b * 2654435761 + 12345) % 997) - 498 for b in range(16)]
+from ..functions.text import QC_WEIGHTS as _QC_WEIGHTS  # noqa: E402
 
 
 @query(
@@ -2713,23 +2710,11 @@ _QC_WEIGHTS = [((b * 2654435761 + 12345) % 997) - 498 for b in range(16)]
     "is exactly how a trained linear scrubber deploys on 100 TB.",
 )
 def pipe_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import hashed_linear_margin
+
     d = load_table(spark, sf_dir, "documents")
-    warr = F.array(*[F.lit(w) for w in _QC_WEIGHTS])
-
-    def bucket_weight(tok):
-        b = (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit("qc:"), tok)), 1, 8), 16, 10
-            ).cast("bigint")
-            % 16
-        )
-        return F.element_at(warr, (b + 1).cast("int")).cast("bigint")
-
-    toks = tokens("text")
-    m = F.aggregate(
-        toks, F.lit(0).cast("bigint"), lambda acc, tok: acc + bucket_weight(tok)
-    )
-    n_tok = F.size(toks)
+    m = hashed_linear_margin("text")
+    n_tok = F.size(tokens("text"))
     return d.select(
         "doc_id",
         n_tok.cast("bigint").alias("n_tokens"),
