@@ -2721,3 +2721,67 @@ def pipe_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (m / (1000.0 * n_tok)).alias("score"),
         (m > 0).alias("keep"),
     )
+
+
+# --- Dataset card -------------------------------------------------------------
+
+@query(
+    "pipe_dataset_card",
+    oracle=rf"""
+    WITH t AS (
+        SELECT source, lang,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    ),
+    scored AS (
+        SELECT source, lang,
+               CAST(len(toks) AS BIGINT) AS n_tok,
+               CAST(list_sum([
+                   {_QC_WEIGHTS}[
+                       (CAST(('0x' || substr(md5('qc:' || tok), 1, 8))
+                             AS BIGINT) % 16) + 1]
+                   FOR tok IN toks
+               ]) AS BIGINT) AS m
+        FROM t
+    )
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(sum(m) AS BIGINT) / (1000.0 * sum(n_tok)) AS mean_score
+    FROM scored
+    GROUP BY GROUPING SETS ((source, lang), (source), ())
+    """,
+    doc="The dataset card: the per-(source, lang) reporting table a "
+    "corpus release ships -- document counts, token totals, "
+    "quality-filter keep counts, and corpus-mean classifier score, "
+    "with source-level and grand-total rows via GROUPING SETS.  Float "
+    "discipline: every aggregate is an exact bigint sum (the integer "
+    "classifier margin), and the mean is ONE division at the end -- "
+    "order-free and bit-identical across engines, where avg(double) "
+    "would hash-differ with summation order.  Scale shape: one "
+    "map-side-combined shuffle keyed by the grouping-set tuples over "
+    "per-row projected integers; output is bounded by "
+    "sources x languages.",
+)
+def pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import hashed_linear_margin
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "source",
+        "lang",
+        F.size(tokens("text")).cast("bigint").alias("n_tok"),
+        hashed_linear_margin("text").alias("m"),
+    )
+    return (
+        scored.groupingSets(
+            [("source", "lang"), ("source",), ()], "source", "lang"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum(F.when(F.col("m") > 0, 1).otherwise(0)).alias("n_keep"),
+            (F.sum("m") / (1000.0 * F.sum("n_tok"))).alias("mean_score"),
+        )
+    )
