@@ -1404,9 +1404,11 @@ def _drain_stream_to_table(spark: SparkSession, build, prefix: str) -> DataFrame
     return spark.table(name)
 
 
-@query(
-    "stream_session_windows",
-    oracle="""
+#: Batch gap-merge twin of the streaming session window, restricted to
+#: sessions the append-mode watermark has closed by stream end -- shared
+#: by the default-provider and RocksDB-provider gate queries, which must
+#: be result-identical by contract.
+_SESSION_WINDOW_ORACLE = """
     WITH e AS (SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts
                FROM events),
     g AS (
@@ -1431,7 +1433,12 @@ def _drain_stream_to_table(spark: SparkSession, build, prefix: str) -> DataFrame
     FROM s GROUP BY user_id, sid
     HAVING max(ts) + INTERVAL 30 MINUTE
            <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
-    """,
+    """
+
+
+@query(
+    "stream_session_windows",
+    oracle=_SESSION_WINDOW_ORACLE,
     doc="Native streaming session windows, hash-checked: the REAL "
     "streaming job (file source -> session_window(ts, 30 min) gap-merge "
     "-> append-mode memory sink, availableNow).  Append mode emits a "
@@ -1450,6 +1457,38 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: session_window_stream(read_events_stream(spark, sf_dir)),
         "_gate_sessionwin_",
     )
+
+
+@query(
+    "stream_session_windows_rocksdb",
+    oracle=_SESSION_WINDOW_ORACLE,
+    doc="The same native session-window stream drained under the "
+    "RocksDB state store provider -- the large-state production "
+    "configuration (disk-backed state, incremental changelog "
+    "checkpoints, block-cache-bounded memory) where the default "
+    "provider would OOM holding billions of open sessions on heap.  "
+    "Same oracle as stream_session_windows by contract: the provider "
+    "changes the memory/checkpoint profile, never the result; this "
+    "gate row makes that claim driver-hash-checked rather than only "
+    "unit-tested.  The provider conf applies to queries STARTED after "
+    "the set and is restored afterward, so neighboring gate queries "
+    "keep the default provider.",
+)
+def stream_session_windows_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import read_events_stream, session_window_stream
+    from ..streaming.streams import use_rocksdb_state
+
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(conf)
+    try:
+        use_rocksdb_state(spark)
+        return _drain_stream_to_table(
+            spark,
+            lambda: session_window_stream(read_events_stream(spark, sf_dir)),
+            "_gate_sessionwin_rocks_",
+        )
+    finally:
+        spark.conf.set(conf, old)
 
 
 @query(
