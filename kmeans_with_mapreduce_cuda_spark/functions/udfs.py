@@ -38,3 +38,26 @@ def quality_features_udf(text: Column | str) -> Column:
         punct_ratio_udf(c).alias("punct_ratio"),
         token_count_udf(c).alias("n_tokens"),
     )
+
+
+@pandas_udf("double")
+def median_udaf(v: pd.Series) -> float:
+    """Grouped-AGGREGATE pandas UDF (the UDAF surface): per-group median.
+
+    Arrow ships each group's column as one pandas Series; the return is
+    a scalar per group.  np.median sorts and, for even counts, returns
+    (a+b)/2 -- the oracle mirrors that exact formula (NOT quantile
+    interpolation a+(b-a)/2, which can differ in the last ulp), so the
+    value is bit-identical and hash-checkable unrounded.  Deterministic
+    regardless of row arrival order because the sort is internal.
+    Scale: Spark runs partial aggregation per partition only for
+    JVM aggregates -- a grouped-agg UDF ships whole groups to Python
+    workers, so it belongs on bounded-cardinality groups (here:
+    event_type), never on data-scale keys.
+    """
+    import numpy as np
+
+    arr = v.dropna().to_numpy()
+    if arr.size == 0:
+        return None
+    return float(np.median(arr))

@@ -2824,3 +2824,49 @@ def pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("m") / (1000.0 * F.sum("n_tok"))).alias("mean_score"),
         )
     )
+
+
+# --- UDAF surface: grouped-aggregate pandas UDF -------------------------------
+
+@query(
+    "udaf_median_by_type",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY value, event_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type,
+           CASE WHEN max(n) % 2 = 1
+                THEN max(CASE WHEN rn * 2 = n + 1 THEN value END)
+                ELSE (max(CASE WHEN rn * 2 = n THEN value END)
+                      + max(CASE WHEN rn * 2 = n + 2 THEN value END)) / 2.0
+           END AS median_value,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM v GROUP BY event_type
+    """,
+    doc="The UDAF surface: a grouped-AGGREGATE pandas UDF computing the "
+    "per-event-type median (functions/udfs.py:median_udaf), "
+    "hash-checked against an explicit sort+middle-selection SQL twin "
+    "that reproduces np.median's even-count (a+b)/2 formula exactly "
+    "(quantile-interpolation forms differ in the last ulp).  Grouped "
+    "UDAFs ship whole groups through Arrow to Python workers -- no "
+    "map-side partials -- so the engine reserves them for "
+    "bounded-cardinality group keys like this 5-value type column; "
+    "the hot aggregation paths stay JVM-side.",
+)
+def udaf_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark disallows mixing a grouped-agg pandas UDF with JVM aggregates
+    # in one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the count runs as a
+    # separate JVM aggregation joined back on the 5-row group key.
+    from ..functions.udfs import median_udaf
+
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    med = e.groupBy("event_type").agg(
+        median_udaf("value").alias("median_value")
+    )
+    cnt = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    return med.join(cnt, "event_type")
