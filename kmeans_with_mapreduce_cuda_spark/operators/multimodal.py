@@ -110,7 +110,10 @@ DECODE_SCHEMA = StructType(
 
 
 def decode_and_featurize(
-    df: DataFrame, payload_col: str = "payload", use_real_codec: bool = False
+    df: DataFrame,
+    payload_col: str = "payload",
+    use_real_codec: bool = False,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batches).
 
@@ -120,9 +123,19 @@ def decode_and_featurize(
     path is not implemented, and requesting it raises at call time (see
     ``_require_real_codec``).  The Spark-side contract (schema, batching,
     partition-parallelism) is identical either way.
+
+    ``id_col`` names the passthrough identifier column -- payload tables
+    key on whatever the ingest produced (doc_id, asset path from the
+    binaryFile source, ...); the output schema renames it to ``doc_id``
+    with the id's own type preserved.
     """
     if use_real_codec:
         _require_real_codec("decode_and_featurize")
+
+    id_type = df.schema[id_col].dataType
+    out_schema = StructType(
+        [StructField("doc_id", id_type), *DECODE_SCHEMA.fields[1:]]
+    )
 
     def batches(it: Iterator) -> Iterator:
         import numpy as np
@@ -146,7 +159,7 @@ def decode_and_featurize(
                 feats.append((counts / total).tolist())
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
+                    "doc_id": pdf[id_col],
                     "width": (n % 640 + 1).astype("int32"),
                     "height": (n % 480 + 1).astype("int32"),
                     "channels": np.full(len(pdf), 3, dtype="int32"),
@@ -155,7 +168,7 @@ def decode_and_featurize(
                 }
             )
 
-    return df.mapInPandas(batches, schema=DECODE_SCHEMA)
+    return df.mapInPandas(batches, schema=out_schema)
 
 
 #: output schema of the resize stub: payload out, new dimensions.

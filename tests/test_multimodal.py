@@ -195,3 +195,57 @@ def test_map_in_arrow_decode_matches_pandas_path(spark):
     exp = canon(decode_and_featurize(d).collect())
     assert got == exp
     assert len(got) == 200
+
+
+def test_binary_file_source_feeds_multimodal_pipeline(spark, tmp_path):
+    """How payloads actually arrive at a pipeline: raw files on object
+    storage read via the built-in binaryFile source (path, length,
+    content columns), flowing straight into the payload-metadata and
+    decode/featurize operators without any byte munging."""
+    import os
+
+    from kmeans_with_mapreduce_cuda_spark.operators.multimodal import (
+        decode_and_featurize,
+        payload_metadata,
+    )
+
+    blobs = {
+        "a.bin": b"\x89PNG\r\n\x1a\nfakepngpayload",
+        "b.bin": b"RIFFxxxxWAVEfakeaudio",
+        "c.bin": b"plain text bytes",
+    }
+    src = tmp_path / "blobs"
+    src.mkdir()
+    for name, data in blobs.items():
+        (src / name).write_bytes(data)
+
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(str(src))
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("name"),
+            "length",
+            F.col("content").alias("payload"),
+        )
+    )
+    rows = {r["name"]: r for r in df.collect()}
+    assert set(rows) == set(blobs)
+    for name, data in blobs.items():
+        assert rows[name]["length"] == len(data)
+        assert bytes(rows[name]["payload"]) == data
+
+    meta = df.select("name", payload_metadata("payload").alias("m")).collect()
+    got = {r["name"]: r["m"]["n_bytes"] for r in meta}
+    assert got == {n: len(d) for n, d in blobs.items()}
+
+    feats = {
+        r["doc_id"]: r
+        for r in decode_and_featurize(
+            df.select("name", "payload"), payload_col="payload", id_col="name"
+        ).collect()
+    }
+    assert set(feats) == set(blobs)
+    # the stub's dims are pure functions of byte length
+    for name, data in blobs.items():
+        assert feats[name]["width"] == len(data) % 640 + 1
