@@ -118,3 +118,17 @@ def hashed_linear_margin(
         F.lit(0).cast("bigint"),
         lambda acc, tok: acc + bucket_weight(tok),
     )
+
+
+def quality_score_cols(text_col: Column | str = "text") -> list[Column]:
+    """The hashed-linear classifier's output columns, shared by the
+    pipe_quality_classifier gate query and the curate CLI so the two
+    can never drift: (n_tokens bigint, score double, keep boolean).
+    Score is the UNROUNDED mean margin (see hashed_linear_margin)."""
+    m = hashed_linear_margin(text_col)
+    n_tok = F.size(tokens(text_col))
+    return [
+        n_tok.cast("bigint").alias("n_tokens"),
+        (m / (1000.0 * n_tok)).alias("score"),
+        (m > 0).alias("keep"),
+    ]

@@ -2749,17 +2749,10 @@ from ..functions.text import QC_WEIGHTS as _QC_WEIGHTS  # noqa: E402
     "is exactly how a trained linear scrubber deploys on 100 TB.",
 )
 def pipe_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import hashed_linear_margin
+    from ..functions.text import quality_score_cols
 
     d = load_table(spark, sf_dir, "documents")
-    m = hashed_linear_margin("text")
-    n_tok = F.size(tokens("text"))
-    return d.select(
-        "doc_id",
-        n_tok.cast("bigint").alias("n_tokens"),
-        (m / (1000.0 * n_tok)).alias("score"),
-        (m > 0).alias("keep"),
-    )
+    return d.select("doc_id", *quality_score_cols("text"))
 
 
 # --- Dataset card -------------------------------------------------------------

@@ -1,5 +1,6 @@
-"""The corpus-curation CLI: dedup -> quality filter -> partitioned
-write as one invocation over a documents parquet table."""
+"""The corpus-curation CLI: null-text gate -> dedup -> quality filter
+-> partitioned write as one invocation over a documents parquet table,
+with stage accounting observed during the write job itself."""
 
 from __future__ import annotations
 
@@ -21,10 +22,12 @@ def test_curate_cli_end_to_end(spark, tmp_path):
     )
     assert stats["input_docs"] >= stats["after_dedup"] >= stats["written"]
     assert stats["written"] > 0
+    assert stats["null_text_dropped"] == 0  # fixture has no null text
 
     back = spark.read.parquet(out)
     # survivors carry the scoring columns and respect the threshold
     assert {"doc_id", "text", "n_tokens", "score", "lang"} <= set(back.columns)
+    assert back.count() == stats["written"]
     assert back.where(F.col("score") < 0.0).count() == 0
     # partitioned layout: one subdirectory per language
     langs = {r["lang"] for r in back.select("lang").distinct().collect()}
@@ -35,6 +38,37 @@ def test_curate_cli_end_to_end(spark, tmp_path):
     assert dup == 0
 
 
+def test_curate_zero_survivors_and_null_text(spark, tmp_path):
+    """A threshold that filters out everything must still succeed with
+    written=0 (review regression: the old read-back of a _SUCCESS-only
+    partitioned dir crashed on schema inference), and NULL-text rows
+    are dropped WITH accounting, never silently."""
+    from kmeans_with_mapreduce_cuda_spark.curate import main
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, "alpha beta", "en"), (2, None, "en"), (3, "alpha beta", "de")],
+        "doc_id bigint, text string, lang string",
+    ).write.parquet(src)
+
+    out = str(tmp_path / "none")
+    stats = main(
+        [src, out, "--min-score", "1e18", "--partition-by", "lang"],
+        spark=spark,
+    )
+    assert stats == {
+        "input_docs": 3,
+        "null_text_dropped": 1,
+        "after_dedup": 1,  # docs 1 and 3 share text -> one survivor
+        "written": 0,
+    }
+
+    out2 = str(tmp_path / "all")
+    stats2 = main([src, out2, "--min-score=-1e18"], spark=spark)
+    assert stats2["written"] == 1
+    assert [r["doc_id"] for r in spark.read.parquet(out2).collect()] == [1]
+
+
 def test_curate_matches_classifier_query(spark, tmp_path):
     """The CLI's scoring columns are the same expressions as the
     pipe_quality_classifier gate query -- scores must agree per doc."""
@@ -43,12 +77,12 @@ def test_curate_matches_classifier_query(spark, tmp_path):
     from kmeans_with_mapreduce_cuda_spark.sources.readers import load_table
 
     docs = load_table(spark, SF_DIR, "documents")
-    survivors, _ = curate(docs, min_score=float("-inf"))
+    plan = curate(docs, min_score=float("-inf"))
     want = {
         r["doc_id"]: r["score"]
         for r in REGISTRY["pipe_quality_classifier"].fn(spark, SF_DIR).collect()
     }
-    got = {r["doc_id"]: r["score"] for r in survivors.collect()}
+    got = {r["doc_id"]: r["score"] for r in plan.survivors.collect()}
     assert set(got) <= set(want)
     for did, s in got.items():
         assert s == want[did], did
