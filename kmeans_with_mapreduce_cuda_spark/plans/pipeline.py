@@ -421,6 +421,44 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 8, seed: int = 42) -> str:
     """
 
 
+def _minhash_verified_sql(threshold: float = 0.5) -> str:
+    """Oracle for the filter-verify pattern: the LSH candidate pairs of
+    :func:`_minhash_sql`, rescored with EXACT distinct-shingle Jaccard
+    (computed by unnest + equi-join restricted to the candidate set),
+    kept at ``jaccard >= threshold``.  The exact jaccard is emitted
+    UNROUNDED: one division of identical integers is bit-identical
+    across engines (registry float discipline)."""
+    inner = _minhash_sql()
+    return f"""
+    WITH est AS ({inner}),
+    toks2 AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    sh2 AS (
+        SELECT doc_id, list_distinct([
+            list_aggregate(toks[i:i+2], 'string_agg', ' ')
+            FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)
+        ]) AS shingles FROM toks2
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh2),
+    flat AS (SELECT doc_id, unnest(shingles) AS s FROM sh2),
+    inter AS (
+        SELECT e.doc_a, e.doc_b, e.est_jaccard, count(*) AS i
+        FROM est e
+        JOIN flat fa ON fa.doc_id = e.doc_a
+        JOIN flat fb ON fb.doc_id = e.doc_b AND fb.s = fa.s
+        GROUP BY e.doc_a, e.doc_b, e.est_jaccard
+    )
+    SELECT doc_a, doc_b, est_jaccard,
+           CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {threshold}
+    """
+
+
 @query(
     "dedup_minhash_lsh",
     oracle=_minhash_sql(),
@@ -2863,3 +2901,48 @@ def udaf_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cnt = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
     return med.join(cnt, "event_type")
+
+
+
+# --- Filter-verify: LSH candidates rescored with exact Jaccard ----------------
+
+@query(
+    "dedup_lsh_verified",
+    oracle=_minhash_verified_sql(0.5),
+    doc="The canonical two-stage near-dup pipeline composed end-to-end: "
+    "MinHash/LSH banding generates candidate pairs (recall stage, "
+    "never all-pairs), then ONLY those candidates are rescored with "
+    "exact distinct-shingle Jaccard and kept at >= 0.5 (precision "
+    "stage).  Exact scoring joins the per-doc shingle arrays to the "
+    "candidate pair list and intersects in-row (array_intersect) -- "
+    "cost is O(candidates x shingles-per-doc), independent of corpus "
+    "pair count, which is why every production dedup runs "
+    "filter-then-verify instead of either stage alone.  The exact "
+    "jaccard is emitted unrounded (one IEEE division of identical "
+    "integers; registry float discipline).",
+)
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import word_shingles
+    from ..operators.dedup import minhash_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    res = minhash_lsh_pairs(d, max_bucket=1000)
+    arrs = d.select(
+        "doc_id", F.array_distinct(word_shingles("text", 3)).alias("_sh")
+    )
+    a = arrs.select(
+        F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sha")
+    )
+    b = arrs.select(
+        F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_shb")
+    )
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    union = F.size("_sha") + F.size("_shb") - inter
+    jac = inter.cast("double") / union
+    out = (
+        res.pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .where(jac >= 0.5)
+        .select("doc_a", "doc_b", "est_jaccard", jac.alias("jaccard"))
+    )
+    return _eager(spark, out, deps=res.deps)
