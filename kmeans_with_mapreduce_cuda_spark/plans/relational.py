@@ -1598,3 +1598,87 @@ def rel_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).alias("v_filled"),
         F.col("v").isNull().alias("gap"),
     )
+
+
+# --- Ordered string aggregation (LISTAGG) --------------------------------------
+
+@query(
+    "rel_listagg",
+    oracle="""
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           CAST(count(*) AS BIGINT) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    doc="Ordered string aggregation: Spark 4's ANSI LISTAGG ... WITHIN "
+    "GROUP (ORDER BY ...) vs DuckDB's ordered string_agg.  The "
+    "explicit WITHIN GROUP order is what makes a concatenation "
+    "aggregate deterministic and therefore hash-checkable -- unordered "
+    "listagg concatenates in partition-arrival order and would differ "
+    "run to run.  Group count is bounded by regions, so the aggregate "
+    "state is tiny regardless of corpus size.",
+)
+def rel_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    n.createOrReplaceTempView("_la_nation")
+    r.createOrReplaceTempView("_la_region")
+    return spark.sql(
+        """
+        SELECT r.r_name,
+               listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name)
+                   AS nations,
+               count(*) AS n_nations
+        FROM _la_nation n JOIN _la_region r
+          ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        """
+    )
+
+
+# --- ANSI try_* arithmetic ------------------------------------------------------
+
+@query(
+    "rel_try_arith",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity = 25.0 THEN NULL
+                ELSE l_extendedprice / (l_quantity - 25.0) END AS ratio,
+           CASE WHEN l_linenumber % 2 = 0
+                THEN TRY_CAST(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+                              AS INTEGER)
+                ELSE TRY_CAST('n/a' AS INTEGER) END AS parsed_qty,
+           CASE WHEN l_orderkey = 0 THEN 9223372036854775807
+                ELSE CAST(NULL AS BIGINT) END AS overflowed
+    FROM lineitem WHERE l_orderkey < 2000
+    """,
+    doc="ANSI-mode error-safe arithmetic: try_divide (divide-by-zero -> "
+    "NULL instead of the ANSI runtime error), try_cast on mixed "
+    "well/mal-formed strings, and try_add at bigint overflow (NULL "
+    "for every orderkey > 0; the orderkey-0 rows add zero and "
+    "legitimately survive -- a genuinely data-dependent overflow "
+    "boundary).  Spark 4 runs ANSI mode by default, "
+    "where plain division by zero THROWS -- try_* is the idiom that "
+    "keeps dirty-data pipelines total; the oracle mirrors each with "
+    "explicit CASE guards.  The surviving division is emitted "
+    "unrounded (one IEEE op on identical doubles).",
+)
+def rel_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 2000)
+    parsed_src = F.when(
+        F.col("l_linenumber") % 2 == 0,
+        F.col("l_quantity").cast("bigint").cast("string"),
+    ).otherwise(F.lit("n/a"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_extendedprice"), F.col("l_quantity") - 25.0
+        ).alias("ratio"),
+        parsed_src.try_cast("int").alias("parsed_qty"),
+        F.try_add(
+            F.lit(9223372036854775807).cast("bigint"),
+            F.col("l_orderkey").cast("bigint"),
+        ).alias("overflowed"),
+    )
