@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Targeted oracle probe: run NAMED registry queries against DuckDB on
+an arbitrary fixture directory (the same canon comparison as
+driver_gate_check, without sweeping all of them).
+
+Usage:
+    python tests/oracle_probe.py SF_DIR query1 [query2 ...]
+
+SF_DIR needs only the parquet tables the chosen queries actually read
+(missing tables are skipped at view registration).  This is the tool
+for scale-fixture probes -- pair it with tests/make_scale_fixture.py.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as entrymod  # noqa: E402
+from kmeans_with_mapreduce_cuda_spark.sources.readers import TABLES  # noqa: E402
+
+
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def norm(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return "<null>"
+        if isinstance(v, bool):
+            return str(v)
+        if isinstance(v, float):
+            return f"{v:.6f}"
+        return str(v)
+
+    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+
+def main() -> None:
+    import os
+
+    from pyspark.sql import SparkSession
+
+    sf_dir, names = sys.argv[1], sys.argv[2:]
+    assert names, "usage: oracle_probe.py SF_DIR query1 [query2 ...]"
+    spark = (
+        SparkSession.builder.appName("oracle-probe")
+        .master("local[8]")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    failed = []
+    for name in names:
+        if name not in qs:
+            failed.append((name, "unknown query"))
+            continue
+        t0 = time.time()
+        try:
+            df = qs[name](spark, sf_dir)
+            cols, rows = df.columns, df.collect()
+            cur = con.execute(osql[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+            g = canon(cols, [tuple(r) for r in rows])
+            e = canon(ocols, orows)
+            if sorted(cols) != sorted(ocols):
+                failed.append((name, f"columns {sorted(cols)} != {sorted(ocols)}"))
+            elif g != e:
+                bad = next(
+                    (i for i, (a, b) in enumerate(zip(g, e)) if a != b), None
+                )
+                detail = f"rows {len(rows)} vs {len(orows)}, first diff {bad}"
+                if bad is not None:
+                    detail += f"\n    spark : {g[bad]}\n    duckdb: {e[bad]}"
+                failed.append((name, detail))
+            else:
+                print(f"OK {name}: {len(rows)} rows, {time.time() - t0:.1f} s")
+        except Exception as exc:  # noqa: BLE001
+            failed.append((name, f"EXC {type(exc).__name__}: {exc}"))
+
+    spark.stop()
+    if failed:
+        for name, why in failed:
+            print(f"FAIL {name}: {why}")
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
