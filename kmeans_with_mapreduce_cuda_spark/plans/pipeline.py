@@ -112,7 +112,7 @@ _SHINGLE_SQL = """
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b,
-           round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+           CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
     FROM pair_overlap
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
@@ -158,7 +158,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         overlap.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .where(jac >= 0.2)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
     return _eager(spark, out, deps=[arrs])
 
@@ -172,8 +172,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS INTEGER)
                AS n_tokens,
            CAST(length(text) AS BIGINT) AS n_chars_actual,
-           round(CAST(length(text) AS DOUBLE)
-                 / len(regexp_split_to_array(trim(lower(text)), '\\s+')), 4)
+           CAST(length(text) AS DOUBLE)
+               / len(regexp_split_to_array(trim(lower(text)), '\\s+'))
                AS chars_per_token
     FROM documents
     """,
@@ -187,7 +187,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         nt.alias("n_tokens"),
         F.length("text").cast("bigint").alias("n_chars_actual"),
-        F.round(F.length("text").cast("double") / nt, 4).alias("chars_per_token"),
+        (F.length("text").cast("double") / nt).alias("chars_per_token"),
     )
 
 
@@ -206,9 +206,9 @@ _SW_SQL = ", ".join(f"'{w}'" for w in _SW)
         FROM documents
     )
     SELECT doc_id,
-           round(1.0 - len_clean / len, 6) AS punct_ratio,
-           round(CAST(len(list_filter(toks, w -> list_contains([{_SW_SQL}], w)))
-                      AS DOUBLE) / greatest(len(toks), 1), 6) AS stopword_ratio,
+           1.0 - len_clean / len AS punct_ratio,
+           CAST(len(list_filter(toks, w -> list_contains([{_SW_SQL}], w)))
+                AS DOUBLE) / greatest(len(toks), 1) AS stopword_ratio,
            CAST(len < 100 OR len > 20000 AS BOOLEAN) AS len_flag
     FROM t
     """,
@@ -226,9 +226,9 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     sw_hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     return d.select(
         "doc_id",
-        F.round(F.lit(1.0) - ln_clean / ln, 6).alias("punct_ratio"),
-        F.round(
-            sw_hits.cast("double") / F.greatest(F.size(toks), F.lit(1)), 6
+        (F.lit(1.0) - ln_clean / ln).alias("punct_ratio"),
+        (
+            sw_hits.cast("double") / F.greatest(F.size(toks), F.lit(1))
         ).alias("stopword_ratio"),
         ((ln < 100) | (ln > 20000)).alias("len_flag"),
     )
@@ -564,7 +564,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(len(toks) AS INTEGER) AS n_tokens,
-           round(CAST(s['en'] AS DOUBLE) / greatest(len(toks), 1), 6)
+           CAST(s['en'] AS DOUBLE) / greatest(len(toks), 1)
                AS en_stopword_ratio
     FROM scored
     WHERE len BETWEEN 100 AND 20000
@@ -603,7 +603,7 @@ def pipe_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.size(toks).alias("n_tokens"),
-            F.round(ratio, 6).alias("en_stopword_ratio"),
+            ratio.alias("en_stopword_ratio"),
         )
     )
 
@@ -1258,7 +1258,7 @@ def pipe_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(sum(c) AS BIGINT) AS n_grams,
-           round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS rep_ratio
+           CAST(max(c) AS DOUBLE) / sum(c) AS rep_ratio
     FROM counts GROUP BY doc_id
     """,
     doc="Repetition filter (the Gopher/MassiveText heuristic): share of "
@@ -1275,7 +1275,7 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = g.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
     return counts.groupBy("doc_id").agg(
         F.sum("c").alias("n_grams"),
-        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("rep_ratio"),
+        (F.max("c").cast("double") / F.sum("c")).alias("rep_ratio"),
     )
 
 
@@ -1659,9 +1659,9 @@ _BPE_SQL = _BPE_PATTERN.replace("'", "''")
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS INTEGER)
                AS n_pieces,
-           round(CAST(length(text) AS DOUBLE)
-                 / greatest(len(regexp_extract_all(text, '{_BPE_SQL}')), 1),
-                 4) AS chars_per_piece
+           CAST(length(text) AS DOUBLE)
+               / greatest(len(regexp_extract_all(text, '{_BPE_SQL}')), 1)
+               AS chars_per_piece
     FROM documents
     """,
     doc="BPE-ish token counting: a GPT-2-style pre-tokenizer regex "
@@ -1679,8 +1679,8 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         n.alias("n_pieces"),
-        F.round(
-            F.length("text").cast("double") / F.greatest(n, F.lit(1)), 4
+        (
+            F.length("text").cast("double") / F.greatest(n, F.lit(1))
         ).alias("chars_per_piece"),
     )
 
@@ -1878,7 +1878,7 @@ def _semantic_dedup_build(
         GROUP BY c.doc_id
     )
     SELECT h.doc_id, h.n_overlap, s.n_shingles,
-           round(CAST(h.n_overlap AS DOUBLE) / s.n_shingles, 6)
+           CAST(h.n_overlap AS DOUBLE) / s.n_shingles
                AS overlap_ratio,
            CAST(h.n_overlap AS DOUBLE) / s.n_shingles >= 0.5 AS contaminated
     FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
@@ -1936,7 +1936,7 @@ def _contamination_build(
             "doc_id",
             "n_overlap",
             "n_shingles",
-            F.round(ratio, 6).alias("overlap_ratio"),
+            ratio.alias("overlap_ratio"),
             (ratio >= 0.5).alias("contaminated"),
         )
     )

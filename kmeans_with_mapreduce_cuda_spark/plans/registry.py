@@ -6,9 +6,15 @@ DuckDB oracle, (c) the driver contract in ``__spark_entry__.py`` and
 Determinism discipline (SURVEY.md §7 "hard parts"):
 - no RNG inside checked queries -- seeding uses md5-order (engine-portable);
 - argmin ties break to the lowest cluster_id in both engines;
-- computed floats are rounded (ROUND_CENT decimals for centroid means,
-  per-query for wide-magnitude values) in BOTH engines so the driver's
-  value-hash agrees;
+- float discipline is two-tier: a value produced by a SHORT chain of
+  IEEE ops on exact integers (one multiply + one divide, a ratio of
+  counts) is emitted UNROUNDED -- the double is bit-identical across
+  engines by construction, while round() itself diverges on
+  decimal-half ties (0.0639375 rounds up in Spark, down in DuckDB).
+  Only genuinely engine-divergent floats -- multi-term sums (avg/sum
+  aggregates, dot products), stddev, ln -- are rounded (ROUND_CENT
+  decimals for centroid means, per-query elsewhere) in BOTH engines so
+  the driver's value-hash agrees;
 - every aggregate/computed column is aliased identically on both sides.
 """
 
