@@ -65,10 +65,17 @@ def curate(docs: DataFrame, min_score: float = 0.0) -> CuratePlan:
     )
     deduped = exact_dedup_keep_first(valid)
     keep = F.col("score") >= min_score
-    scored = deduped.select("*", *quality_score_cols("text")).observe(
-        obs_scored,
-        F.count(F.lit(1)).alias("after_dedup"),
-        F.sum(keep.cast("int")).alias("written"),
+    # n_tokens + score only: quality_score_cols also carries the
+    # classifier's own `keep` (margin > 0) boolean, which would
+    # contradict an explicit --min-score gate in the written output.
+    scored = (
+        deduped.select("*", *quality_score_cols("text"))
+        .drop("keep")
+        .observe(
+            obs_scored,
+            F.count(F.lit(1)).alias("after_dedup"),
+            F.sum(keep.cast("int")).alias("written"),
+        )
     )
     return CuratePlan(scored.where(keep), deduped, obs_valid, obs_scored)
 

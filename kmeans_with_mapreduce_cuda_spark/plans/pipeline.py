@@ -90,11 +90,19 @@ def dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- N-gram Jaccard near-dedup ----------------------------------------------
 
-_SHINGLE_SQL = """
-        SELECT doc_id, unnest(list_distinct([
+#: DuckDB expression for the distinct 3-gram word-shingle LIST of a
+#: ``toks`` array column -- THE single definition of the oracle-side
+#: shingle recipe (twin of functions.text.word_shingles(n=3) +
+#: array_distinct).  Composed by dedup_ngram_jaccard, _minhash_sql, and
+#: _minhash_verified_sql; any edit here changes all three oracles
+#: together, matching the one Spark-side definition.
+_SHINGLE_LIST_EXPR = """list_distinct([
             list_aggregate(toks[i:i+2], 'string_agg', ' ')
             FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)
-        ])) AS shingle
+        ])"""
+
+_SHINGLE_SQL = f"""
+        SELECT doc_id, unnest({_SHINGLE_LIST_EXPR}) AS shingle
         FROM (SELECT doc_id,
                      regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
               FROM documents WHERE doc_id < 300)
@@ -408,10 +416,7 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 8, seed: int = 42) -> str:
         FROM documents
     ),
     sh AS (
-        SELECT doc_id, list_distinct([
-            list_aggregate(toks[i:i+2], 'string_agg', ' ')
-            FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)
-        ]) AS shingles FROM toks
+        SELECT doc_id, {_SHINGLE_LIST_EXPR} AS shingles FROM toks
     ),
     sig AS (SELECT doc_id, {h_cols} FROM sh WHERE len(shingles) > 0),
     cand AS ({band_arms}),
@@ -436,10 +441,7 @@ def _minhash_verified_sql(threshold: float = 0.5) -> str:
         FROM documents
     ),
     sh2 AS (
-        SELECT doc_id, list_distinct([
-            list_aggregate(toks[i:i+2], 'string_agg', ' ')
-            FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)
-        ]) AS shingles FROM toks2
+        SELECT doc_id, {_SHINGLE_LIST_EXPR} AS shingles FROM toks2
     ),
     sizes AS (SELECT doc_id, len(shingles) AS n FROM sh2),
     flat AS (SELECT doc_id, unnest(shingles) AS s FROM sh2),
@@ -2906,6 +2908,41 @@ def udaf_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Filter-verify: LSH candidates rescored with exact Jaccard ----------------
 
+def lsh_verified_plan(
+    d: DataFrame, threshold: float = 0.5
+) -> tuple[DataFrame, list[DataFrame]]:
+    """(lazy verified-pairs frame, deps to unpersist after an action).
+
+    Shared by the gate query and its plan audit so the audit inspects
+    the REAL composition, not a private copy.  ``arrs`` is persisted:
+    both join sides consume the string-heavy shingle expression (same
+    rationale as dedup_ngram_jaccard's persist).
+    """
+    from ..functions.text import word_shingles
+    from ..operators.dedup import minhash_lsh_pairs
+
+    res = minhash_lsh_pairs(d, max_bucket=1000)
+    arrs = d.select(
+        "doc_id", F.array_distinct(word_shingles("text", 3)).alias("_sh")
+    ).persist()
+    a = arrs.select(
+        F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sha")
+    )
+    b = arrs.select(
+        F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_shb")
+    )
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    union = F.size("_sha") + F.size("_shb") - inter
+    jac = inter.cast("double") / union
+    out = (
+        res.pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .where(jac >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard", jac.alias("jaccard"))
+    )
+    return out, [*res.deps, arrs]
+
+
 @query(
     "dedup_lsh_verified",
     oracle=_minhash_verified_sql(0.5),
@@ -2922,27 +2959,5 @@ def udaf_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     "integers; registry float discipline).",
 )
 def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import word_shingles
-    from ..operators.dedup import minhash_lsh_pairs
-
-    d = load_table(spark, sf_dir, "documents")
-    res = minhash_lsh_pairs(d, max_bucket=1000)
-    arrs = d.select(
-        "doc_id", F.array_distinct(word_shingles("text", 3)).alias("_sh")
-    )
-    a = arrs.select(
-        F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sha")
-    )
-    b = arrs.select(
-        F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_shb")
-    )
-    inter = F.size(F.array_intersect("_sha", "_shb"))
-    union = F.size("_sha") + F.size("_shb") - inter
-    jac = inter.cast("double") / union
-    out = (
-        res.pairs.join(a, "doc_a")
-        .join(b, "doc_b")
-        .where(jac >= 0.5)
-        .select("doc_a", "doc_b", "est_jaccard", jac.alias("jaccard"))
-    )
-    return _eager(spark, out, deps=res.deps)
+    out, deps = lsh_verified_plan(load_table(spark, sf_dir, "documents"))
+    return _eager(spark, out, deps=deps)

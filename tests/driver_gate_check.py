@@ -8,32 +8,19 @@ Usage: python tests/driver_gate_check.py [sf_dir]
 
 from __future__ import annotations
 
-import math
+import os
 import sys
 
 import duckdb
 from pyspark.sql import SparkSession
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entrymod  # noqa: E402
+from canon_util import canon  # noqa: E402
 from kmeans_with_mapreduce_cuda_spark.sources.readers import TABLES  # noqa: E402
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-
-
-def canon(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-
-    def norm(v):
-        if v is None or (isinstance(v, float) and math.isnan(v)):
-            return "<null>"
-        if isinstance(v, bool):
-            return str(v)
-        if isinstance(v, float):
-            return f"{v:.6f}"
-        return str(v)
-
-    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
 
 
 def main() -> None:

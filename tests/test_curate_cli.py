@@ -25,8 +25,12 @@ def test_curate_cli_end_to_end(spark, tmp_path):
     assert stats["null_text_dropped"] == 0  # fixture has no null text
 
     back = spark.read.parquet(out)
-    # survivors carry the scoring columns and respect the threshold
-    assert {"doc_id", "text", "n_tokens", "score", "lang"} <= set(back.columns)
+    # exact output schema: the input columns plus the two scoring
+    # columns -- no classifier `keep` boolean that could contradict
+    # the --min-score gate (review regression)
+    assert set(back.columns) == {
+        "doc_id", "text", "lang", "source", "n_chars", "n_tokens", "score"
+    }
     assert back.count() == stats["written"]
     assert back.where(F.col("score") < 0.0).count() == 0
     # partitioned layout: one subdirectory per language

@@ -559,30 +559,19 @@ def test_lsh_verified_keeps_cap_and_equi_joins(spark):
     the exact-Jaccard verify joins: the hot-band anti-join cap must
     survive the composition, and every join in the verify stage must be
     an equi-join on doc ids -- no cartesian anywhere in the two-stage
-    plan."""
-    from kmeans_with_mapreduce_cuda_spark.functions.text import word_shingles
-    from kmeans_with_mapreduce_cuda_spark.operators.dedup import (
-        minhash_lsh_pairs,
+    plan.  Audits the SAME lazy frame the gate query materializes
+    (plans.pipeline.lsh_verified_plan), not a private re-construction."""
+    from kmeans_with_mapreduce_cuda_spark.plans.pipeline import (
+        lsh_verified_plan,
     )
     from kmeans_with_mapreduce_cuda_spark.sources import load_table
 
-    d = load_table(spark, SF_DIR, "documents")
-    res = minhash_lsh_pairs(d, max_bucket=1000)
-    arrs = d.select(
-        "doc_id", F.array_distinct(word_shingles("text", 3)).alias("_sh")
-    )
-    a = arrs.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sha"))
-    b = arrs.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_shb"))
-    inter = F.size(F.array_intersect("_sha", "_shb"))
-    jac = inter.cast("double") / (F.size("_sha") + F.size("_shb") - inter)
+    out, deps = lsh_verified_plan(load_table(spark, SF_DIR, "documents"))
     try:
-        composed = (
-            res.pairs.join(a, "doc_a").join(b, "doc_b").where(jac >= 0.5)
-        )
-        plan = plan_of(composed)
+        plan = plan_of(out)
         assert "LeftAnti" in plan, plan          # the skew cap survives
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
     finally:
-        for dep in res.deps:
+        for dep in deps:
             dep.unpersist()
