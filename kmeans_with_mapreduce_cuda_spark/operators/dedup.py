@@ -212,6 +212,101 @@ def minhash_lsh_pairs(
     return LshPairs(pairs=out, deps=[banded], capped_buckets=capped)
 
 
+def minhash_cross_pairs(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = NUM_HASHES,
+    bands: int = NUM_BANDS,
+    shingle_n: int = 3,
+    seed: int = 42,
+    max_bucket: int | None = MAX_BAND_BUCKET,
+) -> LshPairs:
+    """Cross-corpus LSH near-dup candidates: every ``new_df`` document
+    paired with the ``ref_df`` documents it band-collides with.
+
+    This is the incremental-ingest twin of :func:`minhash_lsh_pairs`
+    (the reference corpus is already curated; a delta batch must be
+    checked AGAINST it, not against itself): same signatures, same
+    banding, but the join is new x ref -- no self-join, no ``a < b``
+    ordering, and the pair set is asymmetric (new_doc, ref_doc).
+
+    Scale shape: the delta side is typically orders of magnitude smaller
+    than the corpus, so the banded join's shuffle is dominated by the
+    reference side -- which at steady state can be a PRE-COMPUTED,
+    bucketed-by-band-key signature table that never re-shuffles (the
+    signatures depend only on text, so they are computed once per doc,
+    ever).  The skew cap is applied to the reference side, where the
+    quadratic blow-up term |new_bucket| x |ref_bucket| lives; capped
+    band keys are reported, not silently dropped.
+
+    Returns :class:`LshPairs` with ``pairs`` = (new_doc, ref_doc,
+    est_jaccard); ``deps`` must be unpersisted after materializing.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+
+    def banded(df: DataFrame) -> DataFrame:
+        sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    *[F.col("sig")[b * r + j].alias(f"h{j}") for j in range(r)],
+                )
+                for b in range(bands)
+            ]
+        )
+        return sig.select(
+            F.col(id_col).alias("id"),
+            F.col("sig"),
+            F.explode(band_structs).alias("bk"),
+        )
+
+    banded_ref = banded(ref_df).persist()
+    banded_new = banded(new_df)
+
+    if max_bucket is not None:
+        sizes = banded_ref.groupBy("bk").agg(F.count(F.lit(1)).alias("n_docs"))
+        capped = sizes.where(F.col("n_docs") > max_bucket)
+        joinable_ref = banded_ref.join(
+            F.broadcast(capped.select("bk")), "bk", "left_anti"
+        )
+    else:
+        capped = banded_ref.groupBy("bk").agg(
+            F.count(F.lit(1)).alias("n_docs")
+        ).where(F.lit(False))
+        joinable_ref = banded_ref
+
+    n, x = banded_new.alias("n"), joinable_ref.alias("x")
+    pairs = (
+        n.join(x, F.col("n.bk") == F.col("x.bk"))
+        .select(
+            F.col("n.id").alias("new_doc"),
+            F.col("x.id").alias("ref_doc"),
+            F.col("n.sig").alias("sig_a"),
+            F.col("x.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["new_doc", "ref_doc"])
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            "sig_a", "sig_b", lambda a, b: F.when(a == b, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    out = pairs.select(
+        "new_doc",
+        "ref_doc",
+        # exact rational (<=num_hashes integer / constant): emitted
+        # unrounded per the registry float discipline
+        (agree.cast("double") / num_hashes).alias("est_jaccard"),
+    )
+    return LshPairs(pairs=out, deps=[banded_ref], capped_buckets=capped)
+
+
 def token_hashes(text_col: str = "text", salt: str = "sh:") -> Column:
     """md5-derived 32-bit hash per whitespace token -> array<bigint>.
     Project this ONCE, then derive SimHash bits from the array (hashing is

@@ -2961,3 +2961,157 @@ def lsh_verified_plan(
 def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     out, deps = lsh_verified_plan(load_table(spark, sf_dir, "documents"))
     return _eager(spark, out, deps=deps)
+
+
+# --- Cross-corpus (incremental-ingest) near-dup --------------------------------
+
+def _minhash_cross_sql(
+    new_pred: str = "source = 'src0'",
+    num_hashes: int = 16,
+    bands: int = 8,
+    seed: int = 42,
+) -> str:
+    """Oracle for :func:`dedup_cross_corpus`: the delta partition (rows
+    matching ``new_pred``) banded-joined against the rest of the corpus.
+    Same md5-derived signature pipeline as :func:`_minhash_sql`; the
+    join arms pair new x ref instead of the self-join's ``a < b``."""
+    from ..functions.hashing import MINHASH_P, minhash_params
+
+    r = num_hashes // bands
+    params = minhash_params(num_hashes, seed)
+    base = f"CAST(('0x' || substr(md5('mh{seed}:' || s), 1, 8)) AS BIGINT)"
+    h_cols = ", ".join(
+        f"list_min([ ({a} * {base} + {b}) % {MINHASH_P} FOR s IN shingles ]) AS h{j}"
+        for j, (a, b) in enumerate(params)
+    )
+    band_arms = " UNION ALL ".join(
+        "SELECT n.doc_id AS new_doc, x.doc_id AS ref_doc "
+        "FROM newsig n JOIN refsig x ON "
+        + " AND ".join(f"n.h{b * r + j} = x.h{b * r + j}" for j in range(r))
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END" for j in range(num_hashes)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, source, {_SHINGLE_LIST_EXPR} AS shingles FROM toks
+    ),
+    sig AS (SELECT doc_id, source, {h_cols} FROM sh WHERE len(shingles) > 0),
+    newsig AS (SELECT * FROM sig WHERE {new_pred}),
+    refsig AS (SELECT * FROM sig WHERE NOT ({new_pred})),
+    cand AS ({band_arms}),
+    pairs AS (SELECT DISTINCT new_doc, ref_doc FROM cand)
+    SELECT p.new_doc, p.ref_doc,
+           ({agree}) / {num_hashes}.0 AS est_jaccard
+    FROM pairs p
+    JOIN sig a ON a.doc_id = p.new_doc
+    JOIN sig b ON b.doc_id = p.ref_doc
+    """
+
+
+@query(
+    "dedup_cross_corpus",
+    oracle=_minhash_cross_sql(),
+    doc="Incremental-ingest near-dedup: a delta batch (source='src0') "
+    "LSH-checked AGAINST the already-curated corpus, not against "
+    "itself -- the asymmetric twin of dedup_minhash_lsh.  Same "
+    "md5-portable signatures and banding; the join is new x ref with "
+    "no self-pairing.  At steady state the reference side is a "
+    "precomputed signature table bucketed by band key that never "
+    "re-shuffles (signatures depend only on text), so ingesting a "
+    "delta costs O(delta) signature work plus one banded join whose "
+    "big side streams from disk pre-partitioned.  The ref-side skew "
+    "cap bounds the |new_bucket| x |ref_bucket| blow-up on "
+    "boilerplate bands (operators/dedup.py:minhash_cross_pairs).",
+)
+def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_cross_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    res = minhash_cross_pairs(
+        d.where(F.col("source") == "src0"),
+        d.where(F.col("source") != "src0"),
+        max_bucket=1000,
+    )
+    return _eager(spark, res.pairs, deps=res.deps)
+
+
+# --- Gopher-style document quality rules ---------------------------------------
+
+#: the Gopher paper's "required word" list (Rae et al. 2021, §A1.1 --
+#: public): a document must contain at least 2 of these to pass.
+GOPHER_REQ_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+_GOPHER_REQ_SQL = ", ".join(f"'{w}'" for w in GOPHER_REQ_WORDS)
+
+@query(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(toks) AS n_words,
+               CAST(list_sum([length(w) FOR w IN toks]) AS DOUBLE)
+                   / len(toks) AS mean_word_len,
+               CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+                    AS DOUBLE) / len(toks) AS frac_alpha_words,
+               len(list_filter([{_GOPHER_REQ_SQL}],
+                               s -> list_contains(toks, s)))
+                   AS n_req_words
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(n_words AS INTEGER) AS n_words,
+           mean_word_len,
+           frac_alpha_words,
+           CAST(n_req_words AS INTEGER) AS n_req_words,
+           CAST(n_words BETWEEN 10 AND 100000
+                AND mean_word_len BETWEEN 2 AND 10
+                AND frac_alpha_words >= 0.8
+                AND n_req_words >= 2 AS BOOLEAN) AS pass_gopher
+    FROM m
+    """,
+    doc="Gopher-style quality rules (Rae et al. 2021, public): word "
+    "count bounds, mean word length in [2,10], fraction of words with "
+    "an alphabetic character >= 0.8, and >= 2 of the 8 required English "
+    "function words.  All four metrics are exact-integer ratios emitted "
+    "unrounded (registry float discipline) so the pass flag's boundary "
+    "comparisons agree bit-for-bit across engines.  Shuffle-free "
+    "per-row projection, fully codegen'd -- at 100 TB this is a "
+    "map-only pass that fuses with the scan.",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w))
+    mean_wl = sum_len.cast("double") / n
+    frac_alpha = (
+        F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))).cast("double") / n
+    )
+    req = F.array(*[F.lit(w) for w in GOPHER_REQ_WORDS])
+    n_req = F.size(F.filter(req, lambda s: F.array_contains(toks, s)))
+    passes = (
+        n.between(10, 100000)
+        & mean_wl.between(2.0, 10.0)
+        & (frac_alpha >= 0.8)
+        & (n_req >= 2)
+    )
+    return d.select(
+        "doc_id",
+        n.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha_words"),
+        n_req.alias("n_req_words"),
+        passes.alias("pass_gopher"),
+    )

@@ -1682,3 +1682,157 @@ def rel_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey").cast("bigint"),
         ).alias("overflowed"),
     )
+
+
+# --- MERGE / CDC upsert ---------------------------------------------------------
+
+@query(
+    "rel_merge_upsert",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey AS key,
+               CASE WHEN o_orderkey % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+               o_totalprice * 1.1 AS new_price
+        FROM orders
+        WHERE o_orderkey % 13 = 0 OR o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey + 1000000000 AS key, 'I' AS op,
+               o_totalprice AS new_price
+        FROM orders WHERE o_orderkey % 11 = 0
+    ),
+    m AS (
+        SELECT coalesce(t.o_orderkey, s.key) AS o_orderkey,
+               t.o_totalprice, s.op, s.new_price
+        FROM orders t FULL OUTER JOIN src s ON t.o_orderkey = s.key
+    )
+    SELECT o_orderkey,
+           CASE WHEN op IN ('U', 'I') THEN new_price
+                ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN op = 'I' THEN 'insert'
+                WHEN op = 'U' THEN 'update'
+                ELSE 'keep' END AS action
+    FROM m
+    WHERE op IS NULL OR op <> 'D'
+    """,
+    doc="MERGE INTO semantics as one copy-on-write pass (no table-format "
+    "dependency): a deterministic change batch (updates for "
+    "orderkey%7, deletes for %13 -- delete wins on overlap -- inserts "
+    "at %11 with shifted keys) applied to the orders table via ONE "
+    "full outer join on the key: matched+D drops, matched+U rewrites, "
+    "unmatched source inserts, unmatched target carries over.  This is "
+    "exactly how Delta/Iceberg execute MERGE under the hood; at 100 TB "
+    "the join is sort-merge co-partitioned on the key (or broadcast "
+    "when the delta is small -- AQE decides from the source's runtime "
+    "size), and only affected FILES are rewritten when paired with "
+    "partition/file pruning on the source's key range.  The updated "
+    "price is one IEEE multiply -- emitted unrounded (registry float "
+    "discipline).",
+)
+def rel_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_table(spark, sf_dir, "orders")
+    upd_del = t.where(
+        (F.col("o_orderkey") % 13 == 0) | (F.col("o_orderkey") % 7 == 0)
+    ).select(
+        F.col("o_orderkey").alias("key"),
+        F.when(F.col("o_orderkey") % 13 == 0, "D").otherwise("U").alias("op"),
+        (F.col("o_totalprice") * 1.1).alias("new_price"),
+    )
+    ins = t.where(F.col("o_orderkey") % 11 == 0).select(
+        (F.col("o_orderkey") + 1000000000).alias("key"),
+        F.lit("I").alias("op"),
+        F.col("o_totalprice").alias("new_price"),
+    )
+    src = upd_del.unionByName(ins)
+    m = t.select("o_orderkey", "o_totalprice").join(
+        src, t["o_orderkey"] == src["key"], "full_outer"
+    )
+    return m.where(F.col("op").isNull() | (F.col("op") != "D")).select(
+        F.coalesce(F.col("o_orderkey"), F.col("key")).alias("o_orderkey"),
+        F.when(F.col("op").isin("U", "I"), F.col("new_price"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(F.col("op") == "I", "insert")
+        .when(F.col("op") == "U", "update")
+        .otherwise("keep")
+        .alias("action"),
+    )
+
+
+# --- SCD Type-2 history build ---------------------------------------------------
+
+@query(
+    "rel_scd2",
+    oracle="""
+    WITH h AS (
+        SELECT o_custkey, o_orderpriority AS prio, o_orderdate, o_orderkey,
+               lag(o_orderpriority) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM orders
+    ),
+    runs AS (
+        SELECT o_custkey, prio, o_orderdate,
+               sum(CASE WHEN prev IS NULL OR prev <> prio THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM h
+    ),
+    col AS (
+        SELECT o_custkey, prio, run_id,
+               strftime(min(o_orderdate), '%Y-%m-%d') AS valid_from
+        FROM runs GROUP BY o_custkey, prio, run_id
+    )
+    SELECT o_custkey, prio AS o_orderpriority, valid_from,
+           lead(valid_from) OVER (
+               PARTITION BY o_custkey ORDER BY run_id) AS valid_to,
+           CAST(lead(valid_from) OVER (
+               PARTITION BY o_custkey ORDER BY run_id) IS NULL
+               AS BOOLEAN) AS is_current
+    FROM col
+    """,
+    doc="Slowly-changing-dimension type 2: each customer's order-priority "
+    "history collapsed into [valid_from, valid_to) versions.  Classic "
+    "gaps-and-islands: lag() marks change points, a running sum numbers "
+    "the runs, a per-run group-by takes the first effective date, and "
+    "lead() closes each interval with the next version's start "
+    "(NULL = current).  Deterministic under same-date ties via the "
+    "(o_orderdate, o_orderkey) ordering.  All three shuffles hash on "
+    "o_custkey only -- one exchange in Spark (the window and the "
+    "group-by reuse the same partitioning), so the build scales as a "
+    "single pass per dimension key regardless of history depth.",
+)
+def rel_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    h = o.select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("prio"),
+        "o_orderdate",
+        "o_orderkey",
+        F.lag("o_orderpriority").over(w).alias("prev"),
+    )
+    runs = h.select(
+        "o_custkey",
+        "prio",
+        "o_orderdate",
+        F.sum(
+            F.when(F.col("prev").isNull() | (F.col("prev") != F.col("prio")), 1)
+            .otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("run_id"),
+    )
+    # ISO strings, not DATE: identical canon text in every harness
+    # (pandas renders datetime64 dates as midnight timestamps)
+    col = runs.groupBy("o_custkey", "prio", "run_id").agg(
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("valid_from")
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("run_id")
+    return col.select(
+        "o_custkey",
+        F.col("prio").alias("o_orderpriority"),
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )

@@ -575,3 +575,61 @@ def test_lsh_verified_keeps_cap_and_equi_joins(spark):
     finally:
         for dep in deps:
             dep.unpersist()
+
+
+def test_gopher_rules_is_shuffle_free(spark):
+    """text_gopher_rules is a map-only quality pass: every rule is a
+    per-row expression, so the plan must contain no exchange and no
+    join -- at 100 TB it fuses with the scan."""
+    plan = plan_of(REGISTRY["text_gopher_rules"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_merge_upsert_is_single_full_outer_join(spark):
+    """rel_merge_upsert applies the whole change batch in ONE full outer
+    sort-merge join co-partitioned on the key (matched-update,
+    matched-delete, insert, carry-over all resolved by the same join),
+    and column pruning must reach the target scan -- a MERGE that reads
+    all order columns for a 2-column rewrite is wrong."""
+    plan = plan_of(REGISTRY["rel_merge_upsert"].fn(spark, SF_DIR))
+    assert plan.count("SortMergeJoin FullOuter") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "struct<o_orderkey:bigint,o_totalprice:double>" in plan, plan
+
+
+def test_scd2_single_exchange_on_custkey(spark):
+    """rel_scd2's lag window, run-id window, per-run group-by and lead
+    window must all REUSE one hash partitioning on o_custkey (grouping
+    keys are a superset; window partitions equal) -- exactly one real
+    exchange in the plan.  History-building that re-shuffles per stage
+    would move the fact table four times at scale."""
+    import re
+
+    plan = plan_of(REGISTRY["rel_scd2"].fn(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "hashpartitioning(o_custkey" in plan, plan
+
+
+def test_cross_corpus_join_is_banded_equi_with_ref_cap(spark):
+    """dedup_cross_corpus candidate generation must equi-join on the
+    band key (never cartesian over documents) and keep the ref-side
+    hot-band cap as a broadcast anti-join, same contract as the
+    self-join variant."""
+    from kmeans_with_mapreduce_cuda_spark.operators.dedup import (
+        minhash_cross_pairs,
+    )
+
+    d = load_table(spark, SF_DIR, "documents")
+    res = minhash_cross_pairs(
+        d.where(F.col("source") == "src0"),
+        d.where(F.col("source") != "src0"),
+    )
+    try:
+        plan = plan_of(res.pairs)
+        assert "CartesianProduct" not in plan, plan
+        assert "LeftAnti" in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+    finally:
+        for dep in res.deps:
+            dep.unpersist()

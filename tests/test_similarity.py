@@ -259,3 +259,34 @@ def test_int8_quantization_roundtrip_and_recall(spark):
     approx_ids = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
     overlap = len(exact_ids & approx_ids) / len(exact_ids)
     assert overlap >= 0.8, overlap
+
+
+def test_cross_corpus_pairs_semantics(spark):
+    """minhash_cross_pairs: a delta doc that verbatim-duplicates a
+    reference doc must surface with est_jaccard 1.0; delta docs must
+    never pair with each other (even when identical); a delta doc with
+    no near-dup in the reference yields nothing."""
+    from kmeans_with_mapreduce_cuda_spark.operators.dedup import (
+        minhash_cross_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different content about spark physical plans here"
+    ref = spark.createDataFrame(
+        [(1, base), (2, other)], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(10, base), (11, base), (12, "unrelated words nothing shared xyzzy plugh")],
+        ["doc_id", "text"],
+    )
+    res = minhash_cross_pairs(new, ref)
+    try:
+        rows = {(r.new_doc, r.ref_doc): r.est_jaccard for r in res.pairs.collect()}
+    finally:
+        for dep in res.deps:
+            dep.unpersist()
+    assert rows[(10, 1)] == 1.0
+    assert rows[(11, 1)] == 1.0
+    # asymmetric: only new x ref, no new x new, no self-pairs
+    assert all(n >= 10 and r < 10 for n, r in rows)
+    assert not any(n == 12 for n, _ in rows)
