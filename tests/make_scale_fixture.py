@@ -44,9 +44,8 @@ REPLICATED = {
     """,
     "orders": """
         SELECT o_orderkey + r * 10000000 AS o_orderkey,
-               o_custkey, o_orderstatus, o_totalprice, o_orderdate,
-               o_orderpriority, o_clerk, o_shippriority, o_comment
-        FROM read_parquet('{src}/orders.parquet')
+               o.* EXCLUDE (o_orderkey)
+        FROM read_parquet('{src}/orders.parquet') o
         CROSS JOIN (SELECT unnest(range({n})) AS r) ORDER BY o_orderkey
     """,
     "lineitem": """
