@@ -3115,3 +3115,156 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_req.alias("n_req_words"),
         passes.alias("pass_gopher"),
     )
+
+
+# --- Tokenizer application (encode with the built vocabulary) ------------------
+
+@query(
+    "pipe_tokenizer_apply",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    ),
+    flat AS (
+        SELECT unnest(toks) AS term FROM toks
+    ),
+    counts AS (
+        SELECT term, count(*) AS n FROM flat GROUP BY term
+    ),
+    top AS (
+        SELECT term,
+               CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) - 1 AS INTEGER)
+                   AS vocab_id
+        FROM (SELECT term, n FROM counts ORDER BY n DESC, term LIMIT 256)
+    ),
+    pos AS (
+        SELECT doc_id,
+               unnest(toks) AS term,
+               unnest(range(1, len(toks) + 1)) AS pos,
+               len(toks) AS n_tokens
+        FROM toks
+    ),
+    enc AS (
+        SELECT p.doc_id, p.pos, p.n_tokens,
+               CAST(coalesce(t.vocab_id, -1) AS INTEGER) AS id
+        FROM pos p LEFT JOIN top t USING (term)
+    )
+    SELECT doc_id,
+           list(id ORDER BY pos) FILTER (WHERE pos <= 32) AS ids,
+           CAST(any_value(n_tokens) AS INTEGER) AS n_tokens,
+           CAST(count(*) FILTER (WHERE id = -1) AS INTEGER) AS n_oov
+    FROM enc
+    GROUP BY doc_id
+    """,
+    doc="Tokenizer APPLICATION: encode every document into contiguous "
+    "vocab ids (first 32 positions; -1 for out-of-vocabulary) plus "
+    "full-document OOV count, using the same top-256-by-(count,term) "
+    "vocabulary as pipe_vocab_build.  Scale shape: the vocabulary is "
+    "DRIVER-SMALL BY CONSTRUCTION (top-k of a bounded id space), so it "
+    "collects to 256 rows and bakes into the encode projection as a "
+    "literal map -- the second job is then a shuffle-free map-only "
+    "pass that fuses with the scan, exactly the centroid-literal "
+    "pattern of the K-Means assign stage (operators/kmeans.py).  The "
+    "join-based alternative would shuffle every (doc, token) pair; "
+    "the oracle does precisely that, which is the point -- same "
+    "result, different physics.",
+)
+def pipe_tokenizer_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab_rows = counts.orderBy(F.col("n").desc(), "term").limit(256).collect()
+    mapping = [
+        x
+        for i, r in enumerate(vocab_rows)
+        for x in (F.lit(r["term"]), F.lit(i))
+    ]
+    vocab_map = F.create_map(*mapping)
+    toks = tokens("text")
+    lookup = lambda t: F.coalesce(  # noqa: E731
+        vocab_map[t], F.lit(-1)
+    ).cast("int")
+    return d.select(
+        "doc_id",
+        F.transform(F.slice(toks, 1, 32), lookup).alias("ids"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: vocab_map[t].isNull())).alias("n_oov"),
+    )
+
+
+# --- Streaming CDC-apply (SCD1 materialized view) ------------------------------
+
+@query(
+    "stream_upsert_latest",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, ts, event_id, value,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           epoch_us(ts) AS last_ts_us,
+           value AS last_value
+    FROM r WHERE rn = 1
+    """,
+    doc="Streaming CDC-apply: the events stream folded into an SCD1 "
+    "materialized view (latest (ts,event_id)-ordered row per user) via "
+    "a foreachBatch upsert into a parquet state table -- the streaming "
+    "twin of rel_merge_upsert.  Batch-split-invariant and "
+    "arrival-order-safe by construction (total order on (ts, "
+    "event_id)), which is exactly what the batch oracle states: the "
+    "drained view must equal a plain window argmax over all events.  "
+    "Timestamps emitted as epoch micros (tz-independent).  State "
+    "lineage is cut per batch (localCheckpoint) so the apply plan "
+    "stays constant-size over an unbounded stream; "
+    "streaming/streams.py:upsert_latest_foreach_batch documents the "
+    "partitioned-overwrite scale path.  The passthrough double rides "
+    "unrounded (no arithmetic on it in either engine).",
+)
+def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..streaming.streams import (
+        read_events_stream,
+        upsert_latest_foreach_batch,
+    )
+
+    root = tempfile.mkdtemp(prefix="_gate_upsert_")
+    state = f"{root}/state"
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        ev = read_events_stream(spark, sf_dir).select(
+            "user_id", "ts", "event_id", "value"
+        )
+        q = (
+            ev.writeStream.foreachBatch(
+                upsert_latest_foreach_batch(spark, state)
+            )
+            .option("checkpointLocation", f"{root}/ckpt")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(120):
+                raise TimeoutError("upsert stream did not drain in 120s")
+        finally:
+            q.stop()
+        final = spark.read.parquet(state).select(
+            "user_id",
+            F.unix_micros("ts").alias("last_ts_us"),
+            F.col("value").alias("last_value"),
+        )
+        return _eager(spark, final)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(root, ignore_errors=True)

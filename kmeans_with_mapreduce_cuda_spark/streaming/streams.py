@@ -508,3 +508,68 @@ def ingest_dedup_foreach_batch(
         novel.select("h").write.mode("append").parquet(index_path)
 
     return fn
+
+
+def upsert_latest(state: DataFrame, batch: DataFrame, key: str = "user_id") -> DataFrame:
+    """SCD1 merge: one surviving row per key -- the one with the highest
+    (ts, event_id) across current state and the new batch.  The
+    (ts, event_id) pair is a total order, so the result is independent
+    of how rows were split into batches AND of arrival order: a late
+    batch carrying an older ts can never clobber newer state (the
+    out-of-order safety a naive "last write wins" apply lacks)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        state.unionByName(batch)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def upsert_latest_foreach_batch(
+    spark: SparkSession, state_path: str, key: str = "user_id"
+):
+    """foreachBatch sink maintaining an SCD1 materialized view: the
+    latest (ts, event_id)-ordered row per key, kept in a parquet state
+    table -- the streaming CDC-apply half of the batch
+    ``rel_merge_upsert`` query.
+
+    Per batch: collapse the batch to its per-key latest, merge with the
+    current state (same ``upsert_latest``), localCheckpoint the merge
+    (the state must be READ before the overwrite replaces it -- and the
+    lineage cut keeps the per-batch plan constant-size across an
+    unbounded stream), then atomically-enough overwrite the state dir.
+    At scale the state table is partitioned/bucketed by key so the
+    merge is a co-located join and only changed partitions rewrite
+    (dynamic partition overwrite, sources/writers.py); the semantics
+    under test here are the merge ones.
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    from ..operators.dedup import _release_local_checkpoint
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_latest = upsert_latest(batch_df.limit(0), batch_df, key)
+        try:
+            state = spark.read.parquet(state_path)
+            merged = upsert_latest(state, batch_latest, key)
+        except AnalysisException as e:
+            cond = getattr(
+                e, "getCondition", getattr(e, "getErrorClass", lambda: None)
+            )()
+            if cond != "PATH_NOT_FOUND":
+                raise
+            merged = batch_latest
+        merged = merged.localCheckpoint(eager=True)
+        try:
+            merged.write.mode("overwrite").parquet(state_path)
+        finally:
+            _release_local_checkpoint(merged)
+
+    return fn

@@ -633,3 +633,13 @@ def test_cross_corpus_join_is_banded_equi_with_ref_cap(spark):
     finally:
         for dep in res.deps:
             dep.unpersist()
+
+
+def test_tokenizer_apply_encode_is_shuffle_free(spark):
+    """pipe_tokenizer_apply's returned plan must be the literal-map
+    encode projection only: the vocabulary was collected driver-side
+    (256 rows by construction), so the encode pass has no exchange and
+    no join -- the centroid-literal pattern applied to tokenization."""
+    plan = plan_of(REGISTRY["pipe_tokenizer_apply"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan

@@ -531,3 +531,41 @@ def test_streaming_ingest_dedup_matches_batch_incremental(spark, tmp_path):
     assert got == [1, 2, 11, 21]
     # index holds exactly one digest per distinct content
     assert spark.read.parquet(idx).distinct().count() == 4
+
+
+def test_upsert_latest_multi_batch_out_of_order(spark, tmp_path):
+    """Cross-batch SCD1 semantics, exercised batch by batch (the gate
+    query drains the fixture as one microbatch): a second batch with a
+    NEWER ts wins; a second batch with an OLDER ts must NOT clobber
+    newer state; same-ts ties break to the higher event_id; new keys
+    insert."""
+    import datetime as dt
+
+    from kmeans_with_mapreduce_cuda_spark.streaming.streams import (
+        upsert_latest_foreach_batch,
+    )
+
+    state = str(tmp_path / "state")
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    cols = ["user_id", "ts", "event_id", "value"]
+    fn = upsert_latest_foreach_batch(spark, state)
+
+    fn(spark.createDataFrame(
+        [(1, t(10), 100, 1.0), (2, t(20), 101, 2.0), (3, t(5), 102, 3.0),
+         (3, t(5), 103, 3.5)],  # same-ts tie inside one batch
+        cols), 0)
+    fn(spark.createDataFrame(
+        [(1, t(30), 200, 10.0),   # newer -> wins
+         (2, t(1), 201, -2.0),    # older -> must NOT clobber
+         (4, t(7), 202, 4.0)],    # new key -> insert
+        cols), 1)
+
+    got = {
+        r.user_id: (r.ts, r.event_id, r.value)
+        for r in spark.read.parquet(state).collect()
+    }
+    assert got[1] == (t(30), 200, 10.0)
+    assert got[2] == (t(20), 101, 2.0)
+    assert got[3] == (t(5), 103, 3.5)
+    assert got[4] == (t(7), 202, 4.0)
+    assert len(got) == 4
