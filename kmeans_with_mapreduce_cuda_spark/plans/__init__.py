@@ -62,7 +62,47 @@ _PRIORITY = [
     "mm_decode_features",
     "stream_sliding_counts",
     "stream_static_join",
-    # --- 20 least-recently-verified: r3 gate-cut (last green r1/r2) ---
+    # --- 20 of the 31 queries ADDED during round 4 (never verified;
+    # the registry grew 94 -> 125 this round).  Never-verified beats
+    # once-verified, so these displace the r1/r2-verified tail, which
+    # moves just past the cut.  The 11 r4-new plain-SQL rel_* /
+    # pipeline entries that don't fit lead the past-cut block below
+    # and rotate into r5's prefix. ---
+    "dedup_semantic_clustered",
+    "text_contamination",
+    "stream_dedup",
+    "rel_salted_join",
+    "sim_int8_topk",
+    "dedup_components",
+    "pipe_doc_chunking",
+    "dedup_survivors",
+    "dedup_incremental",
+    "sim_ann_ivf_sq8",
+    "text_boilerplate_strip",
+    "text_pii_scrub",
+    "text_tfidf_topterms",
+    "pipe_vocab_build",
+    "pipe_quality_classifier",
+    "pipe_dataset_card",
+    "stream_session_windows_rocksdb",
+    "udaf_median_by_type",
+    "dedup_lsh_verified",
+    "stream_upsert_latest",
+    # ------------------- 50-entry cut lands here -------------------
+    # first: the 11 remaining never-verified r4 additions (picked up
+    # immediately if the budget reaches past 50; otherwise r5's prefix)
+    "rel_funnel",
+    "rel_retention",
+    "rel_constraints",
+    "rel_resample",
+    "rel_listagg",
+    "rel_try_arith",
+    "dedup_cross_corpus",
+    "text_gopher_rules",
+    "rel_merge_upsert",
+    "rel_scd2",
+    "pipe_tokenizer_apply",
+    # then the r1/r2-verified tail displaced from the prefix this round
     "o12_kmeans_five_steps",
     "o14_sse_by_k",
     "o02_seed_farthest",
@@ -83,7 +123,6 @@ _PRIORITY = [
     "stream_hourly_counts",
     "rel_join_outer",
     "rel_window_lag",
-    # ------------------- 50-entry cut lands here -------------------
     # three-rounds-green representatives, rotated past the cut for r4;
     # newest-first within the group so any regression in recent code
     # still surfaces earliest if the budget reaches further than 50
