@@ -1836,3 +1836,49 @@ def rel_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(w2).alias("valid_to"),
         F.lead("valid_from").over(w2).isNull().alias("is_current"),
     )
+
+
+# --- Lateral generators (sequence / posexplode / stack) -------------------------
+
+@query(
+    "rel_generators",
+    oracle="""
+    SELECT 'seq' AS kind, n_nationkey AS k,
+           CAST(g - 1 AS INTEGER) AS pos, CAST(g AS VARCHAR) AS val
+    FROM nation
+    CROSS JOIN generate_series(1, 3) AS t(g)
+    WHERE g <= n_nationkey % 3 + 1
+    UNION ALL
+    SELECT 'stack' AS kind, r_regionkey AS k, 0 AS pos, r_name AS val
+    FROM region
+    UNION ALL
+    SELECT 'stack' AS kind, r_regionkey AS k, 1 AS pos,
+           CAST(r_regionkey AS VARCHAR) AS val
+    FROM region
+    """,
+    doc="Row-generating expressions: sequence() + posexplode (per-row "
+    "data-dependent fan-out with ordinality) and stack() (columns -> "
+    "rows widening), both via LATERAL VIEW.  These compile to Generate "
+    "nodes -- NARROW operators (no shuffle; fan-out happens inside the "
+    "task), which is what makes explode-style expansion safe at 100 TB "
+    "where a join-against-a-numbers-table formulation (the oracle's "
+    "generate_series cross join) would shuffle.  Complements "
+    "o05_multi_emit (fixed fan-out) and udtf_shingles (Python UDTF).",
+)
+def rel_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("_gen_nation")
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("_gen_region")
+    return spark.sql(
+        """
+        SELECT 'seq' AS kind, n_nationkey AS k, pos,
+               CAST(val AS STRING) AS val
+        FROM _gen_nation
+        LATERAL VIEW posexplode(sequence(1, n_nationkey % 3 + 1))
+            t AS pos, val
+        UNION ALL
+        SELECT 'stack' AS kind, r_regionkey AS k, pos, val
+        FROM _gen_region
+        LATERAL VIEW stack(2, 0, r_name, 1, CAST(r_regionkey AS STRING))
+            s AS pos, val
+        """
+    )
