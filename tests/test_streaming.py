@@ -569,3 +569,55 @@ def test_upsert_latest_multi_batch_out_of_order(spark, tmp_path):
     assert got[3] == (t(5), 103, 3.5)
     assert got[4] == (t(7), 202, 4.0)
     assert len(got) == 4
+
+
+def test_upsert_latest_batch_split_invariance(spark, tmp_path):
+    """The SCD1 view must be identical however the event log is split
+    into microbatches and however batches are ordered internally --
+    the (ts, event_id) total order makes the fold associative and
+    commutative per key.  Same 60 events applied as 1, 3, and 5
+    batches (the 5-way split also delivered newest-first) must yield
+    byte-identical state, equal to the batch window argmax."""
+    import random
+
+    from kmeans_with_mapreduce_cuda_spark.streaming.streams import (
+        upsert_latest_foreach_batch,
+    )
+
+    rng = random.Random(42)
+    import datetime as dt
+
+    rows = [
+        (
+            rng.randrange(8),                      # user_id: collisions certain
+            dt.datetime(2024, 1, 1) + dt.timedelta(minutes=rng.randrange(30)),
+            eid,                                   # unique event_id
+            float(eid),
+        )
+        for eid in range(60)
+    ]
+    cols = ["user_id", "ts", "event_id", "value"]
+
+    def run(split_rows):
+        state = str(tmp_path / f"state_{run.n}")
+        run.n += 1
+        fn = upsert_latest_foreach_batch(spark, state)
+        for i, chunk in enumerate(split_rows):
+            fn(spark.createDataFrame(chunk, cols), i)
+        return sorted(
+            (r.user_id, r.ts, r.event_id, r.value)
+            for r in spark.read.parquet(state).collect()
+        )
+
+    run.n = 0
+    one = run([rows])
+    three = run([rows[:20], rows[20:40], rows[40:]])
+    newest_first = sorted(rows, key=lambda r: (r[1], r[2]), reverse=True)
+    five = run([newest_first[i::5] for i in range(5)])
+    assert one == three == five
+
+    expect = {}
+    for u, ts, eid, v in rows:
+        if u not in expect or (ts, eid) > (expect[u][0], expect[u][1]):
+            expect[u] = (ts, eid, v)
+    assert one == sorted((u, *t) for u, t in expect.items())
