@@ -11,6 +11,13 @@ Stages, all one declarative plan executed by a single write job:
      documents silently);
   2. exact dedup, keep lowest doc_id per content hash
      (operators.dedup.exact_dedup_keep_first);
+  2b. optional near-dedup (--near-dup-threshold): MinHash/LSH candidate
+     pairs at est_jaccard >= threshold, resolved into duplicate
+     clusters by connected components, non-canonical members dropped
+     (the dedup_survivors chain).  This stage is inherently ITERATIVE
+     (label propagation), so enabling it runs its jobs at assembly
+     time; the final filter is still a broadcast anti-join riding the
+     write;
   3. hashed-linear quality score >= --min-score
      (the pipe_quality_classifier expressions, shared via
      functions.text.quality_score_cols);
@@ -42,6 +49,11 @@ class CuratePlan(NamedTuple):
     deduped       post-dedup frame (pre-filter), for library callers
     obs_valid     Observation -> {"n": rows after the NULL-text gate}
     obs_scored    Observation -> {"after_dedup": ..., "written": ...}
+    near_dup_dropped  docs removed by the optional near-dup stage
+                  (0 when the stage is off)
+    deps          persisted frames the caller must unpersist AFTER the
+                  final action (the near-dup drop list rides the write
+                  as a broadcast; empty when the stage is off)
 
     Observations only materialize when ``survivors`` is used in an
     action; library callers that never run one can ignore them.
@@ -51,10 +63,55 @@ class CuratePlan(NamedTuple):
     deduped: DataFrame
     obs_valid: Observation
     obs_scored: Observation
+    near_dup_dropped: int = 0
+    deps: list = []
 
 
-def curate(docs: DataFrame, min_score: float = 0.0) -> CuratePlan:
-    """Assemble the curation chain (lazy; see CuratePlan)."""
+def _near_dup_drop_list(deduped: DataFrame, threshold: float):
+    """Non-canonical near-dup cluster members of ``deduped``.
+
+    minhash_lsh_pairs -> est_jaccard >= threshold -> connected
+    components -> every node that is not its cluster's min-id label.
+    Returns (persisted drop-list DataFrame, n_dropped); the caller
+    unpersists after its final action.  Candidate pairs and the CC
+    labels are bounded by the duplicate population, not the corpus, so
+    persisting them (and broadcasting the drop list downstream) is the
+    dedup_survivors scale contract.
+    """
+    from .operators.dedup import connected_components, minhash_lsh_pairs
+
+    res = minhash_lsh_pairs(deduped)
+    pairs = (
+        res.pairs.where(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    try:
+        n_pairs = pairs.count()
+        if n_pairs == 0:
+            pairs.unpersist()
+            return None, 0
+        comp = connected_components(pairs)
+        dupes = comp.labels.where(F.col("node") != F.col("comp")).select(
+            "node"
+        ).persist()
+        n_dropped = dupes.count()
+        for d in comp.deps:
+            d.unpersist()
+        return dupes, n_dropped
+    finally:
+        for d in res.deps:
+            d.unpersist()
+        pairs.unpersist()
+
+
+def curate(
+    docs: DataFrame,
+    min_score: float = 0.0,
+    near_dup_threshold: float | None = None,
+) -> CuratePlan:
+    """Assemble the curation chain (lazy except the optional near-dup
+    stage, which is iterative by nature; see CuratePlan)."""
     from .functions.text import quality_score_cols
     from .operators.dedup import exact_dedup_keep_first
 
@@ -64,6 +121,18 @@ def curate(docs: DataFrame, min_score: float = 0.0) -> CuratePlan:
         obs_valid, F.count(F.lit(1)).alias("n")
     )
     deduped = exact_dedup_keep_first(valid)
+    near_dropped, deps = 0, []
+    if near_dup_threshold is not None:
+        dupes, near_dropped = _near_dup_drop_list(
+            deduped, near_dup_threshold
+        )
+        if dupes is not None:
+            deps.append(dupes)
+            deduped = deduped.join(
+                F.broadcast(dupes),
+                deduped["doc_id"] == dupes["node"],
+                "left_anti",
+            )
     keep = F.col("score") >= min_score
     # n_tokens + score only: quality_score_cols also carries the
     # classifier's own `keep` (margin > 0) boolean, which would
@@ -77,7 +146,14 @@ def curate(docs: DataFrame, min_score: float = 0.0) -> CuratePlan:
             F.sum(keep.cast("int")).alias("written"),
         )
     )
-    return CuratePlan(scored.where(keep), deduped, obs_valid, obs_scored)
+    return CuratePlan(
+        scored.where(keep),
+        deduped,
+        obs_valid,
+        obs_scored,
+        near_dup_dropped=near_dropped,
+        deps=deps,
+    )
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -87,6 +163,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("input", help="documents parquet path (doc_id, text, ...)")
     p.add_argument("output", help="output directory for curated parquet")
     p.add_argument("--min-score", type=float, default=0.0)
+    p.add_argument(
+        "--near-dup-threshold",
+        type=float,
+        default=None,
+        help="enable MinHash/LSH near-dedup: drop non-canonical members "
+        "of duplicate clusters at est_jaccard >= this value",
+    )
     p.add_argument(
         "--partition-by",
         default=None,
@@ -107,9 +190,14 @@ def main(
 
         spark = get_spark(app_name="curate-cli")
 
+    plan = None
     try:
         docs = spark.read.parquet(args.input)
-        plan = curate(docs, min_score=args.min_score)
+        plan = curate(
+            docs,
+            min_score=args.min_score,
+            near_dup_threshold=args.near_dup_threshold,
+        )
 
         writer = plan.survivors.repartition(args.files).write.mode("overwrite")
         if args.partition_by:
@@ -146,18 +234,28 @@ def main(
         stats = {
             "input_docs": n_input,
             "null_text_dropped": n_input - n_valid,
+            "near_dup_dropped": plan.near_dup_dropped,
             "after_dedup": scored_metrics.get("after_dedup", 0) or 0,
             "written": scored_metrics.get("written", 0) or 0,
         }
+        near = (
+            f"{stats['near_dup_dropped']} near-dups dropped "
+            f"(threshold={args.near_dup_threshold}), "
+            if args.near_dup_threshold is not None
+            else ""
+        )
         print(
             f"curate: {stats['input_docs']} docs in, "
             f"{stats['null_text_dropped']} null-text dropped, "
-            f"{stats['after_dedup']} after exact dedup, "
+            f"{near}"
+            f"{stats['after_dedup']} after dedup, "
             f"{stats['written']} written to {args.output} "
             f"(min_score={args.min_score})"
         )
         return stats
     finally:
+        for dep in plan.deps if plan is not None else []:
+            dep.unpersist()
         if own_session:
             spark.stop()
 

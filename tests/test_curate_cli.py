@@ -63,6 +63,7 @@ def test_curate_zero_survivors_and_null_text(spark, tmp_path):
     assert stats == {
         "input_docs": 3,
         "null_text_dropped": 1,
+        "near_dup_dropped": 0,
         "after_dedup": 1,  # docs 1 and 3 share text -> one survivor
         "written": 0,
     }
@@ -90,3 +91,42 @@ def test_curate_matches_classifier_query(spark, tmp_path):
     assert set(got) <= set(want)
     for did, s in got.items():
         assert s == want[did], did
+
+
+def test_curate_near_dup_stage(spark, tmp_path):
+    """--near-dup-threshold drops non-canonical members of near-dup
+    CLUSTERS (A~B and B~C collapse to one survivor, the min doc_id),
+    exact duplicates having already been removed by the exact stage;
+    unrelated docs pass through.  Off by default (second run keeps all
+    distinct texts)."""
+    from kmeans_with_mapreduce_cuda_spark.curate import main
+
+    base = ("spark shuffles keyed rows across executors during wide "
+            "transformations and joins of large tables")
+    near1 = base.replace("executors", "workers")        # ~0.8 jaccard to base
+    near2 = base.replace("large", "huge")               # ~0.8 to base, chain
+    other = ("completely unrelated text about parquet row groups and "
+             "column statistics pruning for selective scans today ok")
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, base, "en"), (2, base, "en"),        # exact dup of 1
+         (3, near1, "en"), (4, near2, "en"),      # near-dup chain with 1
+         (5, other, "en")],
+        "doc_id bigint, text string, lang string",
+    ).write.parquet(src)
+
+    out = str(tmp_path / "near")
+    stats = main(
+        [src, out, "--near-dup-threshold", "0.5"], spark=spark
+    )
+    assert stats["after_dedup"] == 2  # {1, 5}
+    assert stats["near_dup_dropped"] == 2  # 3 and 4 fold into 1's cluster
+    kept = sorted(
+        r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert kept == [1, 5]
+
+    out2 = str(tmp_path / "off")
+    stats2 = main([src, out2], spark=spark)
+    assert stats2["after_dedup"] == 4  # only the exact dup removed
+    assert stats2["near_dup_dropped"] == 0
