@@ -20,33 +20,56 @@ from .registry import query
     "rel_filter_agg",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_discount), 4) AS avg_disc,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_base_price,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS sum_disc_price,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*)
+               AS avg_qty,
+           CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 / count(*) AS avg_disc,
            CAST(count(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     """,
     doc="Filter + multi-aggregate grouping (TPC-H Q1 shape).  The filter "
-    "and the 6-column projection both push into the parquet scan.",
+    "and the 6-column projection both push into the parquet scan.  "
+    "Money aggregates EXACTLY as integer CENTS (the fixture's prices "
+    "and discounts carry 2 decimals): a plain double sum over millions "
+    "of ~1e4-magnitude prices accumulates order-dependent error past "
+    "the cent (measured diverging from DuckDB at the 10x probe on the "
+    "rollup grand total), DECIMAL sums fix it but cost ~2x (measured), "
+    "while bigint sums run at native codegen speed and are exact; "
+    "emission is one or two IEEE divisions on identical operands -- "
+    "bit-identical across engines, hence UNROUNDED (registry float "
+    "discipline).  ANSI mode (Spark 4 default) makes a cents overflow "
+    "fail loudly; past ~9e16 cents per group switch to DECIMAL.  The "
+    "round(x*100)-then-cast idiom is REQUIRED: Spark casts double->"
+    "bigint by truncation, DuckDB by rounding -- rounding first makes "
+    "the value integral so both agree.",
 )
 def rel_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("bigint")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_c = F.round(F.col("l_discount") * 100).cast("bigint")
+    n = F.count(F.lit(1))
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            F.sum(qty).cast("double").alias("sum_qty"),
+            (F.sum(price_c).cast("double") / 100.0).alias("sum_base_price"),
+            (
+                F.sum(price_c * (F.lit(100) - disc_c)).cast("double")
+                / 10000.0
             ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            (F.sum(qty).cast("double") / n).alias("avg_qty"),
+            (F.sum(disc_c).cast("double") / 100.0 / n).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
@@ -378,18 +401,24 @@ def rel_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_extendedprice), 2) AS sum_price,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price,
            CAST(count(*) AS BIGINT) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
     doc="ROLLUP grouping sets (subtotals + grand total; NULL marks the "
-    "rolled-up level in both engines).",
+    "rolled-up level in both engines).  The grand-total money sum "
+    "aggregates exactly as integer CENTS -- the plain double sum "
+    "measurably diverged from DuckDB past the cent at the 10x probe "
+    "(1.8e11 magnitude; order-dependent float accumulation); see "
+    "rel_filter_agg for the cents contract.",
 )
 def rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        (F.sum(price_c).cast("double") / 100.0).alias("sum_price"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -455,7 +484,9 @@ def rel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ANSI_Q3 = """
     SELECT o.o_orderkey AS orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS revenue,
            c.c_mktsegment AS mktsegment
     FROM customer c, orders o, lineitem l
     WHERE c.c_custkey = o.o_custkey
@@ -545,16 +576,57 @@ def rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
     FROM lineitem GROUP BY l_returnflag
     """,
-    doc="Exact interpolated percentiles per group (Spark `percentile` == "
-    "DuckDB `quantile_cont`).  At 100 TB prefer approx_percentile "
-    "(t-digest, mergeable) -- exact percentile materializes per-group "
-    "sorted values.",
+    doc="Exact interpolated percentiles per group, SORT-BASED: rank each "
+    "row in its group (disk-spilling window sort), keep only the <=2 "
+    "anchor rows per (group, percentile) at positions floor/ceil of "
+    "h = (n-1)p+1, and interpolate.  Spark's `percentile` aggregate "
+    "buffers EVERY group value in one task's heap map -- measured "
+    "OOMing a default 1 GB session at 6M rows (10x probe, this round) "
+    "-- while the window sort spills, so this formulation is the only "
+    "exact percentile that survives data-scale groups.  (At 100 TB "
+    "still prefer approx_percentile -- t-digest, mergeable, one "
+    "map-side pass -- when 0.1% error is acceptable: rel_approx_"
+    "percentile.)  Matches DuckDB quantile_cont at round(4).",
 )
 def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+    wr = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    e = ranked.select(
+        "l_returnflag",
+        "v",
+        "rn",
+        "n",
+        F.explode(F.array(F.lit(0.5), F.lit(0.9))).alias("p"),
+    ).withColumn("h", (F.col("n") - 1) * F.col("p") + 1)
+    anchors = e.where(
+        (F.col("rn") == F.floor("h")) | (F.col("rn") == F.ceil("h"))
+    )
+    interp = anchors.groupBy("l_returnflag", "p").agg(
+        F.first("h").alias("h"),
+        F.max(F.when(F.col("rn") == F.floor("h"), F.col("v"))).alias("v_lo"),
+        F.max(F.when(F.col("rn") == F.ceil("h"), F.col("v"))).alias("v_hi"),
+    )
+    val = F.col("v_lo") + (F.col("v_hi") - F.col("v_lo")) * (
+        F.col("h") - F.floor("h")
+    )
+    return (
+        interp.withColumn("val", val)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.max(F.when(F.col("p") == 0.5, F.col("val"))), 4
+            ).alias("p50"),
+            F.round(
+                F.max(F.when(F.col("p") == 0.9, F.col("val"))), 4
+            ).alias("p90"),
+        )
     )
 
 
@@ -736,7 +808,8 @@ def rel_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GROUPING_SETS_SQL = """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_extendedprice), 2) AS sum_price,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price,
            CAST(count(*) AS BIGINT) AS n
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -822,7 +895,9 @@ def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_join_chain_q5",
     oracle="""
     SELECT n.n_name AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS revenue,
            CAST(count(*) AS BIGINT) AS n_items
     FROM customer c
     JOIN orders o   ON o.o_custkey = c.c_custkey
@@ -859,8 +934,15 @@ def rel_join_chain_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(r, (r.r_regionkey == n.n_regionkey) & (r.r_name == "ASIA"))
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                    * (
+                        F.lit(100)
+                        - F.round(F.col("l_discount") * 100).cast("bigint")
+                    )
+                ).cast("double")
+                / 10000.0
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -989,9 +1071,13 @@ def rel_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "rel_conditional_agg_q14",
     oracle="""
-    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
-                       THEN l.l_extendedprice * (1 - l.l_discount) END)
-                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+    SELECT 100.0 * (CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                       THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                       END) AS DOUBLE)
+                 / CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                        AS DOUBLE))
                AS promo_revenue_pct,
            CAST(count(*) AS BIGINT) AS n_items
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
@@ -1004,12 +1090,15 @@ def rel_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rel_conditional_agg_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     p = F.broadcast(load_table(spark, sf_dir, "part"))
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
     promo = F.when(F.col("p_type") == "PROMO", rev)
     return li.join(p, p.p_partkey == li.l_partkey).agg(
-        F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias(
-            "promo_revenue_pct"
-        ),
+        (
+            F.lit(100.0)
+            * (F.sum(promo).cast("double") / F.sum(rev).cast("double"))
+        ).alias("promo_revenue_pct"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
