@@ -1187,6 +1187,57 @@ def pipe_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipe_global_shuffle",
+    oracle=r"""
+    WITH h AS (
+        SELECT doc_id,
+               md5('shuf42:' || CAST(doc_id AS VARCHAR)) AS hx
+        FROM documents
+    ),
+    sharded AS (
+        SELECT doc_id, hx,
+               CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % 16 AS shard
+        FROM h
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+                    PARTITION BY shard ORDER BY hx, doc_id
+                ) - 1 AS BIGINT) AS pos_in_shard
+    FROM sharded
+    """,
+    doc="Deterministic global training-data shuffle: every doc gets a "
+    "seeded md5 key; the key's top 32 bits pick one of 16 shards and "
+    "the full hex orders rows WITHIN the shard.  (shard, pos_in_shard) "
+    "is a reproducible random permutation -- the epoch-0 example order "
+    "of a training run, stable across reruns and engine-portable.  "
+    "Scale shape: deliberately NOT row_number() over a global ORDER BY "
+    "(one task would receive the entire sort -- the classic "
+    "single-partition-window scale-killer); sharding first makes the "
+    "window PARTITION BY shard, so each shard sorts independently and "
+    "in parallel with a spillable external sort, one exchange total.  "
+    "At 100 TB the shard count scales to thousands (one output file "
+    "each); 16 here matches the fixture size.",
+)
+def pipe_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    hx = F.md5(F.concat(F.lit("shuf42:"), F.col("doc_id").cast("string")))
+    sharded = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        hx.alias("hx"),
+        (F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint") % 16).alias(
+            "shard"
+        ),
+    )
+    w = Window.partitionBy("shard").orderBy("hx", "doc_id")
+    return sharded.select(
+        "doc_id",
+        "shard",
+        (F.row_number().over(w) - 1).cast("bigint").alias("pos_in_shard"),
+    )
+
+
+@query(
     "pipe_token_packing",
     oracle="""
     WITH t AS (
@@ -2740,6 +2791,70 @@ def pipe_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("vocab_id", (F.row_number().over(w) - 1).cast("bigint"))
         .withColumn("cum_frac", F.sum("n").over(cum) / F.col("tot"))
         .select("vocab_id", "term", "n", "cum_frac")
+    )
+
+
+# --- Unigram language-model scoring (perplexity proxy) ------------------------
+
+@query(
+    "text_unigram_logprob",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents
+    ),
+    counts AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY term
+    ),
+    total AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM counts),
+    top AS (SELECT term, n FROM counts ORDER BY n DESC, term LIMIT 256),
+    cov AS (SELECT CAST(sum(n) AS DOUBLE) AS covered FROM top)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(-avg(CASE WHEN v.n IS NOT NULL THEN ln(v.n / tot)
+                           ELSE ln(greatest(tot - covered, 1.0) / tot)
+                      END), 6) AS nll
+    FROM toks t
+    LEFT JOIN top v USING (term), total, cov
+    GROUP BY t.doc_id
+    """,
+    doc="CCNet-style LM quality proxy: per-doc mean negative log-prob "
+    "under a corpus unigram model (top-256 vocabulary, all OOV mass in "
+    "one smoothed bucket).  High nll = far from the corpus distribution "
+    "-- the KenLM-perplexity filter of the CCNet pipeline reduced to its "
+    "unigram core, which IS SQL-expressible and oracle-checkable.  "
+    "Scale shape: the model build is the vocabulary-bounded count "
+    "shuffle (map-side combine) + TakeOrderedAndProject top-256; "
+    "scoring joins each token against the 256-row BROADCAST vocab -- "
+    "hot tokens like stopwords never key a shuffle, so token skew is "
+    "structurally impossible; the per-doc mean partial-aggregates "
+    "map-side.  nll is a float mean over tokens (summation-order "
+    "sensitive), so it rounds to 6 per the float-discipline policy; "
+    "n/tot and the OOV ratio are single IEEE divisions, identical in "
+    "both engines.",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.col("n").desc(), "term").limit(256)
+    stats = counts.agg(F.sum("n").cast("double").alias("tot"))
+    cov = top.agg(F.sum("n").cast("double").alias("covered"))
+    logp = F.when(
+        F.col("n").isNotNull(), F.log(F.col("n") / F.col("tot"))
+    ).otherwise(
+        F.log(F.greatest(F.col("tot") - F.col("covered"), F.lit(1.0)) / F.col("tot"))
+    )
+    return (
+        toks.join(F.broadcast(top), "term", "left")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(cov))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(-F.avg(logp), 6).alias("nll"),
+        )
     )
 
 

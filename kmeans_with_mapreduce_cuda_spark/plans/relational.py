@@ -889,6 +889,49 @@ def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rel_hll_sketch_union",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS union_within_5pct
+    FROM events GROUP BY event_type
+    """,
+    doc="Mergeable-sketch rollup: per-(event_type, day) DataSketches HLL "
+    "sketches of user_id (hll_sketch_agg), then hll_union_agg collapses "
+    "each type's daily sketches into one estimate -- the pattern that "
+    "makes 100 TB distinct-counting reusable: daily sketches are built "
+    "once (kB each), persisted, and any date range or coarser rollup "
+    "is a cheap union of sketches instead of a re-scan of raw events.  "
+    "Differs from rel_approx_distinct (one-shot approx_count_distinct): "
+    "here the sketch itself is a first-class, re-aggregable column.  "
+    "Raw estimates are engine-specific, so the gate checks the claim: "
+    "exact distinct count + a boolean asserting the unioned estimate "
+    "landed within 5% (default lgConfigK=12 gives ~1.6% rsd).  Scale "
+    "shape: both aggregations partial-combine map-side; the shuffle "
+    "carries one sketch per (type, day, partition), never user ids.",
+)
+def rel_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_day = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    rolled = per_day.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return exact.join(F.broadcast(rolled), "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("union_within_5pct"),
+    )
+
+
 # --- Multi-join chain (TPC-H Q5 shape) ----------------------------------------
 
 @query(

@@ -643,3 +643,30 @@ def test_tokenizer_apply_encode_is_shuffle_free(spark):
     plan = plan_of(REGISTRY["pipe_tokenizer_apply"].fn(spark, SF_DIR))
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_global_shuffle_window_is_sharded(spark):
+    """pipe_global_shuffle: the permutation must never compile to a
+    global-ORDER-BY row_number (one task receiving the entire sort).
+    The window partitions by shard -- the plan's only exchange is a
+    hash partitioning on shard, with no SinglePartition collapse and
+    no range-partitioned global sort."""
+    plan = plan_of(REGISTRY["pipe_global_shuffle"].fn(spark, SF_DIR))
+    assert "SinglePartition" not in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "hashpartitioning(shard" in plan, plan
+
+
+def test_unigram_logprob_scoring_joins_are_broadcast(spark):
+    """text_unigram_logprob: every token joins the 256-row vocab (and
+    the 1-row total/coverage aggregates) via BROADCAST joins -- a token
+    term must never key an exchange on the scoring side, or stopword
+    skew would melt a 100 TB run.  Allowed exchanges: the
+    vocabulary-bounded count aggregation and the per-doc mean."""
+    plan = plan_of(REGISTRY["text_unigram_logprob"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    # the scoring-side token stream must never shuffle-join on term
+    # (the vocab COUNT agg partitions by term -- that one is bounded
+    # by vocabulary size and map-side-combined, so it is fine):
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
