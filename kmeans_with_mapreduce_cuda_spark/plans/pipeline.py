@@ -171,6 +171,69 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _eager(spark, out, deps=[arrs])
 
 
+# --- Blocked fuzzy matching (edit-distance entity resolution) -----------------
+
+@query(
+    "dedup_fuzzy_blocked",
+    oracle=r"""
+    WITH n AS (
+        SELECT doc_id,
+               substr(lower(text), 1, 64) AS s64,
+               substr(lower(text), 1, 16) AS blk
+        FROM documents
+    ),
+    ok AS (SELECT blk FROM n GROUP BY blk HAVING count(*) <= 64),
+    b AS (SELECT n.* FROM n JOIN ok USING (blk))
+    SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
+           CAST(bb.doc_id AS BIGINT) AS doc_b,
+           CAST(levenshtein(a.s64, bb.s64) AS BIGINT) AS lev
+    FROM b a JOIN b bb ON a.blk = bb.blk AND a.doc_id < bb.doc_id
+    WHERE levenshtein(a.s64, bb.s64) <= 8
+    """,
+    doc="Entity-resolution-style fuzzy matching: block on the 16-char "
+    "normalized prefix, pair within blocks, verify with Levenshtein "
+    "edit distance <= 8 over the 64-char prefix.  Character-level edit "
+    "distance catches typo-class near-dups that token-set methods "
+    "(Jaccard/MinHash) miss, at O(pairs-in-block) instead of all-pairs."
+    "  Scale shape: the block key is an equi-join (never a cross "
+    "join); blocks larger than 64 members are dropped by a broadcast "
+    "anti-join BEFORE pairing (the same hot-bucket cap contract as the "
+    "LSH paths, mirrored in the oracle so both engines see identical "
+    "pairs); Spark evaluates the bounded 3-arg levenshtein, whose "
+    "banded DP costs O(threshold * len) per pair instead of O(len^2).",
+)
+def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    s = F.lower(F.col("text"))
+    docs = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.substring(s, 1, 64).alias("s64"),
+        F.substring(s, 1, 16).alias("blk"),
+    )
+    hot = (
+        docs.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 64)
+        .select("blk")
+    )
+    blocked = docs.join(F.broadcast(hot), "blk", "left_anti")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    lev = F.levenshtein(F.col("a.s64"), F.col("b.s64"), 8)
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            lev.cast("bigint").alias("lev"),
+        )
+        .where(F.col("lev") >= 0)  # 3-arg levenshtein: -1 == over threshold
+    )
+
+
 # --- Text analysis -----------------------------------------------------------
 
 @query(

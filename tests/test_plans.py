@@ -670,3 +670,14 @@ def test_unigram_logprob_scoring_joins_are_broadcast(spark):
     # by vocabulary size and map-side-combined, so it is fine):
     assert "SortMergeJoin" not in plan, plan
     assert "ShuffledHashJoin" not in plan, plan
+
+
+def test_fuzzy_blocked_is_capped_equi_join(spark):
+    """dedup_fuzzy_blocked: pairing must be an equi-join on the block
+    key (never a cartesian/nested-loop pair explosion) and the hot-block
+    cap must survive as a broadcast anti-join before pairing -- the same
+    contract the LSH candidate paths assert."""
+    plan = plan_of(REGISTRY["dedup_fuzzy_blocked"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftAnti" in plan, plan
