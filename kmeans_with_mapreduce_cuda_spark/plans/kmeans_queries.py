@@ -505,6 +505,71 @@ def o14_sse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "o14_silhouette",
+    oracle=f"""
+    WITH points AS ({POINTS_SQL}), cents AS {cents_sql(INIT_CENTROIDS_2D)},
+    d AS (
+        SELECT p.id, c.cluster_id,
+               sqrt((p.x - c.cx) * (p.x - c.cx)
+                    + (p.y - c.cy) * (p.y - c.cy)) AS dist,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.id
+                   ORDER BY (p.x - c.cx) * (p.x - c.cx)
+                            + (p.y - c.cy) * (p.y - c.cy), c.cluster_id
+               ) AS rn
+        FROM points p CROSS JOIN cents c
+    ),
+    ab AS (
+        SELECT id,
+               max(CASE WHEN rn = 1 THEN cluster_id END) AS cluster_id,
+               max(CASE WHEN rn = 1 THEN dist END) AS a,
+               max(CASE WHEN rn = 2 THEN dist END) AS b
+        FROM d WHERE rn <= 2 GROUP BY id
+    )
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS n,
+           round(avg(CASE WHEN greatest(a, b) = 0 THEN 0.0
+                          ELSE (b - a) / greatest(a, b) END), 6)
+               AS mean_silhouette
+    FROM ab GROUP BY cluster_id
+    """,
+    doc="Clustering-quality instrumentation beyond SSE: the simplified "
+    "(centroid-based) silhouette -- a = Euclidean distance to the "
+    "assigned centroid, b = distance to the nearest OTHER centroid, "
+    "s = (b-a)/max(a,b), averaged per cluster.  True silhouette is "
+    "O(n^2) point-to-point; the centroid form is THE variant that "
+    "works at 100 TB because it rides the same literal-centroid "
+    "shuffle-free projection as assignment (O4) plus one k-row "
+    "aggregate -- the plan family of o14_sse.  Spark takes the two "
+    "smallest of the k distances via array_sort on the literal "
+    "distance array; the oracle independently derives them with a "
+    "rn<=2 window over the cross join.  sqrt of identical doubles and "
+    "the (b-a)/max division are bit-identical; the per-cluster mean "
+    "is a float sum, so it rounds to 6.",
+)
+def o14_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmeans import _dists_sql_2d
+
+    p = _points(spark, sf_dir)
+    d = p.withColumn(
+        "_d2", F.expr(_dists_sql_2d(INIT_CENTROIDS_2D, "x", "y"))
+    )
+    d = d.select(
+        (F.array_position("_d2", F.array_min("_d2")) - 1)
+        .cast("int")
+        .alias("cluster_id"),
+        F.sqrt(F.array_sort("_d2")[0]).alias("a"),
+        F.sqrt(F.array_sort("_d2")[1]).alias("b"),
+    )
+    sil = F.when(F.greatest("a", "b") == 0.0, F.lit(0.0)).otherwise(
+        (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    )
+    return d.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(sil), 6).alias("mean_silhouette"),
+    )
+
+
 # --- O2 variant: deterministic farthest-point (k-means++-style) seeding ------
 
 _FP_K = 4

@@ -171,6 +171,76 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _eager(spark, out, deps=[arrs])
 
 
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    pair_overlap AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / sa.n AS contain_a,
+           CAST(inter AS DOUBLE) / sb.n AS contain_b
+    FROM pair_overlap
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / least(sa.n, sb.n) >= 0.5
+    """,
+    doc="Asymmetric shingle CONTAINMENT |A int B| / |A| -- the doc-in-doc "
+    "detector symmetric Jaccard misses: a short doc quoted wholesale "
+    "inside a long one has low Jaccard (union is huge) but containment "
+    "~1 in one direction.  The training-data case is concatenated / "
+    "quoted / templated documents.  Same candidate generation as "
+    "dedup_ngram_jaccard (shared-shingle equi-join, doc_id < 300 exact "
+    "slice -- at scale the LSH paths generate the candidates); emits "
+    "both directions, keeps pairs where the smaller side is >= 50% "
+    "contained.  contain_a/contain_b are single IEEE divisions of "
+    "exact integers, bit-identical across engines (unrounded per the "
+    "float policy).",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import word_shingles
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    sh = F.array_distinct(word_shingles("text", 3))
+    arrs = d.select("doc_id", sh.alias("_sh")).persist()
+    shingles = arrs.select("doc_id", F.explode("_sh").alias("shingle"))
+    sizes = arrs.select("doc_id", F.size("_sh").alias("n"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    overlap = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    res = (
+        overlap.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .where(
+            F.col("inter").cast("double")
+            / F.least(F.col("sa.n"), F.col("sb.n"))
+            >= 0.5
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter").cast("double") / F.col("sa.n")).alias("contain_a"),
+            (F.col("inter").cast("double") / F.col("sb.n")).alias("contain_b"),
+        )
+    )
+    return _eager(spark, res, deps=[arrs])
+
+
 # --- Blocked fuzzy matching (edit-distance entity resolution) -----------------
 
 @query(

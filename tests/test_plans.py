@@ -681,3 +681,17 @@ def test_fuzzy_blocked_is_capped_equi_join(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "LeftAnti" in plan, plan
+
+
+def test_silhouette_is_projection_plus_single_exchange(spark):
+    """o14_silhouette must ride the assignment plan family: the per-point
+    a/b distances are a shuffle-free literal-centroid projection (no
+    join), and the only exchange is the k-row per-cluster aggregate
+    with a map-side partial below it."""
+    import re
+
+    plan = plan_of(REGISTRY["o14_silhouette"].fn(spark, SF_DIR))
+    assert "Join" not in plan, plan
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges == 1, plan
+    assert "partial_" in plan, plan
