@@ -35,6 +35,14 @@ QUERIES = [
     "pipe_train_val_test",
     "pipe_token_packing",
     "udtf_shingles",
+    # session additions: sketch rollups, shuffle, scoring, fuzzy/containment
+    "rel_bitmap_distinct",
+    "rel_hll_sketch_union",
+    "pipe_global_shuffle",
+    "text_unigram_logprob",
+    "dedup_fuzzy_blocked",
+    "dedup_containment",
+    "o14_silhouette",
 ]
 
 
