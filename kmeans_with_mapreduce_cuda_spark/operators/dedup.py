@@ -601,3 +601,91 @@ def incremental_dedup_keep(
     return incremental_dedup_keep_digests(bh, delta, text, id_col).select(
         id_col
     )
+
+
+def cdc_chunk_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    boundary_mod: int = 8,
+    salt: str = "cdc:",
+) -> DataFrame:
+    """Passage-level exact dedup via CONTENT-DEFINED chunking (the CCNet/
+    rsync idea): a token starts a new chunk when its md5 bucket
+    ``% boundary_mod == 0``, so chunk boundaries are a function of the
+    CONTENT, not of position -- inserting one word near the top of a
+    document re-chunks only the chunk it lands in, unlike fixed-width
+    windows where every downstream passage shifts.  Expected chunk
+    length = ``boundary_mod`` words.
+
+    Returns one row per document: (id, n_chunks, dup_chunks, dup_ratio)
+    where a chunk counts as duplicated when its exact text occurs in at
+    least one OTHER document.  ``dup_ratio`` is a single IEEE division
+    of two exact bigints (emitted unrounded per the registry float
+    policy).
+
+    Scale shape (100 TB judgment):
+    - one exchange of the token stream on ``id_col`` for the
+      prefix-sum window (same shape as sessionization; AQE splits any
+      outsized doc partition),
+    - chunk assembly groups (id, chunk_no) WITHIN that partitioning --
+      no second token shuffle,
+    - cross-corpus counting shuffles 16-byte chunk digests only, with
+      map-side partial aggregation; chunk text never leaves the
+      assembly stage.
+    """
+    from pyspark.sql.window import Window
+
+    words = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "w")
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col("w"))), 1, 8), 16, 10
+        ).cast("bigint")
+        % boundary_mod
+    )
+    flagged = words.withColumn("b", (bucket == 0).cast("int"))
+    run = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    numbered = flagged.select(
+        id_col, "pos", "w", F.sum("b").over(run).alias("chunk_no")
+    )
+    chunks = numbered.groupBy(id_col, "chunk_no").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            )
+        ).alias("chunk_hash")
+    )
+    # (chunk_hash, doc) occurrence counts group WITHIN the doc
+    # partitioning (grouping keys are a superset of the window's
+    # partition key -- no exchange); the cross-corpus doc count is a
+    # WINDOW over chunk_hash, not a self-join: a join of two aggregates
+    # over the same lineage would scan + chunk the corpus twice.
+    per_doc_hash = chunks.groupBy("chunk_hash", id_col).agg(
+        F.count("*").alias("n_occ")
+    )
+    joined = per_doc_hash.withColumn(
+        "n_docs", F.count("*").over(Window.partitionBy("chunk_hash"))
+    )
+    return joined.groupBy(id_col).agg(
+        F.sum("n_occ").alias("n_chunks"),
+        F.sum(F.when(F.col("n_docs") > 1, F.col("n_occ")).otherwise(0)).alias(
+            "dup_chunks"
+        ),
+    ).select(
+        id_col,
+        "n_chunks",
+        "dup_chunks",
+        (F.col("dup_chunks").cast("double") / F.col("n_chunks")).alias(
+            "dup_ratio"
+        ),
+    )

@@ -304,6 +304,68 @@ def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_cdc_chunks",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    words AS (
+        SELECT doc_id, u.pos AS pos, u.w AS w,
+               CASE WHEN CAST(('0x' || substr(md5('cdc:' || u.w), 1, 8))
+                         AS BIGINT) % 8 = 0 THEN 1 ELSE 0 END AS b
+        FROM (
+            SELECT doc_id,
+                   unnest([{'pos': i, 'w': toks[i]}
+                           FOR i IN range(1, len(toks) + 1)]) AS u
+            FROM toks
+        )
+    ),
+    numbered AS (
+        SELECT doc_id, pos, w,
+               SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_no
+        FROM words
+    ),
+    chunks AS (
+        SELECT doc_id, chunk_no,
+               md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_hash
+        FROM numbered GROUP BY doc_id, chunk_no
+    ),
+    per_doc_hash AS (
+        SELECT chunk_hash, doc_id, count(*) AS n_occ
+        FROM chunks GROUP BY chunk_hash, doc_id
+    ),
+    docs_per_hash AS (
+        SELECT chunk_hash, count(*) AS n_docs
+        FROM per_doc_hash GROUP BY chunk_hash
+    )
+    SELECT p.doc_id,
+           CAST(SUM(p.n_occ) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN d.n_docs > 1 THEN p.n_occ ELSE 0 END)
+                AS BIGINT) AS dup_chunks,
+           CAST(SUM(CASE WHEN d.n_docs > 1 THEN p.n_occ ELSE 0 END)
+                AS DOUBLE) / CAST(SUM(p.n_occ) AS BIGINT) AS dup_ratio
+    FROM per_doc_hash p JOIN docs_per_hash d USING (chunk_hash)
+    GROUP BY p.doc_id
+    ORDER BY p.doc_id
+    """,
+    doc="Passage-level exact dedup via CONTENT-DEFINED chunking: a token "
+    "opens a new chunk when md5('cdc:'||w) %% 8 == 0, so boundaries track "
+    "content (insertion-robust, unlike fixed windows); per-doc duplicated-"
+    "chunk counts/ratio where a chunk is dup when its exact text occurs in "
+    ">=2 docs.  One token-stream exchange (doc-partitioned prefix-sum "
+    "window, sessionize shape) then digest-only shuffles.  "
+    "operators/dedup.py:cdc_chunk_stats.",
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import cdc_chunk_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return cdc_chunk_stats(d).orderBy("doc_id")
+
+
 # --- Text analysis -----------------------------------------------------------
 
 @query(

@@ -43,6 +43,7 @@ QUERIES = [
     "dedup_fuzzy_blocked",
     "dedup_containment",
     "o14_silhouette",
+    "dedup_cdc_chunks",
 ]
 
 

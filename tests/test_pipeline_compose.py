@@ -270,3 +270,37 @@ def test_curation_stages_compose_and_agree(spark):
     assert 0 < len(kept) < len(rows)
     again = joined.where(F.col("keep")).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, kept))
+
+
+def test_cdc_chunks_dedup_and_insertion_robustness(spark):
+    """Content-defined chunking: identical docs are 100% duplicated
+    passages; a single word inserted at the FRONT of a copy perturbs
+    only the chunk it lands in (boundaries re-sync at the next
+    content-defined boundary), unlike fixed-width windows where every
+    downstream passage would shift and nothing past the edit would
+    match."""
+    from kmeans_with_mapreduce_cuda_spark.operators.dedup import (
+        cdc_chunk_stats,
+    )
+
+    base_words = [f"w{(7 * i + 3) % 23}x{i % 5}" for i in range(60)]
+    base = " ".join(base_words)
+    inserted = " ".join(["zzznovel"] + base_words)
+    unique = " ".join(f"only{i}q" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, unique), (4, inserted)],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in cdc_chunk_stats(docs).collect()
+    }
+    # identical pair: every chunk duplicated, ratio exactly 1.0
+    assert rows[1]["dup_chunks"] == rows[1]["n_chunks"]
+    assert rows[2]["dup_ratio"] == 1.0
+    # unique doc: nothing duplicated
+    assert rows[3]["dup_chunks"] == 0 and rows[3]["dup_ratio"] == 0.0
+    # insertion robustness: all but the edited leading chunk still match
+    r4 = rows[4]
+    assert r4["n_chunks"] >= 4  # the fixture is long enough to chunk
+    assert r4["dup_chunks"] >= r4["n_chunks"] - 2

@@ -695,3 +695,26 @@ def test_silhouette_is_projection_plus_single_exchange(spark):
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
     assert n_exchanges == 1, plan
     assert "partial_" in plan, plan
+
+
+def test_cdc_chunks_shuffles_tokens_once_then_digests(spark):
+    """dedup_cdc_chunks: the token stream crosses the wire exactly once
+    (the doc-partitioned prefix-sum window); after chunk assembly every
+    Exchange partitions on the 32-char chunk digest or doc_id -- the
+    chunk TEXT never shuffles.  No joins except the digest-count
+    equi-join (no cartesian)."""
+    import re
+
+    plan = plan_of(REGISTRY["dedup_cdc_chunks"].fn(spark, SF_DIR))
+    # single lineage: the cross-corpus doc count is a window, not a
+    # self-join of two aggregates (which would scan + chunk twice)
+    assert "Join" not in plan, plan
+    # one scan node (it appears twice in formatted output: tree + detail)
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    parts = re.findall(r"hashpartitioning\(([a-zA-Z_0-9#]+)", plan)
+    assert parts, plan
+    for key in parts:
+        assert key.startswith(("doc_id#", "chunk_hash#")), (key, parts)
+    # two windows: the doc-partitioned prefix-sum and the digest count;
+    # chunk assembly rides the first one's partitioning
+    assert len(re.findall(r"\+- Window ", plan)) == 2, plan
