@@ -1528,6 +1528,59 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_char_entropy",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id,
+               unnest([lower(text)[i] FOR i IN range(1, len(text) + 1)])
+                   AS ch
+        FROM documents WHERE len(text) > 0
+    ),
+    counts AS (
+        SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_chars_seen,
+           CAST(count(*) AS BIGINT) AS n_distinct_chars,
+           round(ln(CAST(sum(c) AS DOUBLE))
+                 - sum(c * ln(CAST(c AS DOUBLE)))
+                   / CAST(sum(c) AS DOUBLE), 6) AS entropy_nats
+    FROM counts GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Character-distribution Shannon entropy per document (nats) -- "
+    "the classic gibberish/boilerplate signal: natural text sits near "
+    "~3 nats, 'aaaa...' near 0, base64 blobs higher.  Computed as "
+    "ln(N) - sum(c*ln(c))/N from EXACT integer counts so only the "
+    "final ln/divide are float (rounded 6, both engines).  Shape: "
+    "1-gram explode -> count per (doc, char) with map-side partial agg "
+    "(post-combine rows ~= alphabet size per doc per partition, not "
+    "chars), then the per-doc fold.  Chars themselves never shuffle "
+    "beyond the ~40-row-per-doc count vector.",
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import char_ngrams
+
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    chars = d.select("doc_id", F.explode(char_ngrams("text", 1)).alias("ch"))
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            n.alias("n_chars_seen"),
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+            F.round(
+                F.log(n.cast("double"))
+                - F.sum(F.col("c") * F.log(F.col("c").cast("double")))
+                / n.cast("double"),
+                6,
+            ).alias("entropy_nats"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "text_normalize",
     oracle="""
     SELECT doc_id,

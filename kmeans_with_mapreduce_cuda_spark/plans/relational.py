@@ -2057,3 +2057,57 @@ def rel_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
             s AS pos, val
         """
     )
+
+
+@query(
+    "rel_topk_salted",
+    oracle="""
+    SELECT event_type, event_id, value, rank FROM (
+        SELECT event_type, event_id, value,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY value DESC, event_id
+               ) AS BIGINT) AS rank
+        FROM events
+    ) WHERE rank <= 3
+    ORDER BY event_type, rank
+    """,
+    doc="Skew-safe two-phase top-k: top-k is MERGEABLE (unlike general "
+    "window functions), so a hot partition key need never land on one "
+    "task.  Stage 1 takes a local top-3 within (event_type, salt) -- "
+    "salt = xxhash64(event_id) mod 16 spreads any hot event_type over "
+    "16 tasks; stage 2 re-ranks only the <= 16*3 survivors per key.  "
+    "The second window's input is bounded by k*n_salt*n_keys rows "
+    "REGARDLESS of input skew, where the plain rel_window_topk "
+    "formulation sorts every row of the hottest key on one task.  "
+    "Result provably identical to the unsalted oracle (deterministic "
+    "total order via the event_id tie-break; values pass through "
+    "unrounded -- no arithmetic).  This is the order-statistics twin of "
+    "rel_salted_join / operators/skew.py at the 100 TB regime.",
+)
+def rel_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    n_salt, k = 16, 3
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    salted = ev.withColumn(
+        "_salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salt)).cast("int")
+    )
+    w1 = Window.partitionBy("event_type", "_salt").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    local = (
+        salted.withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= k)
+        .drop("_rn", "_salt")
+    )
+    w2 = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w2).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .orderBy("event_type", "rank")
+    )

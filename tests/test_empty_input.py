@@ -44,6 +44,8 @@ QUERIES = [
     "dedup_containment",
     "o14_silhouette",
     "dedup_cdc_chunks",
+    "rel_topk_salted",
+    "text_char_entropy",
 ]
 
 

@@ -718,3 +718,19 @@ def test_cdc_chunks_shuffles_tokens_once_then_digests(spark):
     # two windows: the doc-partitioned prefix-sum and the digest count;
     # chunk assembly rides the first one's partitioning
     assert len(re.findall(r"\+- Window ", plan)) == 2, plan
+
+
+def test_topk_salted_is_two_bounded_windows(spark):
+    """rel_topk_salted: stage 1 must partition by (event_type, _salt) --
+    spreading a hot key over n_salt tasks -- and stage 2 by event_type
+    alone over the k*n_salt survivors.  Both windows should carry a
+    WindowGroupLimit (rank-limit pushdown) so neither task buffers an
+    unbounded partition."""
+    import re
+
+    plan = plan_of(REGISTRY["rel_topk_salted"].fn(spark, SF_DIR))
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("event_type" in p and "_salt" in p for p in parts), parts
+    assert any("event_type" in p and "_salt" not in p for p in parts), parts
+    assert len(re.findall(r"\+- Window ", plan)) == 2, plan
+    assert "WindowGroupLimit" in plan, plan
