@@ -582,6 +582,100 @@ def kmeans_mllib_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_minhash_mllib",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    pair_overlap AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    exact AS (
+        SELECT doc_a, doc_b
+        FROM pair_overlap
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+           TRUE AS recall_ge_half
+    FROM exact
+    """,
+    doc="Library-layer MinHash twin (the kmeans_mllib pattern applied to "
+    "dedup): MLlib HashingTF (binary, 2^18 features) + MinHashLSH "
+    "(8 tables, seed 42) approxSimilarityJoin at Jaccard distance 0.5 "
+    "over the doc_id<300 slice.  MLlib's hash family is not "
+    "SQL-replicable, so the checkable face is a CLAIM row computed "
+    "INSIDE Spark against its own exact-Jaccard twin (the "
+    "dedup_ngram_jaccard framing at threshold 0.5): the oracle "
+    "re-derives n_exact_pairs from the data and asserts the library "
+    "path recovers >= half of them.  Unlike the hard-coded "
+    "kmeans_mllib_sizes claim, every value here is data-derived.",
+)
+def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    from ..functions.text import word_shingles
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    arrs = d.select(
+        "doc_id", F.array_distinct(word_shingles("text", 3)).alias("sh")
+    ).where(F.size("sh") > 0)
+    feat = HashingTF(
+        inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True
+    ).transform(arrs)
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+    ).fit(feat)
+    pairs = (
+        model.approxSimilarityJoin(feat, feat, 0.5, distCol="jd")
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+    )
+    # exact twin at sim >= 0.5 (jaccard distance <= 0.5), same framing
+    # as dedup_ngram_jaccard
+    shingles = arrs.select("doc_id", F.explode("sh").alias("shingle"))
+    sizes = arrs.select("doc_id", F.size("sh").alias("n"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    overlap = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("inter")
+    )
+    exact = (
+        overlap.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .where(jac >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    hits = exact.join(pairs, ["doc_a", "doc_b"], "left_semi")
+    return exact.agg(F.count(F.lit(1)).alias("n_exact_pairs")).crossJoin(
+        hits.agg(F.count(F.lit(1)).alias("_h"))
+    ).select(
+        "n_exact_pairs",
+        (
+            F.col("_h").cast("double")
+            >= 0.5 * F.col("n_exact_pairs").cast("double")
+        ).alias("recall_ge_half"),
+    )
+
+
 # --- MinHash + LSH near-dedup (md5-based, fully oracle-checkable) ------------
 
 def _minhash_sql(num_hashes: int = 16, bands: int = 8, seed: int = 42) -> str:
@@ -3719,3 +3813,56 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "stream_topk_types",
+    oracle="""
+    WITH hourly AS (
+        SELECT CAST(strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                    AS VARCHAR) AS hour_str,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events
+        WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+              <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
+        GROUP BY 1, 2
+    )
+    SELECT hour_str, event_type, n, rank FROM (
+        SELECT hour_str, event_type, n,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY hour_str ORDER BY n DESC, event_type
+               ) AS BIGINT) AS rank
+        FROM hourly
+    ) WHERE rank <= 2
+    """,
+    doc="Streaming top-k finishing pattern: general window functions "
+    "cannot run on an unbounded stream, so the heavy lifting -- the "
+    "watermarked per-(window, type) count with evictable state -- runs "
+    "as a REAL streaming job (availableNow drain, append mode), and the "
+    "top-2-types-per-hour rank is a BATCH finishing pass over the "
+    "compacted sink table (cardinality = windows x types, thousands of "
+    "rows where the stream saw millions).  This is the production "
+    "shape: stream aggregates into a compact store, ranking/serving "
+    "reads the store.  Deterministic via the event_type tie-break; "
+    "oracle replays both stages in batch SQL restricted to closed "
+    "windows.",
+)
+def stream_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..streaming import hourly_counts_stream, read_events_stream
+
+    drained = _drain_stream_to_table(
+        spark,
+        lambda: hourly_counts_stream(read_events_stream(spark, sf_dir)),
+        "_gate_topktypes_",
+    )
+    w = Window.partitionBy("hour_str").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        drained.select("hour_str", "event_type", "n")
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 2)
+    )

@@ -2111,3 +2111,50 @@ def rel_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= k)
         .orderBy("event_type", "rank")
     )
+
+
+@query(
+    "rel_xml_funcs",
+    oracle="""
+    SELECT n_nationkey,
+           CAST(length('<r><k>' || CAST(n_nationkey AS VARCHAR)
+                       || '</k><nm>' || n_name || '</nm></r>')
+                AS BIGINT) AS xml_len,
+           CAST(n_nationkey AS INTEGER) AS k_parsed,
+           n_name AS nm_parsed,
+           n_name AS nm_xpath
+    FROM nation ORDER BY n_nationkey
+    """,
+    doc="XML surface: build an XML doc per row, round-trip it through "
+    "from_xml (schema'd struct extraction) AND xpath_string, and emit "
+    "the recovered fields.  The oracle computes the same end values "
+    "directly from the source columns, so the hash verifies the "
+    "parse/extract round-trip exactly.  All JVM expressions "
+    "(from_xml/xpath are codegen-adjacent built-ins, not UDFs); "
+    "row-local, shuffle-free except the output sort.  The "
+    "uppercase-ASCII nation names need no XML escaping -- the "
+    "round-trip contract documented here covers exactly that profile.",
+)
+def rel_xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    xml = F.concat(
+        F.lit("<r><k>"),
+        F.col("n_nationkey").cast("string"),
+        F.lit("</k><nm>"),
+        F.col("n_name"),
+        F.lit("</nm></r>"),
+    )
+    parsed = F.from_xml(xml, "k INT, nm STRING")
+    return (
+        n.select(
+            "n_nationkey",
+            F.length(xml).cast("bigint").alias("xml_len"),
+            parsed["k"].alias("k_parsed"),
+            parsed["nm"].alias("nm_parsed"),
+            F.expr(
+                "xpath_string(concat('<r><k>', cast(n_nationkey as string),"
+                " '</k><nm>', n_name, '</nm></r>'), '/r/nm')"
+            ).alias("nm_xpath"),
+        )
+        .orderBy("n_nationkey")
+    )
