@@ -2158,3 +2158,110 @@ def rel_xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_nationkey")
     )
+
+
+@query(
+    "rel_approx_top_k",
+    oracle="""
+    SELECT event_type AS item, CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY event_type ORDER BY item
+    """,
+    doc="Frequent-items sketch: approx_top_k over event_type with "
+    "capacity (10) above the column's cardinality (5), so the sketch "
+    "runs in EXACT mode and the emitted (item, count) pairs value-hash "
+    "against plain GROUP BY -- the same honest-checkable-face contract "
+    "as rel_bitmap_distinct.  At 100 TB cardinality the same one-pass, "
+    "mergeable sketch degrades gracefully to approximate counts with "
+    "bounded memory (maxItemsTracked), where the exact GROUP BY would "
+    "shuffle every distinct key; rows are re-sorted by item so the "
+    "sketch's count-descending tie order never affects the hash.",
+)
+def rel_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.agg(F.expr("approx_top_k(event_type, 10)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("item"),
+            F.col("e.count").cast("bigint").alias("cnt"),
+        )
+        .orderBy("item")
+    )
+
+
+@query(
+    "rel_theta_sketch_sets",
+    oracle="""
+    SELECT 'type:' || event_type AS scope,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS est
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'union_all', CAST(count(DISTINCT user_id) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'click_and_view', CAST(count(*) AS BIGINT) FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'view'
+    )
+    ORDER BY scope
+    """,
+    doc="Theta sketches as re-aggregable SET-ALGEBRA columns -- the "
+    "audience-overlap analytic HLL cannot do: per-type user sketches "
+    "(theta_sketch_agg) rolled up via theta_union_agg (union "
+    "cardinality) AND theta_intersection_agg (click-and-view overlap). "
+    "All test-scale cardinalities sit below the sketch's 4096 nominal "
+    "entries, so estimates are EXACT and the whole output value-hashes "
+    "against DISTINCT/INTERSECT SQL; past nominal entries the same "
+    "plan degrades to bounded-error estimates with fixed sketch "
+    "memory, while the exact oracle formulation would shuffle every "
+    "distinct (type, user) pair.  The 5-sketch intermediate is "
+    "persisted once and feeds three consumers (per-type, union, "
+    "intersection) -- the shuffle carries sketch bytes, never user "
+    "ids.",
+)
+def rel_theta_sketch_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import _eager
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = (
+        ev.groupBy("event_type")
+        .agg(F.expr("theta_sketch_agg(user_id)").alias("sk"))
+        .persist()
+    )
+    per_type = sk.select(
+        F.concat(F.lit("type:"), F.col("event_type")).alias("scope"),
+        F.expr("theta_sketch_estimate(sk)").cast("bigint").alias("est"),
+    )
+    # groupBy(lit(1)) instead of a global agg: a grouped aggregate over
+    # EMPTY input emits zero rows (no groups), where a global agg would
+    # emit one -- and theta_intersection_agg over zero inputs is the
+    # illegal infinite set (throws).  Same guard on both rollups so an
+    # empty events table yields an empty result, not an error.
+    union_all = (
+        sk.groupBy(F.lit(1).alias("_g"))
+        .agg(
+            F.expr("theta_sketch_estimate(theta_union_agg(sk))")
+            .cast("bigint")
+            .alias("est")
+        )
+        .select(F.lit("union_all").alias("scope"), "est")
+    )
+    # theta_intersection_agg treats an EMPTY partial as the infinite set
+    # and throws at merge time (datasketches contract), so the 2-row
+    # sketch frame must not spread over empty shuffle partitions --
+    # coalesce(1) is correct at any scale (input is k-sketches-sized,
+    # a driver-boundary cardinality).
+    inter = (
+        sk.where(F.col("event_type").isin("click", "view"))
+        .coalesce(1)
+        .groupBy(F.lit(1).alias("_g"))
+        .agg(
+            F.expr("theta_sketch_estimate(theta_intersection_agg(sk))")
+            .cast("bigint")
+            .alias("est")
+        )
+        .select(F.lit("click_and_view").alias("scope"), "est")
+    )
+    out = per_type.unionByName(union_all).unionByName(inter).orderBy("scope")
+    return _eager(spark, out, deps=[sk])

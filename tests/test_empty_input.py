@@ -46,6 +46,10 @@ QUERIES = [
     "dedup_cdc_chunks",
     "rel_topk_salted",
     "text_char_entropy",
+    "rel_approx_top_k",
+    "rel_theta_sketch_sets",
+    "stream_topk_types",
+    "rel_xml_funcs",
 ]
 
 
