@@ -3866,3 +3866,81 @@ def stream_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= 2)
     )
+
+
+@query(
+    "pipe_sft_format",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id,
+               regexp_split_to_array(
+                   trim(regexp_replace(regexp_replace(trim(lower(text)),
+                        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')),
+                   ' ') AS toks
+        FROM documents WHERE length(trim(lower(text))) > 0
+    ),
+    split AS (
+        SELECT doc_id,
+               array_to_string(toks[1 : len(toks) // 2], ' ') AS prompt,
+               array_to_string(toks[len(toks) // 2 + 1 : len(toks)], ' ')
+                   AS response,
+               CAST(len(toks) // 2 AS BIGINT) AS n_prompt_toks,
+               CAST(len(toks) - len(toks) // 2 AS BIGINT) AS n_response_toks
+        FROM norm
+    )
+    SELECT doc_id,
+           '{"messages":[{"role":"user","content":"' || prompt
+               || '"},{"role":"assistant","content":"' || response
+               || '"}]}' AS sft_json,
+           CAST(length('{"messages":[{"role":"user","content":"' || prompt
+               || '"},{"role":"assistant","content":"' || response
+               || '"}]}') AS BIGINT) AS json_len,
+           n_prompt_toks, n_response_toks
+    FROM split ORDER BY doc_id
+    """,
+    doc="Training-record EXPORT formatting: each document becomes one "
+    "chat-SFT JSON record ({messages:[{role:user,...},{role:assistant,"
+    "...}]}) -- the first half of the tokens as the prompt, the rest "
+    "as the response -- rendered via Spark's to_json over a nested "
+    "struct/array (the JSONL sink step every fine-tuning pipeline "
+    "ends with).  Text is normalized to [a-z0-9 ] FIRST, so JSON "
+    "string escaping is a no-op by construction and the oracle can "
+    "re-derive the exact serialized bytes with plain concatenation "
+    "(hash-checks Spark's JSON serializer output byte-for-byte).  "
+    "Pure map-side projection: no shuffle except the output sort.",
+)
+def pipe_sft_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.lower(F.col("text")))) > 0
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.trim(F.lower(F.col("text"))), r"[^a-z0-9 ]", ""),
+            r" +",
+            " ",
+        )
+    )
+    toks = F.split(norm, " ")
+    half = (F.size(toks) / 2).cast("int")
+    prompt = F.array_join(F.slice(toks, 1, half), " ")
+    response = F.array_join(
+        F.slice(toks, half + 1, F.size(toks) - half), " "
+    )
+    rec = F.struct(
+        F.array(
+            F.struct(
+                F.lit("user").alias("role"), prompt.alias("content")
+            ),
+            F.struct(
+                F.lit("assistant").alias("role"), response.alias("content")
+            ),
+        ).alias("messages")
+    )
+    j = F.to_json(rec)
+    return d.select(
+        "doc_id",
+        j.alias("sft_json"),
+        F.length(j).cast("bigint").alias("json_len"),
+        half.cast("bigint").alias("n_prompt_toks"),
+        (F.size(toks) - half).cast("bigint").alias("n_response_toks"),
+    ).orderBy("doc_id")

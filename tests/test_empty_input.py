@@ -50,6 +50,7 @@ QUERIES = [
     "rel_theta_sketch_sets",
     "stream_topk_types",
     "rel_xml_funcs",
+    "pipe_sft_format",
 ]
 
 
