@@ -37,9 +37,20 @@ def main() -> None:
         SparkSession.builder.appName("oracle-probe")
         .master("local[8]")
         .config("spark.ui.showConsoleProgress", "false")
+        # beyond-sf0.1 fixtures: a plain 1g driver heap dies on the
+        # heavier probes (JVM OOM-kill -> ConnectionRefused); opt into
+        # a bigger heap with PROBE_DRIVER_MEM=8g etc.
+        .config(
+            "spark.driver.memory", os.environ.get("PROBE_DRIVER_MEM", "4g")
+        )
         .getOrCreate()
     )
     con = duckdb.connect()
+    # Beyond-sf0.1 fixtures can push DuckDB's window/string_agg stages
+    # past RAM (observed: dedup_cdc_chunks at 100x) -- allow spilling
+    # so oracle OOM doesn't masquerade as a query failure.
+    con.execute("SET temp_directory='/tmp/duckdb_probe_spill'")
+    con.execute("SET preserve_insertion_order=false")
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):

@@ -745,3 +745,23 @@ def test_pq_adc_is_literal_projection_plus_take_ordered(spark):
     assert "Join" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "hashpartitioning" not in plan, plan
+
+
+def test_sft_format_is_map_side_only(spark):
+    """pipe_sft_format: record rendering must be a pure projection --
+    the only exchange is the output sort's range partitioning."""
+    import re
+
+    plan = plan_of(REGISTRY["pipe_sft_format"].fn(spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    assert len(re.findall(r"\+- Exchange ", plan)) == 1, plan  # the sort
+
+
+def test_char_entropy_partial_aggregates_before_shuffle(spark):
+    """text_char_entropy: the (doc, char) count must partial-aggregate
+    map-side (post-combine rows ~ alphabet x docs, not chars), and no
+    join appears anywhere."""
+    plan = plan_of(REGISTRY["text_char_entropy"].fn(spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert "partial_count" in plan, plan
