@@ -15,6 +15,7 @@ from ..operators.kmeans import assign_2d, update_2d
 from ..sources.readers import points_from_lineitem_cached
 from .registry import (
     INIT_CENTROIDS_2D,
+    K2D,
     POINTS_SQL,
     ROUND_CENT,
     assign_sql,
@@ -568,6 +569,122 @@ def o14_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg(sil), 6).alias("mean_silhouette"),
     )
+
+
+@query(
+    "o14_calinski",
+    oracle=f"""
+    WITH points AS ({POINTS_SQL}), cents AS {cents_sql(INIT_CENTROIDS_2D)},
+    assigned AS (
+        SELECT id, x, y, cluster_id, mind FROM (
+            SELECT p.id, p.x, p.y, c.cluster_id,
+                   (p.x - c.cx) * (p.x - c.cx)
+                       + (p.y - c.cy) * (p.y - c.cy) AS mind,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.id
+                       ORDER BY (p.x - c.cx) * (p.x - c.cx)
+                                + (p.y - c.cy) * (p.y - c.cy), c.cluster_id
+                   ) AS rn
+            FROM points p CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    per AS (
+        SELECT cluster_id, count(*) AS nj,
+               sum(CAST(x AS BIGINT)) AS sxj,
+               sum(CAST(round(y * 100) AS BIGINT)) AS syj,
+               sum(mind) AS wj
+        FROM assigned GROUP BY cluster_id
+    ),
+    m AS (
+        SELECT CAST(sum(nj) AS BIGINT) AS n,
+               CAST(sum(sxj) AS BIGINT) AS sx,
+               CAST(sum(syj) AS BIGINT) AS sy,
+               CAST(round(sum(wj) / 1000000.0) AS BIGINT) AS w_millions,
+               sum(nj * c.cx * c.cx) AS scx2, sum(nj * c.cx) AS scx1,
+               sum(nj * c.cy * c.cy) AS scy2, sum(nj * c.cy) AS scy1
+        FROM per JOIN cents c USING (cluster_id)
+    ),
+    b AS (
+        SELECT n, w_millions,
+               CAST(round((
+                   ((scx2 - (2.0 * (CAST(sx AS DOUBLE) / n)) * scx1)
+                    + n * ((CAST(sx AS DOUBLE) / n)
+                           * (CAST(sx AS DOUBLE) / n)))
+                   + ((scy2 - (2.0 * (CAST(sy AS DOUBLE) / 100.0 / n))
+                           * scy1)
+                      + n * ((CAST(sy AS DOUBLE) / 100.0 / n)
+                             * (CAST(sy AS DOUBLE) / 100.0 / n)))
+               ) / 1000000.0) AS BIGINT) AS b_millions
+        FROM m
+    )
+    SELECT n, w_millions, b_millions,
+           (CAST(b_millions AS DOUBLE) / {K2D - 1}.0)
+               / (CAST(w_millions AS DOUBLE) / (n - {K2D}))
+               AS ch_index
+    FROM b
+    """,
+    doc="Calinski-Harabasz index over the fixed-centroid model: "
+    "between-cluster dispersion B = sum_j n_j*||c_j - mean||^2 against "
+    "within-cluster dispersion W (the SSE), as (B/(k-1))/(W/(n-k)).  "
+    "Float discipline: the global mean comes from EXACT bigint "
+    "coordinate sums (x integral, y in cents -- the rel_filter_agg "
+    "idiom), so mean and per-cluster B terms are bit-identical; only "
+    "the k-term and n-term float SUMS are order-sensitive and both are "
+    "rounded to millions (the o14_sse contract), then the index is two "
+    "IEEE divisions on those exact bigints -- emitted unrounded.  "
+    "Plan: the O4 literal-centroid assignment (shuffle-free) + one "
+    "k-row exchange with map-side partials; everything after is "
+    "k-row-sized.  Reference parity face: O14's metric family "
+    "(kmeans_with_mapreduce-cuda.cu timing span), extended like "
+    "o14_sse/o14_silhouette.",
+)
+def o14_calinski(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = assign_2d(_points(spark, sf_dir), INIT_CENTROIDS_2D, keep_dist=True)
+    per = a.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("nj"),
+        F.sum(F.col("x").cast("bigint")).alias("sxj"),
+        F.sum(F.round(F.col("y") * 100).cast("bigint")).alias("syj"),
+        F.sum("_mindist").alias("wj"),
+    )
+    # B via expanded moments (sum nj*c^2, sum nj*c, global mean from
+    # exact bigint sums): a direct "join per to a totals row" plan has
+    # TWO consumers of the assignment lineage and scans + assigns the
+    # corpus twice (the cdc_chunks v1 trap) -- the expansion folds
+    # everything into ONE aggregation pass, single scan, plan-asserted.
+    cx = F.lit(None).cast("double")
+    cy = F.lit(None).cast("double")
+    for i, (icx, icy) in enumerate(INIT_CENTROIDS_2D):
+        cx = F.when(F.col("cluster_id") == i, F.lit(icx)).otherwise(cx)
+        cy = F.when(F.col("cluster_id") == i, F.lit(icy)).otherwise(cy)
+    m = per.agg(
+        F.sum("nj").cast("bigint").alias("n"),
+        F.sum("sxj").cast("bigint").alias("sx"),
+        F.sum("syj").cast("bigint").alias("sy"),
+        F.round(F.sum("wj") / 1000000.0).cast("bigint").alias("w_millions"),
+        F.sum(F.col("nj") * cx * cx).alias("scx2"),
+        F.sum(F.col("nj") * cx).alias("scx1"),
+        F.sum(F.col("nj") * cy * cy).alias("scy2"),
+        F.sum(F.col("nj") * cy).alias("scy1"),
+    )
+    mx = F.col("sx").cast("double") / F.col("n")
+    my = F.col("sy").cast("double") / 100.0 / F.col("n")
+    b_expr = (
+        (F.col("scx2") - (F.lit(2.0) * mx) * F.col("scx1"))
+        + F.col("n") * (mx * mx)
+    ) + (
+        (F.col("scy2") - (F.lit(2.0) * my) * F.col("scy1"))
+        + F.col("n") * (my * my)
+    )
+    res = m.select(
+        "n",
+        "w_millions",
+        F.round(b_expr / 1000000.0).cast("bigint").alias("b_millions"),
+    )
+    k = K2D
+    ch = (F.col("b_millions").cast("double") / float(k - 1)) / (
+        F.col("w_millions").cast("double") / (F.col("n") - k)
+    )
+    return res.select("n", "w_millions", "b_millions", ch.alias("ch_index"))
 
 
 # --- O2 variant: deterministic farthest-point (k-means++-style) seeding ------

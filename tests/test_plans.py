@@ -765,3 +765,14 @@ def test_char_entropy_partial_aggregates_before_shuffle(spark):
     plan = plan_of(REGISTRY["text_char_entropy"].fn(spark, SF_DIR))
     assert "Join" not in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_calinski_is_single_pass(spark):
+    """o14_calinski: B via expanded moments must fold into ONE
+    aggregation pass over the assignment projection -- a totals-join
+    formulation scans + assigns the corpus twice (measured 5x slower
+    at the 10x probe)."""
+    plan = plan_of(REGISTRY["o14_calinski"].fn(spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    assert "partial_sum" in plan, plan
