@@ -3944,3 +3944,37 @@ def pipe_sft_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         half.cast("bigint").alias("n_prompt_toks"),
         (F.size(toks) - half).cast("bigint").alias("n_response_toks"),
     ).orderBy("doc_id")
+
+
+@query(
+    "udf_arrow_scalar",
+    oracle="""
+    SELECT event_id, round(ln(1.0 + value), 6) AS logv
+    FROM events WHERE event_id < 5000 ORDER BY event_id
+    """,
+    doc="Arrow-OPTIMIZED scalar Python UDF (useArrow=True) -- the fourth "
+    "Python eval mode in the registry next to pandas UDFs "
+    "(udf_group_normalize), applyInPandas/mapInPandas (multimodal), "
+    "UDTF (udtf_shingles) and grouped-agg UDAF (udaf_median_by_type): "
+    "rows cross the JVM/Python boundary as Arrow record batches "
+    "instead of pickled rows (~an order of magnitude less serialization "
+    "than legacy pickle UDFs; still the slow path vs built-ins -- the "
+    "registry uses it only where expressions can't).  The UDF computes "
+    "math.log(1.0 + v): CPython libm and DuckDB's ln hit the same "
+    "platform libm, so the unrounded doubles agree and round(6) in "
+    "both engines hash-checks the whole Arrow round-trip.  "
+    "Plan-asserted ArrowEvalPython (not BatchEvalPython).",
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from pyspark.sql.functions import udf
+
+    @udf("double", useArrow=True)
+    def log1p_py(v: float) -> float:
+        return math.log(1.0 + v)
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 5000)
+    return ev.select(
+        "event_id", F.round(log1p_py("value"), 6).alias("logv")
+    ).orderBy("event_id")

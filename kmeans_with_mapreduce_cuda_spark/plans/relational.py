@@ -2265,3 +2265,46 @@ def rel_theta_sketch_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = per_type.unionByName(union_all).unionByName(inter).orderBy("scope")
     return _eager(spark, out, deps=[sk])
+
+
+@query(
+    "rel_anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - s.mu) / s.sigma, 4) AS z
+    FROM events e JOIN stats s USING (event_type)
+    WHERE abs((e.value - s.mu) / s.sigma) > 1.5
+    ORDER BY e.event_id
+    """,
+    doc="Two-pass z-score anomaly detection: pass 1 reduces the corpus "
+    "to k per-type (mean, stddev) rows (column-pruned scan, map-side "
+    "partials); pass 2 re-scans with the k-row stats BROADCAST and "
+    "filters |z| > 1.5 map-side -- the monitoring/outlier shape where "
+    "a window-over-type formulation would pin each type's entire "
+    "partition on one task.  z rounded 4 in both engines (stddev and "
+    "the mean are order-sensitive float sums); the cutoff compares "
+    "unrounded doubles whose cross-engine jitter is ~1e-12 relative -- "
+    "the same boundary-risk class the registry's other rounded floats "
+    "accept.",
+)
+def rel_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    e = ev.join(F.broadcast(stats), "event_type")
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        e.where(F.abs(z) > 1.5)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 4).alias("z"),
+        )
+        .orderBy("event_id")
+    )

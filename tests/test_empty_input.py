@@ -51,6 +51,8 @@ QUERIES = [
     "stream_topk_types",
     "rel_xml_funcs",
     "pipe_sft_format",
+    "rel_anomaly_zscore",
+    "udf_arrow_scalar",
 ]
 
 

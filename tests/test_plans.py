@@ -776,3 +776,20 @@ def test_calinski_is_single_pass(spark):
     assert "Join" not in plan, plan
     assert plan.count("Location: InMemoryFileIndex") == 1, plan
     assert "partial_sum" in plan, plan
+
+
+def test_arrow_scalar_udf_uses_arrow_eval(spark):
+    """udf_arrow_scalar must plan as ArrowEvalPython (Arrow record-batch
+    transfer), never BatchEvalPython (row pickling)."""
+    plan = plan_of(REGISTRY["udf_arrow_scalar"].fn(spark, SF_DIR))
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_anomaly_zscore_broadcasts_stats(spark):
+    """rel_anomaly_zscore: the k-row stats side must broadcast -- a
+    shuffled join here would re-partition the corpus for a 5-row
+    lookup."""
+    plan = plan_of(REGISTRY["rel_anomaly_zscore"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
