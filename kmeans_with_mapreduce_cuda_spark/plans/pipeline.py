@@ -3978,3 +3978,153 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", F.round(log1p_py("value"), 6).alias("logv")
     ).orderBy("event_id")
+
+
+@query(
+    "pipe_span_corruption",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    words AS (
+        SELECT doc_id, u.pos - 1 AS pos0, u.w AS w
+        FROM (
+            SELECT doc_id,
+                   unnest([{'pos': i, 'w': toks[i]}
+                           FOR i IN range(1, len(toks) + 1)]) AS u
+            FROM toks
+        )
+    ),
+    flagged AS (
+        SELECT doc_id, pos0, w,
+               CAST(pos0 // 8 AS BIGINT) AS blk,
+               CAST(pos0 % 8 AS BIGINT) AS off,
+               CASE WHEN CAST(('0x' || substr(md5('sc:' || CAST(doc_id
+                             AS VARCHAR) || ':' || CAST(pos0 // 8
+                             AS VARCHAR)), 1, 8)) AS BIGINT) % 4 = 0
+                    AND pos0 % 8 < 3
+                    THEN 1 ELSE 0 END AS masked
+        FROM words
+    ),
+    numbered AS (
+        SELECT *,
+               SUM(CASE WHEN masked = 1 AND off = 0 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos0) AS k
+        FROM flagged
+    ),
+    agg AS (
+        SELECT doc_id,
+               string_agg(CASE WHEN masked = 0 THEN w
+                               WHEN off = 0 THEN '<extra_id_'
+                                   || CAST(k - 1 AS VARCHAR) || '>'
+                          END, ' ' ORDER BY pos0) AS input_text,
+               string_agg(CASE WHEN masked = 1 THEN
+                               (CASE WHEN off = 0 THEN '<extra_id_'
+                                    || CAST(k - 1 AS VARCHAR) || '> '
+                                ELSE '' END) || w
+                          END, ' ' ORDER BY pos0) AS target_text,
+               CAST(max(k) AS BIGINT) AS n_spans,
+               CAST(sum(masked) AS BIGINT) AS n_masked
+        FROM numbered GROUP BY doc_id
+    )
+    SELECT doc_id,
+           md5(coalesce(input_text, '')) AS input_md5,
+           md5(coalesce(target_text, '')) AS target_md5,
+           n_spans, n_masked
+    FROM agg ORDER BY doc_id
+    """,
+    doc="T5-style span-corruption pretraining objective, fully "
+    "deterministic: token blocks of 8; a block is corrupted when "
+    "md5('sc:'||doc||':'||block) %% 4 == 0 and its first 3 tokens are "
+    "masked (~9%% corruption, mean span 3).  Inputs replace each span "
+    "with '<extra_id_k>'; targets emit sentinel+span pairs in order -- "
+    "BOTH rendered in ONE grouped aggregation over a single lineage: "
+    "the sentinel index k is a prefix-sum window (the cdc_chunks "
+    "shape, one doc-partitioned exchange), the sentinel attaches to "
+    "the span's first token so input and target share the same pos "
+    "ordering, and null-skipping ordered aggregation selects each "
+    "side's tokens -- no unions, no joins, no second scan.  Emitted as "
+    "md5 digests + exact counts so the gate hash covers the full "
+    "rendered strings without shipping them.",
+)
+def pipe_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos0", "w")
+    )
+    blk = (F.col("pos0") / 8).cast("bigint")
+    off = F.pmod(F.col("pos0"), F.lit(8)).cast("bigint")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("sc:"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        blk.cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 4
+    )
+    flagged = words.select(
+        "doc_id",
+        "pos0",
+        "w",
+        blk.alias("blk"),
+        off.alias("off"),
+        ((bucket == 0) & (off < 3)).cast("int").alias("masked"),
+    )
+    run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos0")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    numbered = flagged.withColumn(
+        "k",
+        F.sum(
+            F.when((F.col("masked") == 1) & (F.col("off") == 0), 1).otherwise(0)
+        ).over(run),
+    )
+    sentinel = F.concat(
+        F.lit("<extra_id_"), (F.col("k") - 1).cast("string"), F.lit(">")
+    )
+    input_tok = F.when(F.col("masked") == 0, F.col("w")).when(
+        F.col("off") == 0, sentinel
+    )
+    target_tok = F.when(
+        F.col("masked") == 1,
+        F.concat(
+            F.when(F.col("off") == 0, F.concat(sentinel, F.lit(" "))).otherwise(
+                F.lit("")
+            ),
+            F.col("w"),
+        ),
+    )
+
+    def agg_text(tok_col):
+        arr = F.array_sort(
+            F.collect_list(F.struct(F.col("pos0"), tok_col.alias("t")))
+        )
+        kept = F.filter(arr, lambda s: s["t"].isNotNull())
+        return F.array_join(F.transform(kept, lambda s: s["t"]), " ")
+
+    agg = numbered.groupBy("doc_id").agg(
+        F.md5(agg_text(input_tok)).alias("input_md5"),
+        F.md5(agg_text(target_tok)).alias("target_md5"),
+        F.max("k").cast("bigint").alias("n_spans"),
+        F.sum("masked").cast("bigint").alias("n_masked"),
+    )
+    return agg.orderBy("doc_id")

@@ -53,6 +53,7 @@ QUERIES = [
     "pipe_sft_format",
     "rel_anomaly_zscore",
     "udf_arrow_scalar",
+    "pipe_span_corruption",
 ]
 
 

@@ -793,3 +793,15 @@ def test_anomaly_zscore_broadcasts_stats(spark):
     plan = plan_of(REGISTRY["rel_anomaly_zscore"].fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_span_corruption_single_lineage(spark):
+    """pipe_span_corruption renders input AND target in one grouped
+    aggregation: single scan, no joins, one prefix-sum window riding
+    one doc-partitioned exchange."""
+    import re
+
+    plan = plan_of(REGISTRY["pipe_span_corruption"].fn(spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    assert len(re.findall(r"\+- Window ", plan)) == 1, plan
