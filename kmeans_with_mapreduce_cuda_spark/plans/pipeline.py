@@ -4128,3 +4128,81 @@ def pipe_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("masked").cast("bigint").alias("n_masked"),
     )
     return agg.orderBy("doc_id")
+
+
+@query(
+    "text_bigram_logprob",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    ),
+    bi AS (
+        SELECT doc_id,
+               unnest([ list_aggregate(toks[i:i+1], 'string_agg', ' ')
+                        FOR i IN range(1, greatest(len(toks) - 1, 0) + 1) ])
+                   AS g
+        FROM toks
+    ),
+    dg AS (
+        SELECT doc_id, g, split_part(g, ' ', 1) AS prev,
+               CAST(count(*) AS BIGINT) AS m
+        FROM bi GROUP BY doc_id, g
+    ),
+    c2 AS (SELECT g, CAST(count(*) AS BIGINT) AS n2 FROM bi GROUP BY g),
+    uni AS (SELECT doc_id, unnest(toks) AS w FROM toks),
+    c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS n1 FROM uni GROUP BY w),
+    v AS (SELECT CAST(count(*) AS BIGINT) AS vsz FROM c1)
+    SELECT dg.doc_id,
+           CAST(sum(m) AS BIGINT) AS n_bigrams,
+           round(-sum(m * ln(CAST(n2 + 1 AS DOUBLE) / (n1 + vsz)))
+                 / sum(m), 6) AS nll
+    FROM dg JOIN c2 USING (g) JOIN c1 ON c1.w = dg.prev CROSS JOIN v
+    GROUP BY dg.doc_id ORDER BY dg.doc_id
+    """,
+    doc="Conditional (bigram) LM scoring with add-one smoothing: "
+    "P(w|prev) = (c2(prev w)+1) / (c1(prev)+V), per-doc mean NLL.  The "
+    "structural contrast to text_unigram_logprob: a bigram model table "
+    "is CORPUS-sized, so it cannot broadcast -- scoring is "
+    "co-partitioned shuffle equi-joins on the model keys (bigram, then "
+    "prev-unigram), with the stream pre-reduced to DISTINCT (doc, "
+    "bigram, multiplicity) rows so join input is bounded by distinct "
+    "grams per doc, not token count.  Model build (count passes) and "
+    "scoring are inherently separate passes over the corpus -- the "
+    "standard shape for LM-filtering at 100 TB where the model itself "
+    "is data-scale.  Docs with < 2 tokens have no bigrams and are "
+    "absent (shared shingle contract).  NLL rounds 6 (order-sensitive "
+    "float mean); the smoothed probability is a single IEEE division "
+    "of exact integers.",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens, word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    bi = d.select("doc_id", F.explode(word_shingles("text", 2)).alias("g"))
+    dg = (
+        bi.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .withColumn("prev", F.substring_index(F.col("g"), " ", 1))
+    )
+    c2 = bi.groupBy("g").agg(F.count(F.lit(1)).alias("n2"))
+    uni = d.select("doc_id", F.explode(tokens("text")).alias("w"))
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("n1"))
+    v = c1.agg(F.count(F.lit(1)).alias("vsz"))
+    logp = F.log(
+        (F.col("n2") + 1).cast("double") / (F.col("n1") + F.col("vsz"))
+    )
+    return (
+        dg.join(c2, "g")
+        .join(c1, dg["prev"] == c1["w"])
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("bigint").alias("n_bigrams"),
+            F.round(
+                -F.sum(F.col("m") * logp) / F.sum("m"), 6
+            ).alias("nll"),
+        )
+        .orderBy("doc_id")
+    )

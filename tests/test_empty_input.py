@@ -54,6 +54,7 @@ QUERIES = [
     "rel_anomaly_zscore",
     "udf_arrow_scalar",
     "pipe_span_corruption",
+    "text_bigram_logprob",
 ]
 
 
