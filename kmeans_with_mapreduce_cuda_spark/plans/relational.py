@@ -2308,3 +2308,46 @@ def rel_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "rel_variant_explode",
+    oracle="""
+    SELECT e.event_id, t.pos, t.tag
+    FROM (SELECT event_id, event_type, user_id FROM events
+          WHERE event_id < 2000) e
+    CROSS JOIN (VALUES (0), (1)) t2(pos)
+    JOIN LATERAL (
+        SELECT t2.pos AS pos,
+               CASE WHEN t2.pos = 0 THEN 't-' || e.event_type
+                    ELSE 'u-' || CAST(e.user_id % 10 AS VARCHAR) END AS tag
+    ) t ON TRUE
+    ORDER BY e.event_id, t.pos
+    """,
+    doc="VARIANT array explosion via the variant_explode TVF (Spark 4): "
+    "each event synthesizes a 2-element JSON tag array, parse_json "
+    "lifts it to VARIANT, LATERAL variant_explode emits (pos, value) "
+    "rows, and variant_get::string types the elements back out -- the "
+    "semi-structured fan-out companion to rel_json_variant's typed "
+    "extraction.  Narrow Generate node (fan-out inside the task, no "
+    "shuffle); the oracle derives the same rows relationally.  "
+    "Deterministic by construction (pos + element values are pure "
+    "functions of the row).",
+)
+def rel_variant_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    ev.createOrReplaceTempView("_ve_events")
+    return spark.sql(
+        """
+        SELECT event_id, v.pos,
+               variant_get(v.value, '$', 'string') AS tag
+        FROM (
+            SELECT event_id,
+                   parse_json(concat('["t-', event_type, '","u-',
+                                     CAST(user_id % 10 AS STRING), '"]'))
+                       AS tags
+            FROM _ve_events
+        ), LATERAL variant_explode(tags) v
+        ORDER BY event_id, v.pos
+        """
+    )

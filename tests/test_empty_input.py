@@ -55,6 +55,7 @@ QUERIES = [
     "udf_arrow_scalar",
     "pipe_span_corruption",
     "text_bigram_logprob",
+    "rel_variant_explode",
 ]
 
 
