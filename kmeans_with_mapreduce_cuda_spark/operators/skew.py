@@ -74,3 +74,44 @@ def salted_groupby(
             fn = plan[f"_{out}"][0]
             combine_exprs.append(_ALGEBRAIC[fn][1](F.col(f"_{out}")).alias(out))
     return partial.groupBy(*keys).agg(*combine_exprs)
+
+
+def salted_topk(
+    df: DataFrame,
+    part_col: str,
+    order_cols: list,
+    k: int,
+    n_salt: int = 16,
+    salt_on: str | None = None,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Skew-safe two-phase top-k per ``part_col``: top-k is MERGEABLE
+    (unlike general window functions), so stage 1 takes a local top-k
+    within (key, salt) -- spreading a hot key over ``n_salt`` tasks --
+    and stage 2 re-ranks only the <= k*n_salt survivors per key.  The
+    second window's input is bounded regardless of input skew, where a
+    plain one-window formulation sorts the hottest key's entire
+    partition on one task.
+
+    ``order_cols`` must be a TOTAL order (include a unique tiebreaker)
+    or the result is ambiguous; with a total order the output is
+    provably identical to the unsalted window.  ``salt_on`` names the
+    column hashed into the salt (defaults to the first order column) --
+    any value-spreading column works; correctness never depends on it.
+    """
+    from pyspark.sql.window import Window
+
+    salt_src = salt_on or str(order_cols[-1])
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(salt_src), F.lit(n_salt)).cast("int")
+    )
+    w1 = Window.partitionBy(part_col, "_salt").orderBy(*order_cols)
+    local = (
+        salted.withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= k)
+        .drop("_rn", "_salt")
+    )
+    w2 = Window.partitionBy(part_col).orderBy(*order_cols)
+    return local.withColumn(
+        rank_col, F.row_number().over(w2).cast("bigint")
+    ).where(F.col(rank_col) <= k)

@@ -2086,31 +2086,19 @@ def rel_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_salted_join / operators/skew.py at the 100 TB regime.",
 )
 def rel_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from ..operators.skew import salted_topk
 
-    n_salt, k = 16, 3
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", "event_id", "value"
     )
-    salted = ev.withColumn(
-        "_salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salt)).cast("int")
-    )
-    w1 = Window.partitionBy("event_type", "_salt").orderBy(
-        F.col("value").desc(), F.col("event_id")
-    )
-    local = (
-        salted.withColumn("_rn", F.row_number().over(w1))
-        .where(F.col("_rn") <= k)
-        .drop("_rn", "_salt")
-    )
-    w2 = Window.partitionBy("event_type").orderBy(
-        F.col("value").desc(), F.col("event_id")
-    )
-    return (
-        local.withColumn("rank", F.row_number().over(w2).cast("bigint"))
-        .where(F.col("rank") <= k)
-        .orderBy("event_type", "rank")
-    )
+    return salted_topk(
+        ev,
+        "event_type",
+        [F.col("value").desc(), F.col("event_id")],
+        k=3,
+        n_salt=16,
+        salt_on="event_id",
+    ).orderBy("event_type", "rank")
 
 
 @query(

@@ -175,3 +175,35 @@ def test_simhash_near_pairs_bucket_cap_bounds_hot_band(spark):
         for dep in res2.deps:
             dep.unpersist()
     assert n_uncapped >= 1770  # identical docs: hamming 0, all pair
+
+
+def test_salted_topk_equals_plain_window_on_pathological_skew(spark):
+    """salted_topk must return EXACTLY the plain-window top-k on a
+    pathologically skewed input (one key holding ~95% of rows) --
+    mergeability of top-k under a total order, the property the
+    rel_topk_salted oracle relies on."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from kmeans_with_mapreduce_cuda_spark.operators.skew import salted_topk
+
+    # hot key 'h' with 9500 rows, cold keys with 100 each; value has
+    # deliberate ties so the unique-id tiebreaker is load-bearing
+    df = spark.range(10000).select(
+        F.when(F.col("id") < 9500, F.lit("h"))
+        .otherwise(F.concat(F.lit("c"), (F.col("id") % 5).cast("string")))
+        .alias("key"),
+        F.col("id").alias("rid"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    order = [F.col("v").desc(), F.col("rid")]
+    got = salted_topk(df, "key", order, k=5, n_salt=8, salt_on="rid")
+    w = Window.partitionBy("key").orderBy(*order)
+    exp = (
+        df.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 5)
+    )
+    g = sorted(map(tuple, got.select("key", "rid", "v", "rank").collect()))
+    e = sorted(map(tuple, exp.select("key", "rid", "v", "rank").collect()))
+    assert g == e
+    assert len(g) == 5 * 6  # hot key + 5 cold keys, k rows each
