@@ -81,8 +81,8 @@ def salted_topk(
     part_col: str,
     order_cols: list,
     k: int,
+    salt_on: str,
     n_salt: int = 16,
-    salt_on: str | None = None,
     rank_col: str = "rank",
 ) -> DataFrame:
     """Skew-safe two-phase top-k per ``part_col``: top-k is MERGEABLE
@@ -96,14 +96,14 @@ def salted_topk(
     ``order_cols`` must be a TOTAL order (include a unique tiebreaker)
     or the result is ambiguous; with a total order the output is
     provably identical to the unsalted window.  ``salt_on`` names the
-    column hashed into the salt (defaults to the first order column) --
-    any value-spreading column works; correctness never depends on it.
+    column hashed into the salt -- REQUIRED (a Column in order_cols
+    carries sort direction and is not a resolvable name to hash); any
+    per-row-varying column works, correctness never depends on it.
     """
     from pyspark.sql.window import Window
 
-    salt_src = salt_on or str(order_cols[-1])
     salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(salt_src), F.lit(n_salt)).cast("int")
+        "_salt", F.pmod(F.xxhash64(salt_on), F.lit(n_salt)).cast("int")
     )
     w1 = Window.partitionBy(part_col, "_salt").orderBy(*order_cols)
     local = (

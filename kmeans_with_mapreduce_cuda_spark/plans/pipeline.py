@@ -621,9 +621,17 @@ def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import word_shingles
 
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
-    arrs = d.select(
-        "doc_id", F.array_distinct(word_shingles("text", 3)).alias("sh")
-    ).where(F.size("sh") > 0)
+    # persist: the string-heavy shingle extraction has ~6 consumers in
+    # this DAG (both approxSimilarityJoin sides, both exact-join sides,
+    # sizes x2) -- same rationale as dedup_ngram_jaccard's persist;
+    # released via _eager(deps) below.
+    arrs = (
+        d.select(
+            "doc_id", F.array_distinct(word_shingles("text", 3)).alias("sh")
+        )
+        .where(F.size("sh") > 0)
+        .persist()
+    )
     feat = HashingTF(
         inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True
     ).transform(arrs)
@@ -665,7 +673,7 @@ def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
     hits = exact.join(pairs, ["doc_a", "doc_b"], "left_semi")
-    return exact.agg(F.count(F.lit(1)).alias("n_exact_pairs")).crossJoin(
+    out = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs")).crossJoin(
         hits.agg(F.count(F.lit(1)).alias("_h"))
     ).select(
         "n_exact_pairs",
@@ -674,6 +682,7 @@ def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= 0.5 * F.col("n_exact_pairs").cast("double")
         ).alias("recall_ge_half"),
     )
+    return _eager(spark, out, deps=[arrs])
 
 
 # --- MinHash + LSH near-dedup (md5-based, fully oracle-checkable) ------------
@@ -4139,11 +4148,15 @@ def pipe_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ),
     bi AS (
+        -- ftoks mirrors word_shingles' \S+ tokens: the raw split keeps
+        -- empty edge tokens for tab/newline residue (trim strips only
+        -- spaces), which the Spark shingle regex never emits
         SELECT doc_id,
-               unnest([ list_aggregate(toks[i:i+1], 'string_agg', ' ')
-                        FOR i IN range(1, greatest(len(toks) - 1, 0) + 1) ])
+               unnest([ list_aggregate(ftoks[i:i+1], 'string_agg', ' ')
+                        FOR i IN range(1, greatest(len(ftoks) - 1, 0) + 1) ])
                    AS g
-        FROM toks
+        FROM (SELECT doc_id, list_filter(toks, t -> t <> '') AS ftoks
+              FROM toks)
     ),
     dg AS (
         SELECT doc_id, g, split_part(g, ' ', 1) AS prev,

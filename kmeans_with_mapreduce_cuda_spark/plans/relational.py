@@ -2185,13 +2185,17 @@ def rel_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY event_type
     UNION ALL
     SELECT 'union_all', CAST(count(DISTINCT user_id) AS BIGINT)
-    FROM events
+    FROM events HAVING count(*) > 0
     UNION ALL
-    SELECT 'click_and_view', CAST(count(*) AS BIGINT) FROM (
-        SELECT user_id FROM events WHERE event_type = 'click'
-        INTERSECT
-        SELECT user_id FROM events WHERE event_type = 'view'
+    SELECT 'click_and_view', cnt FROM (
+        SELECT CAST(count(*) AS BIGINT) AS cnt FROM (
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'view'
+        )
     )
+    WHERE EXISTS (SELECT 1 FROM events WHERE event_type = 'click')
+      AND EXISTS (SELECT 1 FROM events WHERE event_type = 'view')
     ORDER BY scope
     """,
     doc="Theta sketches as re-aggregable SET-ALGEBRA columns -- the "
@@ -2203,7 +2207,12 @@ def rel_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     "against DISTINCT/INTERSECT SQL; past nominal entries the same "
     "plan degrades to bounded-error estimates with fixed sketch "
     "memory, while the exact oracle formulation would shuffle every "
-    "distinct (type, user) pair.  The 5-sketch intermediate is "
+    "distinct (type, user) pair.  Summary-row contract, mirrored in "
+    "the oracle: union_all exists only when the table is non-empty, "
+    "click_and_view only when BOTH types exist (intersection over one "
+    "sketch would be the identity, not the empty set the oracle's "
+    "INTERSECT computes -- guarded by a type-count filter here and "
+    "EXISTS arms there).  The 5-sketch intermediate is "
     "persisted once and feeds three consumers (per-type, union, "
     "intersection) -- the shuffle carries sketch bytes, never user "
     "ids.",
@@ -2245,10 +2254,16 @@ def rel_theta_sketch_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .groupBy(F.lit(1).alias("_g"))
         .agg(
+            F.count(F.lit(1)).alias("_n_types"),
             F.expr("theta_sketch_estimate(theta_intersection_agg(sk))")
             .cast("bigint")
-            .alias("est")
+            .alias("est"),
         )
+        # only meaningful when BOTH sketches exist: intersection over a
+        # single sketch is the identity, but the set-algebra answer (and
+        # the oracle's INTERSECT) is empty -- drop the row, like the
+        # oracle's EXISTS guards
+        .where(F.col("_n_types") == 2)
         .select(F.lit("click_and_view").alias("scope"), "est")
     )
     out = per_type.unionByName(union_all).unionByName(inter).orderBy("scope")

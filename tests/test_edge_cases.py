@@ -286,3 +286,39 @@ def test_funnel_respects_event_order(spark, tmp_path):
         for r in REGISTRY["rel_funnel"].fn(spark, str(src)).collect()
     }
     assert got == {"view": 3, "view_click": 2, "view_click_purchase": 1}
+
+
+def test_bigram_logprob_agrees_on_whitespace_residue_docs(spark, tmp_path):
+    """Review finding (r4): the raw regexp-split oracle kept empty edge
+    tokens for tab/newline residue while word_shingles never emits
+    them.  The oracle now filters empties before building bigrams --
+    assert Spark and DuckDB agree on an adversarial fixture where they
+    previously diverged."""
+    import duckdb as ddb
+
+    from kmeans_with_mapreduce_cuda_spark.plans import REGISTRY
+
+    docs = [
+        (1, "\tfoo bar", "en", "web", 8),
+        (2, "foo bar \n baz", "en", "web", 13),
+        (3, "plain words only here", "en", "web", 21),
+        (4, "\t\n", "en", "web", 2),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    d = str(tmp_path / "adv")
+    df.coalesce(1).write.parquet(d + "/documents.parquet")
+    got = sorted(
+        tuple(r)
+        for r in REGISTRY["text_bigram_logprob"].fn(spark, d).collect()
+    )
+    con = ddb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    exp = sorted(
+        tuple(r)
+        for r in con.execute(REGISTRY["text_bigram_logprob"].oracle).fetchall()
+    )
+    assert got == exp, (got, exp)
