@@ -2354,3 +2354,46 @@ def rel_variant_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY event_id, v.pos
         """
     )
+
+
+@query(
+    "rel_topk_sketch_rollup",
+    oracle="""
+    SELECT event_type AS item, CAST(count(*) AS BIGINT) AS cnt
+    FROM events WHERE user_id % 4 != 3
+    GROUP BY event_type ORDER BY item
+    """,
+    doc="Re-aggregable frequent-items rollup -- the persisted-sketch "
+    "pattern (rel_hll_sketch_union's shape) for top-k: per-(user_id%4) "
+    "shard approx_top_k_accumulate states, three of four shards "
+    "combined via approx_top_k_combine and read with "
+    "approx_top_k_estimate.  The partial-combine path is what a 100 TB "
+    "deployment persists per partition/day and rolls up at query time "
+    "without rescanning; capacity (10) above cardinality (5) keeps the "
+    "sketch exact, so the combined counts value-hash against the "
+    "equivalent filtered GROUP BY.  Rows re-sorted by item so sketch "
+    "tie order never reaches the hash.",
+)
+def rel_topk_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "_shard", F.pmod(F.col("user_id"), F.lit(4)).cast("int")
+    )
+    shards = ev.groupBy("_shard").agg(
+        F.expr("approx_top_k_accumulate(event_type, 10)").alias("st")
+    )
+    combined = (
+        shards.where(F.col("_shard") != 3)
+        .groupBy(F.lit(1).alias("_g"))
+        .agg(
+            F.expr("approx_top_k_estimate(approx_top_k_combine(st), 10)")
+            .alias("tk")
+        )
+    )
+    return (
+        combined.select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("item"),
+            F.col("e.count").cast("bigint").alias("cnt"),
+        )
+        .orderBy("item")
+    )

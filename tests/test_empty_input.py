@@ -56,6 +56,7 @@ QUERIES = [
     "pipe_span_corruption",
     "text_bigram_logprob",
     "rel_variant_explode",
+    "rel_topk_sketch_rollup",
 ]
 
 
