@@ -4219,3 +4219,35 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "stream_distinct_users",
+    oracle="""
+    SELECT CAST(strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                AS VARCHAR) AS hour_str,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+          <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
+    GROUP BY 1
+    """,
+    doc="Streaming count(DISTINCT) -- which Structured Streaming cannot "
+    "express directly (per-window distinct state would be unbounded) "
+    "-- via a MERGEABLE theta sketch: watermarked per-hour "
+    "theta_sketch_agg(user_id) with fixed-size state per window, "
+    "estimate read at append-mode emission.  Below the sketch's 4096 "
+    "nominal entries the estimate is exact, so the real streaming "
+    "drain value-hashes against batch count(DISTINCT) restricted to "
+    "closed windows; past nominal entries the same plan degrades to "
+    "bounded-error estimates with the SAME state size.  The streaming "
+    "composition of rel_theta_sketch_sets.",
+)
+def stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import hourly_distinct_users_stream, read_events_stream
+
+    return _drain_stream_to_table(
+        spark,
+        lambda: hourly_distinct_users_stream(read_events_stream(spark, sf_dir)),
+        "_gate_thetausers_",
+    )

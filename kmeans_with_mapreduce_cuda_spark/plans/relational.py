@@ -2397,3 +2397,40 @@ def rel_topk_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("item")
     )
+
+
+@query(
+    "rel_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="SQL PIPE syntax (Spark 4's |> operators, SQL:2023-adjacent): "
+    "the same filter -> aggregate -> order flow written as a linear "
+    "pipeline -- FROM orders |> WHERE ... |> AGGREGATE ... GROUP BY "
+    "... |> ORDER BY.  Compiles to the identical Catalyst plan as the "
+    "nested form (the oracle), so the hash verifies the surface is "
+    "pure sugar.  Money uses the exact integer-cents contract "
+    "(rel_filter_agg idiom).",
+)
+def rel_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "_pipe_orders"
+    )
+    return spark.sql(
+        """
+        FROM _pipe_orders
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n_orders,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS DOUBLE) / 100.0 AS revenue
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """
+    )

@@ -573,3 +573,29 @@ def upsert_latest_foreach_batch(
             _release_local_checkpoint(merged)
 
     return fn
+
+
+def hourly_distinct_users_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming DISTINCT-count via a mergeable theta sketch: per-hour
+    theta_sketch_agg(user_id) under a watermark, estimate read at
+    emission.  The sketch state is FIXED-size per window regardless of
+    user cardinality -- the streaming answer to count(DISTINCT), which
+    Structured Streaming cannot express directly (distinct state would
+    be unbounded); below the sketch's 4096 nominal entries the
+    estimate is exact, so the drain value-hashes against batch
+    count(DISTINCT) restricted to closed windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.expr("theta_sketch_agg(user_id)").alias("sk"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_str"
+            ),
+            F.expr("theta_sketch_estimate(sk)").cast("bigint").alias(
+                "n_users"
+            ),
+        )
+    )

@@ -57,6 +57,8 @@ QUERIES = [
     "text_bigram_logprob",
     "rel_variant_explode",
     "rel_topk_sketch_rollup",
+    "rel_pipe_syntax",
+    "stream_distinct_users",
 ]
 
 
