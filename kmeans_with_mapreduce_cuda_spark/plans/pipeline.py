@@ -1749,10 +1749,15 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     "beyond the ~40-row-per-doc count vector.",
 )
 def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import char_ngrams
-
+    # split-on-empty-pattern explodes per character in ONE regex pass --
+    # measured 7x faster than the transform(sequence)+substr HOF at
+    # sf0.1 (0.53 s vs 3.67 s; HOF lambdas evaluate interpreted per
+    # element), row-set-identical.  Both variants index UTF-16 units,
+    # same as the HOF's substr -- the ASCII fixture contract.
     d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
-    chars = d.select("doc_id", F.explode(char_ngrams("text", 1)).alias("ch"))
+    chars = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), "")).alias("ch")
+    )
     counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
     n = F.sum("c")
     return (
