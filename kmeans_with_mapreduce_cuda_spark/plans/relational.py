@@ -2434,3 +2434,111 @@ def rel_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY o_orderpriority
         """
     )
+
+
+# --- Iterative graph ranking (integer-exact PageRank) -----------------------
+
+def _pagerank_sql(iters: int = 3, scale: int = 10**12, damping_pct: int = 85) -> str:
+    """DuckDB twin of operators/graph.py:pagerank_int, unrolled.
+
+    Fixed iteration count makes recursion unnecessary: each round is a
+    plain CTE pair (m{i}: contribution sums, r{i}: rank update), so the
+    oracle stays ANSI-portable.  Every expression is the verbatim
+    integer contract from the operator docstring -- `//` in DuckDB and
+    `DIV` in Spark are identical on positive BIGINTs -- so ranks are
+    bit-exact, not approximately equal."""
+    rounds = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        rounds.append(f"""
+    m{i} AS (
+        SELECT e.dst AS node, SUM({prev}.r // d.outdeg) AS s
+        FROM edges e
+        JOIN {prev} ON {prev}.node = e.src
+        JOIN deg d ON d.node = e.src
+        GROUP BY e.dst
+    ),
+    r{i} AS (
+        SELECT d.node,
+               (SELECT base FROM p)
+               + ({damping_pct} * CAST(COALESCE(m{i}.s, 0) AS BIGINT)) // 100
+                   AS r
+        FROM deg d LEFT JOIN m{i} ON m{i}.node = d.node
+    )""")
+        prev = f"r{i}"
+    return f"""
+    WITH e0 AS (
+        SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+        SELECT a AS src, b AS dst FROM e0
+        UNION ALL
+        SELECT b AS src, a AS dst FROM e0
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    p AS (
+        SELECT {scale} // COUNT(*) AS spn,
+               ({100 - damping_pct} * ({scale} // COUNT(*))) // 100 AS base
+        FROM deg
+    ),
+    r0 AS (SELECT node, (SELECT spn FROM p) AS r FROM deg),{",".join(rounds)}
+    SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank_scaled
+    FROM {prev}
+    ORDER BY rank_scaled DESC, node
+    LIMIT 20
+    """
+
+
+@query(
+    "rel_pagerank",
+    oracle=_pagerank_sql(),
+    doc="Iterative graph ranking: 3 rounds of PageRank (damping 0.85) "
+    "over the symmetrized customer<->supplier trade graph (distinct "
+    "(o_custkey, l_suppkey) pairs from orders x lineitem; node ids "
+    "disambiguated as 2*custkey / 2*suppkey+1), top-20 by final rank.  "
+    "INTEGER-EXACT: rank mass is a BIGINT scaled by 1e12 and every "
+    "division is integer floor division in a documented order "
+    "(operators/graph.py:pagerank_int), so Spark and DuckDB produce "
+    "bit-identical ranks -- the float-free twin of the cents-money "
+    "discipline, applied to an iterative algorithm.  Dataflow is the "
+    "Pregel shape: per round one co-partitioned shuffle join (|V|-row "
+    "rank table against the degree-annotated edge list, persisted "
+    "once) + one map-side-combined sum by dst; rank state never "
+    "visits the driver, lineage cut per round with localCheckpoint "
+    "(the connected_components lesson).  Complements dedup_components "
+    "(which nodes are the same) with which nodes matter -- the "
+    "importance prior a crawl/sampling pipeline weights by.  Oracle: "
+    "the same contract unrolled as plain CTEs (fixed iters needs no "
+    "recursion).  Reference parity: fixed-round loop with no "
+    "convergence test, kmeans_mapreduce_core.cu:237-259.",
+)
+def rel_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank_int
+    from .pipeline import _eager
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    base = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    edges = base.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(base.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    pr = pagerank_int(edges, iters=3)
+    top = (
+        pr.ranks.select(
+            F.col("node").cast("bigint").alias("node"),
+            F.col("rank_scaled").cast("bigint").alias("rank_scaled"),
+        )
+        .orderBy(F.col("rank_scaled").desc(), "node")
+        .limit(20)
+    )
+    return _eager(spark, top, deps=pr.deps)
