@@ -2542,3 +2542,63 @@ def rel_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return _eager(spark, top, deps=pr.deps)
+
+
+# --- Columnar format round-trip: ORC --------------------------------------
+
+@query(
+    "rel_orc_roundtrip",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           o_orderstatus AS status,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           o_totalprice AS total_price
+    FROM orders
+    WHERE o_orderkey < 2000
+    ORDER BY o_orderkey
+    """,
+    doc="ORC format surface: write an orders slice to ORC (zlib), read "
+    "it back, and emit the rows -- the hash verifies the full "
+    "write/read round-trip preserved BIGINT, STRING, TIMESTAMP and "
+    "DOUBLE values exactly (the oracle derives the same rows straight "
+    "from the parquet source, so any codec/type-mapping loss breaks "
+    "the value hash).  total_price passes through UNROUNDED (no "
+    "arithmetic, bit-identical by construction); the timestamp is "
+    "emitted as an ISO date string in both engines (the rel_scd2 "
+    "date-rendering contract).  The slice is key-bounded (< 2000), so "
+    "output stays O(1) in scale factor while the WRITE path exercises "
+    "Spark's native vectorized ORC support -- at 100 TB ORC is a "
+    "first-class interchange format (Hive/Trino estates) and the "
+    "columnar scan supports the same predicate pushdown and column "
+    "pruning as parquet (plan-asserted in tests/test_orc.py).  Dest "
+    "path is keyed by the fixture's (size, mtime) under the system "
+    "temp dir (the kmrc_points cache idiom) so repeated invocations "
+    "overwrite in place instead of accreting directories.",
+)
+def rel_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_size}:{int(st.st_mtime)}".encode()
+    ).hexdigest()[:16]
+    dest = os.path.join(tempfile.gettempdir(), f"kmrc_orc_{key}")
+
+    (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+        .write.mode("overwrite")
+        .option("compression", "zlib")
+        .orc(dest)
+    )
+    back = spark.read.orc(dest)
+    return back.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.col("o_totalprice").alias("total_price"),
+    ).orderBy("o_orderkey")
