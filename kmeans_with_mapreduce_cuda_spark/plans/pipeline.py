@@ -4256,3 +4256,92 @@ def stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: hourly_distinct_users_stream(read_events_stream(spark, sf_dir)),
         "_gate_thetausers_",
     )
+
+
+# --- Preference-pair assembly (DPO/RLHF) ---------------------------------------
+
+@query(
+    "pipe_dpo_pairs",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, source, lang,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, source, lang,
+               CAST(list_sum([
+                   {_QC_WEIGHTS}[
+                       (CAST(('0x' || substr(md5('qc:' || tok), 1, 8))
+                             AS BIGINT) % 16) + 1]
+                   FOR tok IN toks
+               ]) AS BIGINT) AS m
+        FROM t
+    ),
+    ranked AS (
+        SELECT source, lang, doc_id, m,
+               ROW_NUMBER() OVER (PARTITION BY source, lang
+                                  ORDER BY m DESC, doc_id ASC) AS rb,
+               ROW_NUMBER() OVER (PARTITION BY source, lang
+                                  ORDER BY m ASC, doc_id DESC) AS rw,
+               COUNT(*) OVER (PARTITION BY source, lang) AS n
+        FROM scored
+    )
+    SELECT b.source, b.lang,
+           CAST(b.n AS BIGINT) AS n_candidates,
+           CAST(b.doc_id AS BIGINT) AS chosen_id,
+           CAST(b.m AS BIGINT) AS chosen_margin,
+           CAST(w.doc_id AS BIGINT) AS rejected_id,
+           CAST(w.m AS BIGINT) AS rejected_margin,
+           CAST(b.m - w.m AS BIGINT) AS margin_gap
+    FROM ranked b
+    JOIN ranked w USING (source, lang)
+    WHERE b.rb = 1 AND w.rw = 1 AND b.m - w.m > 0
+    ORDER BY b.source, b.lang
+    """,
+    doc="Preference-pair assembly (the DPO/RLHF dataset step): within "
+    "each (source, lang) candidate group, pair the strongest document "
+    "(chosen) with the weakest (rejected) under the hashed linear "
+    "quality scorer, keeping only pairs with a strictly positive "
+    "margin gap -- a preference label needs chosen genuinely better.  "
+    "Determinism: the margin is an exact bigint fold "
+    "(functions/text.py:hashed_linear_margin), ties break to the "
+    "lowest doc_id on the chosen side and the highest on the rejected "
+    "side, and the gap filter makes chosen != rejected by "
+    "construction.  Scale shape: ONE map-side-combined aggregation -- "
+    "argmax/argmin as max/min over (m, -doc_id) structs, so no window "
+    "sort ever materializes a per-group ordering (the oracle's "
+    "row_number formulation is the semantic spec, not the plan); "
+    "output is bounded by |sources x languages| regardless of corpus "
+    "size.  Composes with pipe_sft_format (which renders records) "
+    "the way a real preference-dataset build does.",
+)
+def pipe_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import hashed_linear_margin
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        hashed_linear_margin("text").alias("m"),
+    )
+    pick = F.struct(F.col("m"), (-F.col("doc_id")).alias("nid"))
+    g = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.max(pick).alias("c"),
+        F.min(pick).alias("r"),
+    )
+    return (
+        g.select(
+            "source",
+            "lang",
+            "n_candidates",
+            (-F.col("c.nid")).cast("bigint").alias("chosen_id"),
+            F.col("c.m").cast("bigint").alias("chosen_margin"),
+            (-F.col("r.nid")).cast("bigint").alias("rejected_id"),
+            F.col("r.m").cast("bigint").alias("rejected_margin"),
+            (F.col("c.m") - F.col("r.m")).cast("bigint").alias("margin_gap"),
+        )
+        .where(F.col("margin_gap") > 0)
+        .orderBy("source", "lang")
+    )

@@ -805,3 +805,36 @@ def test_span_corruption_single_lineage(spark):
     assert "Join" not in plan, plan
     assert plan.count("Location: InMemoryFileIndex") == 1, plan
     assert len(re.findall(r"\+- Window ", plan)) == 1, plan
+
+
+def test_dpo_pairs_single_aggregation_no_window(spark):
+    """pipe_dpo_pairs claims argmax/argmin via ONE map-side-combined
+    aggregation: no window sort, no join, single scan."""
+    plan = plan_of(REGISTRY["pipe_dpo_pairs"].fn(spark, SF_DIR))
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+
+
+def test_pagerank_reuses_persisted_edge_list(spark):
+    """rel_pagerank's per-round join must read the degree-annotated
+    edge list from the cache (InMemoryTableScan), not re-derive the
+    orders x lineitem join each round."""
+    from kmeans_with_mapreduce_cuda_spark.operators.graph import (
+        pagerank_int,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 1)], ["src", "dst"]
+    )
+    res = pagerank_int(edges, iters=2)
+    try:
+        # ranks is a checkpointed leaf; the round plan that PRODUCED it
+        # is gone, so assert on a fresh round built the same way.
+        ed = res.deps[0]  # the persisted degree-annotated edge list
+        nxt = ed.join(res.ranks, ed.src == res.ranks.node)
+        plan = plan_of(nxt)
+        assert "InMemoryTableScan" in plan, plan
+    finally:
+        for dep in res.deps:
+            dep.unpersist()
