@@ -418,3 +418,52 @@ def pq_adc_topk(
         .orderBy("adc_dist", id_col)
         .limit(k_results)
     )
+
+
+def matryoshka_topk(
+    emb: DataFrame,
+    q_vec: list[float],
+    coarse_dims: int = 8,
+    k_coarse: int = 50,
+    k_final: int = 5,
+    id_col: str = "vec_id",
+    features: str = "embedding",
+) -> DataFrame:
+    """Coarse-to-fine two-stage retrieval over prefix-truncatable
+    (Matryoshka-style) embeddings: rank by squared distance on the
+    first ``coarse_dims`` dimensions, keep the best ``k_coarse``
+    candidates, then re-rank ONLY those with the full-dimension exact
+    distance and return the final top ``k_final``.
+
+    Scale shape: stage 1 is a narrow shuffle-free projection feeding
+    TakeOrderedAndProject -- top-k is MERGEABLE, so each task keeps a
+    k_coarse-row heap and only heaps cross the final merge (never a
+    global sort).  Stage 2 touches k_coarse rows total, so the
+    full-dimension arithmetic cost is O(k_coarse * dim) regardless of
+    corpus size -- the classic 8x compute cut (coarse_dims/dim) of
+    two-stage retrieval.  The embedding rides through the stage-1 heap
+    (50 rows/task), which beats a join-back at any scale when vectors
+    live in one array column; a deployment that stores the prefix as
+    its own column would read only that column in stage 1 (column
+    pruning) and broadcast-join the survivors back for stage 2.
+
+    Determinism: distances are generated left-associated against
+    literal query values (:func:`_sq_dist_expr`), so an oracle stating
+    the same tree agrees bit-for-bit and both stages' (dist, id)
+    orderings are exact -- the candidate CUT at k_coarse is therefore
+    engine-portable, which a float-divergent distance would break.
+    """
+    coarse = _sq_dist_expr(features, 0, [float(v) for v in q_vec[:coarse_dims]])
+    cand = (
+        emb.select(
+            F.col(id_col), F.col(features), coarse.alias("coarse_dist")
+        )
+        .orderBy("coarse_dist", id_col)
+        .limit(k_coarse)
+    )
+    full = _sq_dist_expr(features, 0, [float(v) for v in q_vec])
+    return (
+        cand.select(id_col, "coarse_dist", full.alias("full_dist"))
+        .orderBy("full_dist", id_col)
+        .limit(k_final)
+    )

@@ -360,3 +360,52 @@ def test_pq_adc_matches_numpy_twin_and_bounds_error(spark):
     # the ranking is by ADC: returned rows are sorted ascending
     dists = [r["adc_dist"] for r in got]
     assert dists == sorted(dists)
+
+
+def test_matryoshka_exact_when_prefix_is_faithful(spark):
+    """When the coarse prefix preserves the neighborhood (here: full
+    vector = prefix repeated), two-stage retrieval must equal exact
+    brute-force top-k -- verified against a NumPy twin."""
+    import numpy as np
+
+    from kmeans_with_mapreduce_cuda_spark.operators.similarity import (
+        matryoshka_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.rand(200, 8).astype("float32")
+    vecs = np.tile(base, 8)  # 64-dim, prefix-faithful by construction
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x) for x in vecs[13]]
+
+    got = matryoshka_topk(emb, q, coarse_dims=8, k_coarse=20, k_final=5)
+    got_ids = [r["vec_id"] for r in got.collect()]
+
+    d = ((vecs.astype("float64") - np.array(q)) ** 2).sum(axis=1)
+    want_ids = [int(i) for i in np.lexsort((np.arange(len(d)), d))[:5]]
+    assert got_ids == want_ids
+    assert got_ids[0] == 13  # the query itself at distance 0
+
+
+def test_matryoshka_plan_is_heap_based_no_join(spark):
+    """Both stages must plan as TakeOrderedAndProject (mergeable
+    heaps); no join, no global Sort node."""
+    import numpy as np
+
+    from kmeans_with_mapreduce_cuda_spark.operators.similarity import (
+        matryoshka_topk,
+    )
+
+    rng = np.random.RandomState(3)
+    vecs = rng.rand(50, 64).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df = matryoshka_topk(emb, [float(x) for x in vecs[0]])
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # tree lines render as "TakeOrderedAndProject (n)"; detail headers
+    # repeat the name without the paren suffix
+    assert plan.count("TakeOrderedAndProject (") == 2, plan
+    assert "Join" not in plan, plan
