@@ -115,3 +115,63 @@ def salted_topk(
     return local.withColumn(
         rank_col, F.row_number().over(w2).cast("bigint")
     ).where(F.col(rank_col) <= k)
+
+
+def skyline_2d(
+    df: DataFrame,
+    x: str,
+    y: str,
+    salt_on: str,
+    n_salt: int = 16,
+) -> DataFrame:
+    """Pareto frontier (skyline) maximizing ``x`` AND ``y``: keep rows
+    no other row strictly dominates (>= on both axes, > on at least
+    one).  Same two-phase shape as :func:`salted_topk`, because the
+    skyline is MERGEABLE too: skyline(S) == skyline(union of local
+    skylines) -- every globally dominated point has a MAXIMAL
+    dominator, which is itself undominated, hence survives its own
+    bucket's local pass and eliminates the point in the global pass;
+    conversely a global-frontier point is undominated in any subset
+    containing it.  Stage 1 prunes within xxhash64 salt buckets (any
+    per-row column works; correctness never depends on the split),
+    stage 2 runs the same filter over the survivors only, so the
+    single-partition global window touches |local frontiers| rows, not
+    the corpus.  (Frontier size is data-dependent -- anticorrelated
+    axes inflate it -- but local pruning already removed everything a
+    bucket-mate dominates.)
+
+    Per-bucket filter, all window arithmetic: a row survives iff
+    ``y`` exceeds the best ``y`` among STRICTLY larger ``x`` (RANGE
+    frame ``1 FOLLOWING .. UNBOUNDED``) and ties the best ``y`` within
+    its own ``x`` -- O(n log n) against the textbook NOT EXISTS
+    quadratic (which the oracle states as the independent semantic
+    spec).  Exact duplicates of a frontier (x, y) all survive, both
+    here and under strict dominance.
+    """
+    from pyspark.sql.window import Window
+
+    def frontier(d: DataFrame, part_cols: list[str]) -> DataFrame:
+        wx = (
+            Window.partitionBy(*part_cols)
+            .orderBy(F.col(x).asc())
+            .rangeBetween(1, Window.unboundedFollowing)
+        )
+        weq = Window.partitionBy(*(part_cols + [x]))
+        return (
+            d.withColumn("_best_gt", F.max(y).over(wx))
+            .withColumn("_best_eq", F.max(y).over(weq))
+            .where(
+                (
+                    F.col("_best_gt").isNull()
+                    | (F.col(y) > F.col("_best_gt"))
+                )
+                & (F.col(y) == F.col("_best_eq"))
+            )
+            .drop("_best_gt", "_best_eq")
+        )
+
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(salt_on), F.lit(n_salt)).cast("int")
+    )
+    local = frontier(salted, ["_salt"]).drop("_salt")
+    return frontier(local, [])

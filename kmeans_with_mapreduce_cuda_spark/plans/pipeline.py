@@ -4411,3 +4411,69 @@ def sim_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_rows = e.where(F.col("vec_id") == 77).select("embedding").collect()
     q_vec = [float(v) for v in q_rows[0][0]]
     return matryoshka_topk(e, q_vec, coarse_dims=8, k_coarse=50, k_final=5)
+
+
+# --- Pareto frontier over the curation plane ------------------------------------
+
+@query(
+    "pipe_pareto_frontier",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(list_sum([
+                   {_QC_WEIGHTS}[
+                       (CAST(('0x' || substr(md5('qc:' || tok), 1, 8))
+                             AS BIGINT) % 16) + 1]
+                   FOR tok IN toks
+               ]) AS BIGINT) AS margin
+        FROM t
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens, margin
+    FROM scored s
+    WHERE NOT EXISTS (
+        SELECT 1 FROM scored o
+        WHERE o.n_tokens >= s.n_tokens AND o.margin >= s.margin
+          AND (o.n_tokens > s.n_tokens OR o.margin > s.margin)
+    )
+    ORDER BY n_tokens, doc_id
+    """,
+    doc="Pareto frontier on the curation plane (document length vs "
+    "quality margin): the docs for which no other doc is at least as "
+    "long AND at least as high-quality with one strict -- the "
+    "efficient set a data-mixing policy trades along when token "
+    "budget and quality compete.  Both axes are exact bigints (token "
+    "count + hashed-linear margin), so dominance is exact.  Scale "
+    "shape: the skyline is MERGEABLE, so stage 1 computes local "
+    "frontiers inside 16 salt buckets (window arithmetic: best-y-over-"
+    "strictly-greater-x RANGE frame + per-x max, O(n log n)) and only "
+    "the survivors reach the global single-partition pass -- the "
+    "salted_topk pattern applied to dominance instead of rank "
+    "(operators/skew.py:skyline_2d, equivalence property-tested "
+    "against brute force).  The oracle is the textbook NOT EXISTS "
+    "quadratic -- an INDEPENDENT formulation, so the hash verifies "
+    "the window algebra, not a mirrored plan.",
+)
+def pipe_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import hashed_linear_margin, tokens
+    from ..operators.skew import skyline_2d
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+        hashed_linear_margin("text").alias("margin"),
+    )
+    return (
+        skyline_2d(d, x="n_tokens", y="margin", salt_on="doc_id")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "n_tokens",
+            F.col("margin").cast("bigint").alias("margin"),
+        )
+        .orderBy("n_tokens", "doc_id")
+    )

@@ -2602,3 +2602,92 @@ def rel_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
         F.col("o_totalprice").alias("total_price"),
     ).orderBy("o_orderkey")
+
+
+# --- Graph analytics: triangle counting ------------------------------------
+
+@query(
+    "rel_triangles",
+    oracle="""
+    WITH p AS (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+        WHERE l1.l_partkey < l2.l_partkey
+          AND l1.l_partkey < 2000 AND l2.l_partkey < 2000
+    ),
+    tri AS (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM p e1
+        JOIN p e2 ON e2.a = e1.b
+        JOIN p e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    verts AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b AS node FROM tri
+        UNION ALL SELECT c AS node FROM tri
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(count(*) AS BIGINT) AS n_triangles
+    FROM verts GROUP BY node
+    ORDER BY n_triangles DESC, node
+    LIMIT 10
+    """,
+    doc="Graph analytics #3 (after connected components and PageRank): "
+    "triangle counting over the part co-purchase graph (parts sharing "
+    "an order, canonical a < b orientation, key-bounded slice so the "
+    "subgraph is replication-invariant).  Each triangle is enumerated "
+    "exactly once as a < b < c: one wedge join (e1.b = e2.a) plus one "
+    "closing semi-check (e3 = (e1.a, e2.b)); per-vertex participation "
+    "counts rank the top-10 hub parts.  Scale judgment: co-occurrence "
+    "edges are bounded per order (<= items^2/2, TPC-H orders have <= 7 "
+    "lines); the wedge join's cost is sum of out-degree^2, which the "
+    "canonical orientation keeps sane here and which a power-law graph "
+    "would tame by re-orienting edges low-degree -> high-degree (the "
+    "standard trick; same hot-key family as the LSH band cap).  All "
+    "exact integer counts -- no float discipline needed.",
+)
+def rel_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") < 2000)
+        .select("l_orderkey", "l_partkey")
+    )
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    p = (
+        l1.join(l2, F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        .where(F.col("l1.l_partkey") < F.col("l2.l_partkey"))
+        .select(
+            F.col("l1.l_partkey").alias("a"),
+            F.col("l2.l_partkey").alias("b"),
+        )
+        .distinct()
+    )
+    e1, e2, e3 = p.alias("e1"), p.alias("e2"), p.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
+    )
+    verts = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return (
+        verts.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .select(
+            F.col("node").cast("bigint").alias("node"),
+            F.col("n_triangles").cast("bigint").alias("n_triangles"),
+        )
+        .orderBy(F.col("n_triangles").desc(), "node")
+        .limit(10)
+    )

@@ -207,3 +207,61 @@ def test_salted_topk_equals_plain_window_on_pathological_skew(spark):
     e = sorted(map(tuple, exp.select("key", "rid", "v", "rank").collect()))
     assert g == e
     assert len(g) == 5 * 6  # hot key + 5 cold keys, k rows each
+
+
+def _brute_skyline(pts):
+    """Strict-dominance skyline, O(n^2) reference."""
+    out = []
+    for i, (x, y) in enumerate(pts):
+        dominated = any(
+            ox >= x and oy >= y and (ox > x or oy > y) for ox, oy in pts
+        )
+        if not dominated:
+            out.append((i, x, y))
+    return sorted(out)
+
+
+def test_skyline_2d_matches_brute_force_with_ties_and_dups(spark):
+    """Two-phase mergeable skyline == quadratic reference, on a point
+    set engineered with duplicate frontier points, x-ties, and a long
+    dominated tail."""
+    import random
+
+    from kmeans_with_mapreduce_cuda_spark.operators.skew import skyline_2d
+
+    rng = random.Random(42)
+    pts = [(rng.randrange(0, 40), rng.randrange(0, 40)) for _ in range(300)]
+    pts += [(50, 1), (50, 1), (1, 50), (1, 50)]  # duplicated frontier pts
+    pts += [(40, i) for i in range(10)]  # x-tie column: only max-y lives
+
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)], ["id", "x", "y"]
+    )
+    got = sorted(
+        (r["id"], r["x"], r["y"])
+        for r in skyline_2d(df, x="x", y="y", salt_on="id").collect()
+    )
+    assert got == _brute_skyline(pts)
+
+
+def test_skyline_2d_every_bucket_count(spark):
+    """Mergeability must hold for any bucketing: 1 bucket (pure global)
+    and 64 buckets (more buckets than frontier points) agree."""
+    import random
+
+    from kmeans_with_mapreduce_cuda_spark.operators.skew import skyline_2d
+
+    rng = random.Random(7)
+    pts = [(rng.randrange(0, 25), rng.randrange(0, 25)) for _ in range(150)]
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)], ["id", "x", "y"]
+    )
+    want = _brute_skyline(pts)
+    for n_salt in (1, 64):
+        got = sorted(
+            (r["id"], r["x"], r["y"])
+            for r in skyline_2d(
+                df, x="x", y="y", salt_on="id", n_salt=n_salt
+            ).collect()
+        )
+        assert got == want, n_salt
