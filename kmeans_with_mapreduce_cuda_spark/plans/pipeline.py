@@ -4477,3 +4477,165 @@ def pipe_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_tokens", "doc_id")
     )
+
+
+# --- Importance resampling (quality-weighted mixture reweighting) -------------
+
+@query(
+    "pipe_importance_resample",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, source,
+               CAST(list_sum([
+                   {_QC_WEIGHTS}[
+                       (CAST(('0x' || substr(md5('qc:' || tok), 1, 8))
+                             AS BIGINT) % 16) + 1]
+                   FOR tok IN toks
+               ]) AS BIGINT) AS m
+        FROM t
+    ),
+    weighted AS (
+        SELECT doc_id, source,
+               least(1000, greatest(0, 500 + m // 50)) AS keep_millis,
+               CAST(('0x' || substr(md5('rs:' || CAST(doc_id AS VARCHAR)),
+                                    1, 8)) AS BIGINT) % 1000 AS coin
+        FROM scored
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(keep_millis) AS BIGINT) AS millis_sum,
+           CAST(sum(CASE WHEN coin < keep_millis THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(min(CASE WHEN coin < keep_millis THEN doc_id END)
+                AS BIGINT) AS first_kept
+    FROM weighted GROUP BY source ORDER BY source
+    """,
+    doc="Importance resampling (the DoReMi-family mixture-reweighting "
+    "primitive): each doc's quality margin maps to an integer "
+    "keep-probability in millis (500 + margin/50, clamped to [0, "
+    "1000]), and a deterministic md5 coin on doc_id accepts it iff "
+    "coin < keep_millis -- so acceptance is exactly Bernoulli(p_doc) "
+    "under the hash-uniform coin, reproducible bit-for-bit across "
+    "engines AND across reruns (no RNG state to manage on 1000 "
+    "executors; the same property the seeding contract gives K-Means). "
+    " Emits the per-source acceptance report (totals, expected-mass "
+    "sum, kept count, first kept id).  Scale shape: the weight and "
+    "coin are shuffle-free per-row integer projections; the report is "
+    "one map-side-combined aggregation keyed by source.  Complements "
+    "pipe_stratified_sample (fixed per-stratum rate) with per-ROW "
+    "rates, which is how quality-weighted token budgets are actually "
+    "allocated.",
+)
+def pipe_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_long
+    from ..functions.text import hashed_linear_margin
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", hashed_linear_margin("text").alias("m")
+    )
+    w = d.select(
+        "doc_id",
+        "source",
+        # DuckDB's integer `//` TRUNCATES toward zero exactly like
+        # Spark's DIV (verified: -75 // 50 == -1 in both, unlike
+        # Python's floor -2), so the bare DIV is the portable form for
+        # negative margins too.
+        F.least(
+            F.lit(1000),
+            F.greatest(F.lit(0), F.lit(500) + F.expr("m DIV 50")),
+        )
+        .cast("bigint")
+        .alias("keep_millis"),
+        (md5_long("doc_id", salt="rs:") % 1000).alias("coin"),
+    )
+    kept = F.col("coin") < F.col("keep_millis")
+    return (
+        w.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("keep_millis").alias("millis_sum"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.min(F.when(kept, F.col("doc_id"))).alias("first_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- Dataset snapshot diff ------------------------------------------------------
+
+@query(
+    "pipe_dataset_diff",
+    oracle="""
+    WITH old AS (
+        SELECT doc_id, md5(text) AS old_digest
+        FROM documents WHERE doc_id % 7 != 0
+    ),
+    new AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0 THEN md5('edited:' || text)
+                    ELSE md5(text) END AS new_digest
+        FROM documents WHERE doc_id % 5 != 0
+    ),
+    j AS (
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.old_digest != n.new_digest THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    )
+    SELECT status,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM j GROUP BY status ORDER BY status
+    """,
+    doc="Dataset snapshot diff (data-versioning audit): two corpus "
+    "snapshots -- deterministic slices standing in for release N and "
+    "N+1, with a simulated edit class -- reconciled into "
+    "added/removed/changed/unchanged with per-status counts and id "
+    "ranges.  The diff a curation pipeline publishes between dataset "
+    "releases, and the guard against silent upstream mutation.  Scale "
+    "shape: each side projects (doc_id, md5 digest) BEFORE the full "
+    "outer join, so only 16-byte digests shuffle (never bodies -- the "
+    "dedup_exact contract) and the join is co-partitioned on doc_id; "
+    "the report is one map-side-combined aggregation on a 4-value "
+    "key.  The edit marker uses concat (not case-mapping) so both "
+    "engines hash identical bytes.",
+)
+def pipe_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = d.where(F.col("doc_id") % 7 != 0).select(
+        "doc_id", F.md5("text").alias("old_digest")
+    )
+    new = d.where(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.md5(F.concat(F.lit("edited:"), F.col("text"))),
+        )
+        .otherwise(F.md5("text"))
+        .alias("new_digest"),
+    )
+    j = old.join(new, "doc_id", "full_outer").select(
+        "doc_id",
+        F.when(F.col("old_digest").isNull(), "added")
+        .when(F.col("new_digest").isNull(), "removed")
+        .when(F.col("old_digest") != F.col("new_digest"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return (
+        j.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+            F.max("doc_id").cast("bigint").alias("max_doc_id"),
+        )
+        .orderBy("status")
+    )
