@@ -2691,3 +2691,159 @@ def rel_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_triangles").desc(), "node")
         .limit(10)
     )
+
+
+# --- SQL-language UDFs, session variables, DECIMAL surface -------------------
+
+@query(
+    "udf_sql_scalar",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS revenue
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="SQL-language scalar UDF (Spark 4 CREATE FUNCTION ... RETURN "
+    "expr): the exact-cents discounted-revenue formula packaged as a "
+    "reusable SQL function.  Unlike Python UDFs, SQL UDFs are INLINED "
+    "by Catalyst at analysis time -- the plan is identical to writing "
+    "the expression by hand (no eval node, whole-stage codegen "
+    "preserved; plan-asserted in tests/test_plans.py), so this is the "
+    "zero-cost way to share expression logic across queries at 100 "
+    "TB.  OR REPLACE keeps re-registration idempotent within a "
+    "session.  Oracle states the inlined expression.",
+)
+def udf_sql_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION cents_disc_price(
+            p DOUBLE, d DOUBLE) RETURNS BIGINT
+        RETURN CAST(round(p * 100) AS BIGINT)
+               * (100 - CAST(round(d * 100) AS BIGINT))
+        """
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "_sqludf_li"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents_disc_price(l_extendedprice, l_discount))
+                    AS DOUBLE) / 10000.0 AS revenue
+        FROM _sqludf_li GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
+
+
+@query(
+    "udf_sql_tvf",
+    oracle="""
+    SELECT n_nationkey AS k, CAST(g AS INTEGER) AS pos
+    FROM nation
+    CROSS JOIN generate_series(1, 3) AS t(g)
+    WHERE g <= n_nationkey % 3 + 1
+    ORDER BY k, pos
+    """,
+    doc="SQL-language TABLE function (CREATE FUNCTION ... RETURNS "
+    "TABLE): a row-generating SQL macro invoked with LATERAL "
+    "correlation to an outer column -- the declarative twin of the "
+    "Python UDTF (udtf_shingles) with none of its serialization cost, "
+    "because the body is inlined as a correlated subplan (a narrow "
+    "Generate, no Python worker, no shuffle).  Oracle: the "
+    "generate_series cross join.",
+)
+def udf_sql_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION reps(n INT)
+        RETURNS TABLE(pos INT)
+        RETURN SELECT explode(sequence(1, n))
+        """
+    )
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("_tvf_nation")
+    return spark.sql(
+        """
+        SELECT n_nationkey AS k, pos
+        FROM _tvf_nation, LATERAL reps(n_nationkey % 3 + 1)
+        ORDER BY k, pos
+        """
+    )
+
+
+@query(
+    "rel_session_vars",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_high_qty,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+    FROM lineitem WHERE l_quantity >= 45.0
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="SQL session variables (Spark 4 DECLARE / SET VARIABLE): a "
+    "parameterized threshold driving a filter without string "
+    "interpolation -- the SQL-native way to template one plan over "
+    "changing parameters (variable references fold to literals at "
+    "analysis, so pushdown still reaches the scan).  The oracle "
+    "inlines the constant; hygiene note: the variable is session-"
+    "scoped and re-DECLAREd idempotently, no cross-query state leaks "
+    "(the stream_session_windows timezone lesson).",
+)
+def rel_session_vars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE qty_floor DOUBLE DEFAULT 0.0"
+    )
+    spark.sql("SET VARIABLE qty_floor = 45.0")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "_var_li"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_high_qty,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+        FROM _var_li WHERE l_quantity >= qty_floor
+        GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
+
+
+@query(
+    "rel_decimal_money",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price,
+           CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS min_price,
+           CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS max_price
+    FROM orders GROUP BY o_orderstatus ORDER BY status
+    """,
+    doc="DECIMAL(18,2) surface: exact fixed-point aggregation as the "
+    "alternative to the integer-cents idiom -- sum/min/max over a "
+    "decimal cast of the money column, emitted through one exact "
+    "decimal->double conversion per value.  Casting a 2-decimal "
+    "double to DECIMAL(18,2) is tie-free (no double lands exactly on "
+    "a .005 boundary), so both engines produce the identical decimal; "
+    "decimal sums are order-free exact, the same guarantee as cents "
+    "(rel_filter_agg) at ~2x the CPU (measured, see that query's "
+    "doc).  This query keeps the DECIMAL path covered for the >9e16-"
+    "cents regime where bigint cents would overflow ANSI-loudly.",
+)
+def rel_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec).cast("double").alias("sum_price"),
+            F.min(dec).cast("double").alias("min_price"),
+            F.max(dec).cast("double").alias("max_price"),
+        )
+        .orderBy("status")
+    )

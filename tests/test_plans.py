@@ -838,3 +838,19 @@ def test_pagerank_reuses_persisted_edge_list(spark):
     finally:
         for dep in res.deps:
             dep.unpersist()
+
+
+def test_sql_udf_inlines_no_python_eval(spark):
+    """udf_sql_scalar: SQL-language UDFs must inline at analysis --
+    no Python eval node of any kind, aggregation still codegen'd."""
+    plan = plan_of(REGISTRY["udf_sql_scalar"].fn(spark, SF_DIR))
+    assert "EvalPython" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_session_variable_folds_and_pushes_down(spark):
+    """rel_session_vars: the variable reference must fold to a literal
+    so the quantity predicate reaches the parquet scan."""
+    plan = plan_of(REGISTRY["rel_session_vars"].fn(spark, SF_DIR))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "l_quantity" in pushed[0], plan
