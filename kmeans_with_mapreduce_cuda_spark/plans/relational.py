@@ -2847,3 +2847,114 @@ def rel_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# --- Robust statistics: median absolute deviation ---------------------------
+
+def _median_sql(src: str, val: str, out: str) -> str:
+    """Sort-based exact interpolated median of ``src.val`` per
+    event_type, as a SQL fragment (DuckDB).  States the SAME anchor +
+    interpolation arithmetic the Spark side executes -- NOT
+    quantile_cont, whose internal interpolation may differ in low
+    bits; mirroring the ops makes the median bit-identical, so
+    downstream comparisons (outlier counts) are exact."""
+    return f"""
+        SELECT event_type,
+               MAX(CASE WHEN rn = CAST(floor(h) AS BIGINT) THEN {val} END)
+               + (MAX(CASE WHEN rn = CAST(ceil(h) AS BIGINT) THEN {val} END)
+                  - MAX(CASE WHEN rn = CAST(floor(h) AS BIGINT) THEN {val} END))
+                 * (h - floor(h)) AS {out}
+        FROM (
+            SELECT event_type, {val},
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY {val}) AS rn,
+                   (COUNT(*) OVER (PARTITION BY event_type) - 1) * 0.5 + 1
+                       AS h
+            FROM {src}
+        )
+        WHERE rn = CAST(floor(h) AS BIGINT) OR rn = CAST(ceil(h) AS BIGINT)
+        GROUP BY event_type, h
+    """
+
+
+@query(
+    "rel_mad_robust",
+    oracle=f"""
+    WITH e AS (SELECT event_type, value AS v FROM events),
+    med AS ({_median_sql('e', 'v', 'med')}),
+    d AS (
+        SELECT e.event_type, e.v, abs(e.v - med.med) AS dev, med.med
+        FROM e JOIN med USING (event_type)
+    ),
+    mad AS ({_median_sql('d', 'dev', 'mad')})
+    SELECT d.event_type,
+           ANY_VALUE(d.med) AS med,
+           ANY_VALUE(mad.mad) AS mad,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN d.dev > mad.mad * 4.4478 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM d JOIN mad USING (event_type)
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+    doc="Robust dispersion per event_type: exact sort-based median, "
+    "median absolute deviation, and the robust outlier count (|v - "
+    "med| > 3 * 1.4826 * MAD -- the consistency-scaled MAD z-test "
+    "that, unlike rel_anomaly_zscore's mean/stddev, a few extreme "
+    "values cannot poison).  Both medians use the spilling window-sort "
+    "anchor formulation (the rel_percentiles shape -- Spark's exact "
+    "percentile aggregate OOMs at data scale), the group medians "
+    "broadcast back to the stream, and every float op (interpolation, "
+    "deviation, threshold multiply) is MIRRORED verbatim in the "
+    "oracle rather than delegated to quantile_cont, so med/mad/counts "
+    "are bit-identical and emitted UNROUNDED.",
+)
+def rel_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").alias("v")
+    )
+
+    def group_median(df: DataFrame, val: str, out: str) -> DataFrame:
+        wr = Window.partitionBy("event_type").orderBy(val)
+        wn = Window.partitionBy("event_type")
+        ranked = df.select(
+            "event_type",
+            F.col(val),
+            F.row_number().over(wr).alias("rn"),
+            ((F.count(F.lit(1)).over(wn) - 1) * 0.5 + 1).alias("h"),
+        ).where(
+            (F.col("rn") == F.floor("h").cast("bigint"))
+            | (F.col("rn") == F.ceil("h").cast("bigint"))
+        )
+        v_lo = F.max(
+            F.when(
+                F.col("rn") == F.floor("h").cast("bigint"), F.col(val)
+            )
+        )
+        v_hi = F.max(
+            F.when(F.col("rn") == F.ceil("h").cast("bigint"), F.col(val))
+        )
+        return ranked.groupBy("event_type", "h").agg(
+            (v_lo + (v_hi - v_lo) * (F.col("h") - F.floor("h"))).alias(out)
+        ).select("event_type", out)
+
+    med = group_median(ev, "v", "med")
+    d = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "v", "med", F.abs(F.col("v") - F.col("med")).alias("dev")
+    )
+    mad = group_median(d, "dev", "mad")
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("med").alias("med"),
+            F.any_value("mad").alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("dev") > F.col("mad") * 4.4478, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
