@@ -4639,3 +4639,62 @@ def pipe_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# --- Grouped-map Arrow UDF (applyInArrow) ---------------------------------------
+
+@query(
+    "udf_arrow_grouped",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           min(value) AS vmin,
+           max(value) AS vmax,
+           max(value) - min(value) AS vrange
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Grouped-map Arrow UDF (DataFrame.groupBy().applyInArrow): the "
+    "fifth and last Python eval mode after pandas UDF / applyInPandas "
+    "/ mapInPandas-mapInArrow / Arrow-optimized scalar / UDTF -- the "
+    "group arrives as a raw pyarrow.Table (zero pandas conversion "
+    "cost, the right surface when the group-level logic is columnar "
+    "kernels rather than dataframe algebra).  Computes per-type "
+    "count/min/max/range via pyarrow.compute; every output is a "
+    "pass-through double or ONE IEEE subtraction, so the hash check "
+    "is exact with no rounding.  Plans as FlatMapGroupsInArrow over "
+    "one hash exchange.  At 100 TB this shape is for genuinely "
+    "non-SQL group logic; these particular stats would of course be "
+    "a plain JVM aggregate (the oracle states exactly that), which "
+    "is what makes the Python path verifiable.",
+)
+def udf_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(tbl: "pa.Table") -> "pa.Table":
+        v = tbl.column("value")
+        vmin, vmax = pc.min(v), pc.max(v)
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [tbl.column("event_type")[0].as_py()], pa.string()
+                ),
+                "n": pa.array([tbl.num_rows], pa.int64()),
+                "vmin": pa.array([vmin.as_py()], pa.float64()),
+                "vmax": pa.array([vmax.as_py()], pa.float64()),
+                "vrange": pa.array(
+                    [pc.subtract(vmax, vmin).as_py()], pa.float64()
+                ),
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return (
+        ev.groupBy("event_type")
+        .applyInArrow(
+            stats,
+            schema="event_type string, n long, vmin double, vmax double,"
+            " vrange double",
+        )
+        .orderBy("event_type")
+    )

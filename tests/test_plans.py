@@ -854,3 +854,11 @@ def test_session_variable_folds_and_pushes_down(spark):
     plan = plan_of(REGISTRY["rel_session_vars"].fn(spark, SF_DIR))
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert pushed and "l_quantity" in pushed[0], plan
+
+
+def test_arrow_grouped_plans_as_flatmap_groups_in_arrow(spark):
+    """udf_arrow_grouped must plan as FlatMapGroupsInArrow (raw Arrow
+    group transfer), not FlatMapGroupsInPandas."""
+    plan = plan_of(REGISTRY["udf_arrow_grouped"].fn(spark, SF_DIR))
+    assert "FlatMapGroupsInArrow" in plan, plan
+    assert "FlatMapGroupsInPandas" not in plan, plan
