@@ -862,3 +862,11 @@ def test_arrow_grouped_plans_as_flatmap_groups_in_arrow(spark):
     plan = plan_of(REGISTRY["udf_arrow_grouped"].fn(spark, SF_DIR))
     assert "FlatMapGroupsInArrow" in plan, plan
     assert "FlatMapGroupsInPandas" not in plan, plan
+
+
+def test_mad_robust_broadcasts_group_medians(spark):
+    """rel_mad_robust: both median tables are k-row; they must come
+    back to the event stream as broadcast joins, never sort-merge."""
+    plan = plan_of(REGISTRY["rel_mad_robust"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
