@@ -2466,12 +2466,16 @@ def _pagerank_sql(iters: int = 3, scale: int = 10**12, damping_pct: int = 85) ->
         FROM deg d LEFT JOIN m{i} ON m{i}.node = d.node
     )""")
         prev = f"r{i}"
+    # AS MATERIALIZED: edges is referenced once per unrolled round; an
+    # inlining planner would re-run the orders x lineitem distinct for
+    # each, which at the 100x probe scale spilled past the disk.  The
+    # hint is DuckDB-specific and the oracle only ever runs on DuckDB.
     return f"""
-    WITH e0 AS (
+    WITH e0 AS MATERIALIZED (
         SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT a AS src, b AS dst FROM e0
         UNION ALL
         SELECT b AS src, a AS dst FROM e0
