@@ -4698,3 +4698,75 @@ def udf_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- Shard manifest (WebDataset-style packaging) --------------------------------
+
+@query(
+    "pipe_shard_manifest",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS digest
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_bytes, digest,
+               sum(n_bytes) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum
+        FROM t
+    )
+    SELECT source,
+           CAST(floor((cum - 1) / 65536) AS BIGINT) AS shard_seq,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+           md5(string_agg(digest, '' ORDER BY doc_id)) AS content_digest
+    FROM c GROUP BY source, 2
+    ORDER BY source, shard_seq
+    """,
+    doc="Shard-manifest build (the WebDataset/tar-shard packaging "
+    "step): documents are assigned to ~64 KiB shards per source by a "
+    "running byte sum (the token_packing cut rule at byte "
+    "granularity), and each shard's manifest row carries an "
+    "ORDER-SENSITIVE rolling content digest -- md5 over the members' "
+    "md5s in shard order (ANSI LISTAGG WITHIN GROUP) -- which is "
+    "exactly what a loader validates before trusting a shard, and "
+    "what makes two independently-built manifests comparable without "
+    "moving bodies.  Scale shape: one window shuffle keyed by source "
+    "(shard count scales out with sources; never a global sort), then "
+    "one aggregation reusing the same partitioning; only 32-char "
+    "digests ever shuffle.  Equal-doc_id ordering is unique by "
+    "construction, so the ordered concat is deterministic in both "
+    "engines.",
+)
+def pipe_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+        F.md5("text").alias("digest"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = t.withColumn("cum", F.sum("n_bytes").over(w))
+    c.createOrReplaceTempView("_shard_manifest_rows")
+    return spark.sql(
+        """
+        SELECT source,
+               CAST(floor((cum - 1) / 65536) AS BIGINT) AS shard_seq,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+               md5(listagg(digest, '') WITHIN GROUP (ORDER BY doc_id))
+                   AS content_digest
+        FROM _shard_manifest_rows
+        GROUP BY source, 2
+        ORDER BY source, shard_seq
+        """
+    )
