@@ -870,3 +870,11 @@ def test_mad_robust_broadcasts_group_medians(spark):
     plan = plan_of(REGISTRY["rel_mad_robust"].fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_spatial_radius_join_is_equi_hash_join(spark):
+    """rel_spatial_radius_join: grid blocking must produce an EQUI join
+    on cell keys -- never a nested-loop/cartesian distance join."""
+    plan = plan_of(REGISTRY["rel_spatial_radius_join"].fn(spark, SF_DIR))
+    assert "NestedLoop" not in plan, plan
+    assert "Cartesian" not in plan, plan
