@@ -742,3 +742,130 @@ def o02_seed_farthest(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, cx, cy) for i, (cx, cy) in enumerate(cents)],
         "cluster_id int, cx double, cy double",
     )
+
+
+# --- O14 metric family: Davies-Bouldin index ---------------------------------
+
+def _db_centroid_dists() -> list[tuple[int, int, float]]:
+    """Pairwise Euclidean centroid distances, computed ONCE in Python
+    with the same IEEE ops ((dx*dx + dy*dy) then sqrt) and baked as
+    identical literals into BOTH the Spark expression and the oracle
+    SQL -- the cross-engine question never arises."""
+    import math
+
+    out = []
+    k = len(INIT_CENTROIDS_2D)
+    for i in range(k):
+        xi, yi = INIT_CENTROIDS_2D[i]
+        for j in range(k):
+            if i == j:
+                continue
+            xj, yj = INIT_CENTROIDS_2D[j]
+            dx, dy = xi - xj, yi - yj
+            out.append((i, j, math.sqrt(dx * dx + dy * dy)))
+    return out
+
+
+def _db_oracle() -> str:
+    dm_rows = ", ".join(
+        f"({i}, {j}, {d!r})" for i, j, d in _db_centroid_dists()
+    )
+    return f"""
+    WITH points AS ({POINTS_SQL}), cents AS {cents_sql(INIT_CENTROIDS_2D)},
+    lab AS (
+        SELECT id, mind, cluster_id FROM (
+            SELECT p.id, c.cluster_id,
+                   (p.x - c.cx) * (p.x - c.cx)
+                       + (p.y - c.cy) * (p.y - c.cy) AS mind,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.id
+                       ORDER BY (p.x - c.cx) * (p.x - c.cx)
+                                + (p.y - c.cy) * (p.y - c.cy), c.cluster_id
+                   ) AS rn
+            FROM points p CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    s AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS n,
+               round(avg(sqrt(mind)), 6) AS scatter
+        FROM lab GROUP BY cluster_id
+    ),
+    dm(i, j, d) AS (VALUES {dm_rows})
+    SELECT si.cluster_id, si.n, si.scatter,
+           max((si.scatter + sj.scatter) / dm.d) AS db_component
+    FROM s si
+    JOIN dm ON dm.i = si.cluster_id
+    JOIN s sj ON sj.cluster_id = dm.j
+    GROUP BY si.cluster_id, si.n, si.scatter
+    ORDER BY si.cluster_id
+    """
+
+
+@query(
+    "o14_davies_bouldin",
+    oracle=_db_oracle(),
+    doc="Davies-Bouldin index components, completing the O14 "
+    "cluster-quality family (SSE, simplified silhouette, "
+    "Calinski-Harabasz): per-cluster scatter s_i = mean distance to "
+    "the assigned centroid, and DB_i = max over j != i of "
+    "(s_i + s_j) / d(c_i, c_j) -- lower is better-separated.  Scale "
+    "shape: scatter rides the same literal-centroid shuffle-free "
+    "assignment projection as O4 plus one k-row aggregate; the "
+    "max-ratio step is a k x (k-1) join of the k-row scatter table "
+    "against a LITERAL pairwise centroid-distance relation (computed "
+    "once in Python with the same IEEE ops and baked into BOTH "
+    "engines, so d_ij is definitionally identical).  Float "
+    "discipline: scatter is a multi-term float mean -> rounded 6 in "
+    "both engines; the ratio arithmetic then runs on bit-identical "
+    "rounded doubles and literal distances, so db_component is "
+    "emitted UNROUNDED.",
+)
+def o14_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmeans import _dists_sql_2d
+
+    k = len(INIT_CENTROIDS_2D)
+    p = _points(spark, sf_dir)
+    d = p.withColumn(
+        "_d2", F.expr(_dists_sql_2d(INIT_CENTROIDS_2D, "x", "y"))
+    )
+    a = d.select(
+        (F.array_position("_d2", F.array_min("_d2")) - 1)
+        .cast("int")
+        .alias("cluster_id"),
+        F.sqrt(F.array_min("_d2")).alias("dist"),
+    )
+    s = a.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("dist"), 6).alias("scatter"),
+    )
+    # literal k x k distance matrix (0.0 on the diagonal, never read)
+    dvals = {(i, j): dist for i, j, dist in _db_centroid_dists()}
+    dmat = F.array(
+        *[
+            F.array(
+                *[
+                    F.lit(dvals.get((i, j), 0.0))
+                    for j in range(k)
+                ]
+            )
+            for i in range(k)
+        ]
+    )
+    si = s.alias("si")
+    sj = s.select(
+        F.col("cluster_id").alias("j_id"),
+        F.col("scatter").alias("j_scatter"),
+    )
+    pairs = si.crossJoin(F.broadcast(sj)).where(
+        F.col("cluster_id") != F.col("j_id")
+    )
+    ratio = (F.col("scatter") + F.col("j_scatter")) / F.element_at(
+        F.element_at(dmat, F.col("cluster_id") + 1),
+        F.col("j_id") + 1,
+    )
+    return (
+        pairs.select("cluster_id", "n", "scatter", ratio.alias("r"))
+        .groupBy("cluster_id", "n", "scatter")
+        .agg(F.max("r").alias("db_component"))
+        .orderBy("cluster_id")
+    )
