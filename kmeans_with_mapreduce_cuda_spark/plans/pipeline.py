@@ -4770,3 +4770,79 @@ def pipe_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY source, shard_seq
         """
     )
+
+
+# --- Readability scoring (Flesch-Kincaid) ---------------------------------------
+
+@query(
+    "text_readability",
+    oracle=r"""
+    WITH t AS (
+        SELECT source,
+               CAST(len(list_filter(
+                   regexp_split_to_array(trim(lower(text)), '\s+'),
+                   s -> s != '')) AS BIGINT) AS words,
+               CAST(len(list_filter(
+                   regexp_split_to_array(text, '[.!?]+'),
+                   s -> len(trim(s)) > 0)) AS BIGINT) AS sentences,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    AS BIGINT) AS syllables
+        FROM documents
+    )
+    SELECT source,
+           CAST(sum(words) AS BIGINT) AS n_words,
+           CAST(sum(sentences) AS BIGINT) AS n_sentences,
+           CAST(sum(syllables) AS BIGINT) AS n_syllables,
+           0.39 * (CAST(sum(words) AS DOUBLE) / sum(sentences))
+               + 11.8 * (CAST(sum(syllables) AS DOUBLE) / sum(words))
+               - 15.59 AS fk_grade
+    FROM t GROUP BY source ORDER BY source
+    """,
+    doc="Flesch-Kincaid grade-level readability per source -- the "
+    "classic curation signal for audience-level filtering (a corpus "
+    "card usually reports it next to the quality score).  Syllables "
+    "are approximated as vowel-group runs ([aeiouy]+), sentences as "
+    "non-empty [.!?]+ splits -- both verified to count identically in "
+    "Java regex and DuckDB's RE2 (the bpe-pretokenizer portability "
+    "contract).  All counts are exact bigint sums; the grade formula "
+    "is evaluated with ONE fixed association ((0.39*r1 + 11.8*r2) - "
+    "15.59) on identical inputs in both engines, so it is emitted "
+    "UNROUNDED.  Scale shape: shuffle-free per-row integer counting "
+    "(regexp_count compiles once per task) + one map-side-combined "
+    "aggregation keyed by source.",
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        F.expr(
+            r"CAST(size(filter(split(trim(lower(text)), '\\s+'),"
+            r" s -> s != '')) AS BIGINT)"
+        ).alias("words"),
+        F.expr(
+            r"CAST(size(filter(split(text, '[.!?]+'),"
+            r" s -> length(trim(s)) > 0)) AS BIGINT)"
+        ).alias("sentences"),
+        F.expr(
+            r"CAST(regexp_count(lower(text), '[aeiouy]+') AS BIGINT)"
+        ).alias("syllables"),
+    )
+    g = t.groupBy("source").agg(
+        F.sum("words").alias("n_words"),
+        F.sum("sentences").alias("n_sentences"),
+        F.sum("syllables").alias("n_syllables"),
+    )
+    fk = (
+        F.lit(0.39)
+        * (F.col("n_words").cast("double") / F.col("n_sentences"))
+        + F.lit(11.8)
+        * (F.col("n_syllables").cast("double") / F.col("n_words"))
+        - F.lit(15.59)
+    )
+    return g.select(
+        "source",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        fk.alias("fk_grade"),
+    ).orderBy("source")
