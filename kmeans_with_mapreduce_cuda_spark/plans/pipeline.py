@@ -4846,3 +4846,113 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_syllables",
         fk.alias("fk_grade"),
     ).orderBy("source")
+
+
+# --- Multimodal near-dup: banded Hamming over payload perceptual hashes --------
+
+@query(
+    "mm_phash_near_dup",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS phash
+        FROM documents WHERE doc_id < 300
+    ),
+    p AS (
+        SELECT doc_id, phash FROM base
+        UNION ALL
+        SELECT doc_id + 1000000,
+               xor(phash, 1 + (doc_id % 2) * 2) AS phash
+        FROM base
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+    FROM p a JOIN p b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Multimodal near-duplicate detection: a 60-bit perceptual-hash "
+    "stand-in per binary payload (md5-derived -- the honest "
+    "deterministic stub, same contract as the mm_* codecs; a real "
+    "pipeline drops in pHash/aHash bits), banded into 4 x 15-bit "
+    "keys, candidates meet in an equi-join per band, survivors "
+    "verified by popcount of XOR <= 3.  The pigeonhole guarantee: "
+    "Hamming distance <= 3 over 4 bands leaves at least one band "
+    "untouched, so banded recall is EXACT -- which the oracle proves "
+    "by deriving the pairs with a band-free quadratic join on the "
+    "key-bounded slice.  This is simhash_near_pairs' machinery "
+    "(text) applied to the multimodal payload column: only 8-byte "
+    "hashes shuffle, never blobs; xor/bit_count verified "
+    "bit-identical across engines.  Fixture payloads are exact "
+    "replicas, so observed pairs sit at hamming 0 -- the banding, "
+    "join, and verify plumbing is what the hash checks.",
+)
+def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import documents_as_binary
+
+    d = documents_as_binary(
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    )
+    base = d.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("payload"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("phash"),
+    )
+    # deterministic corrupted twins at the hash level (1-2 flipped low
+    # bits) stand in for the decoded-pixel perturbation a real pHash
+    # absorbs -- md5 is avalanche, so near-dup PAYLOADS cannot produce
+    # near HASHES; the twins keep the band/verify machinery honestly
+    # exercised with nonzero-hamming pairs at every fixture scale.
+    p = base.unionAll(
+        base.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.col("phash")
+            .bitwiseXOR(1 + (F.col("doc_id") % 2) * 2)
+            .alias("phash"),
+        )
+    )
+    bands = p.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.expr(f"(phash DIV {1 << (15 * i)}) % 32768").alias(
+                            "val"
+                        ),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "phash", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.phash").alias("pa"),
+            F.col("b.phash").alias("pb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    )
