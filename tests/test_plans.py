@@ -878,3 +878,19 @@ def test_spatial_radius_join_is_equi_hash_join(spark):
     plan = plan_of(REGISTRY["rel_spatial_radius_join"].fn(spark, SF_DIR))
     assert "NestedLoop" not in plan, plan
     assert "Cartesian" not in plan, plan
+
+
+def test_triangles_no_cartesian(spark):
+    """rel_triangles: wedge + closing joins must be equi hash/merge
+    joins, never a cartesian product."""
+    plan = plan_of(REGISTRY["rel_triangles"].fn(spark, SF_DIR))
+    assert "Cartesian" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_shard_manifest_window_is_partitioned(spark):
+    """pipe_shard_manifest: the running byte sum must partition by
+    source -- a single-partition global window would serialize the
+    corpus through one task."""
+    plan = plan_of(REGISTRY["pipe_shard_manifest"].fn(spark, SF_DIR))
+    assert "SinglePartition" not in plan, plan
