@@ -3053,3 +3053,101 @@ def rel_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dist_sq") <= F.lit(0.0001))
         .orderBy("id_a", "id_b")
     )
+
+
+# --- SQL scripting (BEGIN...END control flow) --------------------------------
+
+@query(
+    "rel_sql_scripting",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+    FROM lineitem
+    WHERE l_quantity >= CASE WHEN (SELECT count(*) FROM lineitem) > 100
+                             THEN 45.0 ELSE 10.0 END
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="SQL scripting (Spark 4 BEGIN...END blocks): DECLARE a "
+    "variable, branch on a data-dependent IF (corpus row count), and "
+    "run the parameterized aggregate -- procedural control flow "
+    "expressed in pure SQL, the migration target for stored-procedure "
+    "workloads.  The script's final statement is the result set.  The "
+    "oracle states the same logic declaratively (CASE over the same "
+    "scalar subquery), so the hash verifies the script path computes "
+    "exactly what the declarative form does.  Control flow runs on "
+    "the driver; each statement still plans/executes distributed, so "
+    "scripting adds zero scale risk.",
+)
+def rel_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "_script_li"
+    )
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE qty_floor DOUBLE DEFAULT 10.0;
+          IF (SELECT count(*) FROM _script_li) > 100 THEN
+            SET qty_floor = 45.0;
+          END IF;
+          SELECT l_returnflag,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+          FROM _script_li
+          WHERE l_quantity >= qty_floor
+          GROUP BY l_returnflag ORDER BY l_returnflag;
+        END
+        """
+    )
+
+
+# --- Collations --------------------------------------------------------------
+
+@query(
+    "rel_collation_lcase",
+    oracle="""
+    WITH up AS (SELECT upper(n_name) AS n_up FROM nation)
+    SELECT n.n_nationkey,
+           lower(n.n_name) AS name_lower,
+           CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(ROW_NUMBER() OVER (ORDER BY lower(n.n_name), n.n_nationkey)
+                AS BIGINT) AS ci_rank
+    FROM nation n JOIN up ON lower(n.n_name) = lower(up.n_up)
+    GROUP BY n.n_nationkey, n.n_name
+    ORDER BY n.n_nationkey
+    """,
+    doc="Collation surface (Spark 4 COLLATE UTF8_LCASE): "
+    "case-insensitive string EQUALITY drives a join (each nation name "
+    "matched against an uppercased twin relation -- the collated "
+    "comparison must treat them equal), and case-insensitive ORDERING "
+    "drives a rank.  The oracle lowers both sides explicitly; for "
+    "ASCII names UTF8_LCASE equality == lower() equality and its sort "
+    "order == lower() order, so the hash verifies the collation "
+    "semantics rather than re-stating them.  Collation rides the "
+    "column type, so comparisons/joins/sorts pick it up without "
+    "rewriting expressions -- at scale that means case-insensitive "
+    "joins keep plain hash-join plans (no function-wrapped keys "
+    "defeating bucketing/statistics).",
+)
+def rel_collation_lcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "_coll_nation"
+    )
+    return spark.sql(
+        """
+        WITH up AS (
+            SELECT upper(n_name) COLLATE UTF8_LCASE AS n_up
+            FROM _coll_nation
+        )
+        SELECT n.n_nationkey,
+               lower(n.n_name) AS name_lower,
+               CAST(count(*) AS BIGINT) AS n_matches,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY n.n_name COLLATE UTF8_LCASE, n.n_nationkey
+               ) AS BIGINT) AS ci_rank
+        FROM _coll_nation n
+        JOIN up ON (n.n_name COLLATE UTF8_LCASE) = up.n_up
+        GROUP BY n.n_nationkey, n.n_name
+        ORDER BY n.n_nationkey
+        """
+    )
