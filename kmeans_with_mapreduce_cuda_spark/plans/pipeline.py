@@ -4956,3 +4956,89 @@ def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= 3)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- Streaming windowed quantiles (mergeable GK summary) ------------------------
+
+@query(
+    "stream_approx_percentile",
+    oracle="""
+    SELECT CAST(strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                AS VARCHAR) AS hour_str,
+           CAST(count(*) AS BIGINT) AS n,
+           TRUE AS p50_in_band
+    FROM events
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+          <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="Streaming windowed QUANTILES: per-hour approx_percentile "
+    "(Greenwald-Khanna, mergeable, ~accuracy-bounded state) under a "
+    "watermark -- the quantile twin of stream_distinct_users' theta "
+    "sketch; exact per-window quantiles would keep every value in "
+    "state.  A REAL availableNow drain produces (window, count, "
+    "approx p50); the gate then re-derives EXACT per-hour band "
+    "anchors from the batch table with the spilling rank-anchor "
+    "formulation (rel_percentiles shape, window-partitioned) -- the "
+    "ACTUAL values at ranks floor(h_0.4) and ceil(h_0.6), since GK "
+    "returns an element of the window and an interpolated band can "
+    "exclude it on 2-row windows -- and emits the claim boolean "
+    "p50_in_band, a rank-error bound far looser than GK's guarantee "
+    "at accuracy 10000, so it is TRUE whenever the streaming path "
+    "works.  The oracle cross-checks window set + exact counts as "
+    "real values and states the claim (the rel_approx_distinct "
+    "contract).",
+)
+def stream_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ..streaming import hourly_quantile_stream, read_events_stream
+
+    drained = _drain_stream_to_table(
+        spark,
+        lambda: hourly_quantile_stream(read_events_stream(spark, sf_dir)),
+        "_gate_qtile_",
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+        .alias("hour_str"),
+        F.col("value").alias("v"),
+    )
+    # band anchors are ACTUAL data values at ranks floor(h_0.4) and
+    # ceil(h_0.6) -- GK's estimate is an element of the window, so an
+    # interpolated band can exclude it on 2-row windows
+    wr = W.partitionBy("hour_str").orderBy("v")
+    wn = W.partitionBy("hour_str")
+    ranked = ev.select(
+        "hour_str",
+        "v",
+        F.row_number().over(wr).alias("rn"),
+        ((F.count(F.lit(1)).over(wn) - 1) * 0.4 + 1).alias("h40"),
+        ((F.count(F.lit(1)).over(wn) - 1) * 0.6 + 1).alias("h60"),
+    ).where(
+        (F.col("rn") == F.floor("h40").cast("bigint"))
+        | (F.col("rn") == F.ceil("h60").cast("bigint"))
+    )
+    exact = ranked.groupBy("hour_str").agg(
+        F.min(
+            F.when(
+                F.col("rn") == F.floor("h40").cast("bigint"), F.col("v")
+            )
+        ).alias("p40"),
+        F.max(
+            F.when(F.col("rn") == F.ceil("h60").cast("bigint"), F.col("v"))
+        ).alias("p60"),
+    )
+    return (
+        drained.join(exact, "hour_str")
+        .select(
+            "hour_str",
+            F.col("n").cast("bigint").alias("n"),
+            (
+                (F.col("p50_approx") >= F.col("p40"))
+                & (F.col("p50_approx") <= F.col("p60"))
+            ).alias("p50_in_band"),
+        )
+        .orderBy("hour_str")
+    )

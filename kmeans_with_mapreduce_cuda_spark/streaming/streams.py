@@ -599,3 +599,34 @@ def hourly_distinct_users_stream(
             ),
         )
     )
+
+
+def hourly_quantile_stream(
+    events: DataFrame, watermark: str = "2 hours", accuracy: int = 10000
+) -> DataFrame:
+    """Streaming windowed quantiles via approx_percentile -- the
+    Greenwald-Khanna summary is MERGEABLE with bounded size (~
+    accuracy entries per window), so per-hour quantile state stays
+    fixed no matter how many events land in the hour: the quantile
+    twin of the theta-sketch distinct count.  Exact per-window
+    quantiles would buffer every value in state -- unbounded, the
+    same reason batch exact percentile OOMs at data scale
+    (rel_percentiles).  Emits per closed window: count, approx p50.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(f"approx_percentile(value, 0.5, {accuracy})").alias(
+                "p50_approx"
+            ),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_str"
+            ),
+            "n",
+            "p50_approx",
+        )
+    )
