@@ -93,6 +93,9 @@ def pagerank_int(
     # Pre-attach out-degrees once; every round re-uses this frame.
     ed = e.join(deg, "src").persist()
     n = deg.count()  # 1-row driver boundary, also materializes `ed`'s build
+    if n == 0:
+        ed.unpersist()
+        raise ValueError("pagerank_int: edge list is empty (no nodes)")
     spn = scale // n
     base = (100 - damping_pct) * spn // 100
 

@@ -80,3 +80,11 @@ def test_pagerank_releases_checkpoint_blocks(spark, star_chain):
         dep.unpersist()
     after = len(sc._jsc.sc().getRDDStorageInfo())
     assert after <= before  # no persisted/checkpointed blocks leak
+
+
+def test_pagerank_empty_edges_raises_cleanly(spark):
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    with _pytest.raises(ValueError, match="empty"):
+        pagerank_int(empty)
