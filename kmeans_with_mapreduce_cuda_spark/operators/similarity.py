@@ -467,3 +467,70 @@ def matryoshka_topk(
         .orderBy("full_dist", id_col)
         .limit(k_final)
     )
+
+
+def grid_radius_pairs(
+    pts: DataFrame,
+    r: float,
+    id_col: str = "vec_id",
+    x: str = "x",
+    y: str = "y",
+    r_sq: float | None = None,
+) -> DataFrame:
+    """All point pairs within Euclidean distance ``r``, by exact grid
+    blocking: one cell of width exactly ``r`` per point, the left side
+    exploded to its 3x3 neighborhood, candidates met in a two-column
+    equi hash join, verified by the true squared distance.  Cell width
+    >= r makes the neighborhood a PROOF of recall (a pair within r
+    differs by <= 1 cell per axis) -- exact, unlike LSH blocking.
+    Returns (id_a, id_b, dist_sq) with id_a < id_b, each pair once
+    (a pair meets in exactly one neighbor offset because each point
+    has ONE home cell).  Skew note: a corpus piling onto one cell is
+    the hot-bucket case -- cap or sub-split cells the way the LSH
+    band cap does if that ever applies.
+    """
+    p = pts.select(
+        F.col(id_col).alias("_id"),
+        F.col(x).cast("double").alias("_x"),
+        F.col(y).cast("double").alias("_y"),
+    ).withColumns(
+        {
+            "_cx": F.floor(F.col("_x") / r).cast("long"),
+            "_cy": F.floor(F.col("_y") / r).cast("long"),
+        }
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    a = p.withColumn("_o", F.explode(offsets)).select(
+        F.col("_id").alias("id_a"),
+        F.col("_x").alias("xa"),
+        F.col("_y").alias("ya"),
+        (F.col("_cx") + F.col("_o.dx")).alias("ncx"),
+        (F.col("_cy") + F.col("_o.dy")).alias("ncy"),
+    )
+    b = p.select(
+        F.col("_id").alias("id_b"),
+        F.col("_x").alias("xb"),
+        F.col("_y").alias("yb"),
+        "_cx",
+        "_cy",
+    )
+    dist_sq = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        a.join(
+            b,
+            (F.col("ncx") == F.col("_cx")) & (F.col("ncy") == F.col("_cy")),
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dist_sq.alias("dist_sq"))
+        # pass r_sq explicitly when an oracle states the literal (the
+        # rel_spatial_radius_join ulp-pinning contract)
+        .where(F.col("dist_sq") <= F.lit(r_sq if r_sq is not None else r * r))
+    )

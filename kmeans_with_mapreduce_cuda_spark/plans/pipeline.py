@@ -5042,3 +5042,154 @@ def stream_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_str")
     )
+
+
+# --- Semi-supervised label propagation ------------------------------------------
+
+def _label_prop_oracle(rounds: int = 2) -> str:
+    """Unrolled majority-vote label propagation (DuckDB twin).  Mode
+    per node = most frequent neighbor label, ties to the SMALLEST
+    label; seeds are clamped; unlabeled nodes keep NULL until a
+    labeled neighbor appears."""
+    prev = "l0"
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+    v{i} AS (
+        SELECT e.dst AS node, {prev}.lbl, count(*) AS c
+        FROM edges e JOIN {prev} ON {prev}.node = e.src
+        WHERE {prev}.lbl IS NOT NULL
+        GROUP BY e.dst, {prev}.lbl
+    ),
+    m{i} AS (
+        SELECT node, lbl FROM (
+            SELECT node, lbl,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY c DESC, lbl ASC) AS rn
+            FROM v{i}
+        ) WHERE rn = 1
+    ),
+    l{i} AS (
+        SELECT n.node,
+               COALESCE(n.seed_lbl, m{i}.lbl, {prev}.lbl) AS lbl,
+               n.seed_lbl
+        FROM l0 n
+        LEFT JOIN m{i} ON m{i}.node = n.node
+        LEFT JOIN {prev} ON {prev}.node = n.node
+    )""")
+        prev = f"l{i}"
+    return f"""
+    WITH p AS (
+        SELECT vec_id,
+               CAST(embedding[1] AS DOUBLE) AS x,
+               CAST(embedding[2] AS DOUBLE) AS y,
+               label
+        FROM embeddings WHERE vec_id < 2000
+    ),
+    pr AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM p a JOIN p b ON a.vec_id < b.vec_id
+        WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+              <= 0.0025
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pr
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pr
+    ),
+    l0 AS (
+        SELECT vec_id AS node,
+               CASE WHEN vec_id % 10 = 0 THEN label END AS lbl,
+               CASE WHEN vec_id % 10 = 0 THEN label END AS seed_lbl
+        FROM p
+    ),{",".join(steps)}
+    SELECT CAST(node AS BIGINT) AS vec_id,
+           CAST(lbl AS INTEGER) AS final_label,
+           seed_lbl IS NOT NULL AS is_seed
+    FROM {prev}
+    ORDER BY vec_id
+    """
+
+
+@query(
+    "pipe_label_propagation",
+    oracle=_label_prop_oracle(),
+    doc="Semi-supervised label spreading (weak supervision): 10% of "
+    "points keep their true label as SEEDS, everything else starts "
+    "unlabeled, and 2 rounds of majority vote over the exact spatial "
+    "neighborhood graph (grid_radius_pairs at r = 0.05 on the first "
+    "two embedding dims) spread labels outward -- mode per node with "
+    "ties to the smallest label, seeds clamped, no-labeled-neighbor "
+    "nodes stay NULL.  The standard bootstrap for labeling a corpus "
+    "from a small gold set.  Fully deterministic (integer votes, "
+    "total tie order), so the oracle -- the same rounds unrolled over "
+    "a band-free quadratic pair join -- hash-checks labels exactly.  "
+    "Scale shape: the graph build is the exact grid join (recall "
+    "proven, no LSH risk); each round is one edges-x-labels shuffle "
+    "join + a two-level argmax (count by (node, lbl), then max-by "
+    "struct), the Pregel cost envelope of rel_pagerank with votes "
+    "instead of rank mass.  The third propagation pattern after "
+    "min-label CC and rank mass.",
+)
+def pipe_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import grid_radius_pairs
+
+    p = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < 2000
+    ).select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+        "label",
+    )
+    pairs = grid_radius_pairs(p, r=0.05, r_sq=0.0025)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    nodes = p.select(
+        F.col("vec_id").alias("node"),
+        F.when(F.col("vec_id") % 10 == 0, F.col("label")).alias("seed_lbl"),
+    )
+    labels = nodes.select(
+        "node", F.col("seed_lbl").alias("lbl"), "seed_lbl"
+    )
+    for _ in range(2):
+        votes = (
+            edges.join(
+                labels.where(F.col("lbl").isNotNull()).select(
+                    F.col("node").alias("src_node"), "lbl"
+                ),
+                edges.src == F.col("src_node"),
+            )
+            .groupBy(F.col("dst").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        mode = (
+            votes.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.neg")).cast("int").alias("voted"))
+        )
+        labels = (
+            nodes.join(mode, "node", "left")
+            .join(
+                labels.select("node", F.col("lbl").alias("prev_lbl")),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                F.coalesce("seed_lbl", "voted", "prev_lbl").alias("lbl"),
+                "seed_lbl",
+            )
+        )
+    return labels.select(
+        F.col("node").cast("bigint").alias("vec_id"),
+        F.col("lbl").cast("int").alias("final_label"),
+        F.col("seed_lbl").isNotNull().alias("is_seed"),
+    ).orderBy("vec_id")

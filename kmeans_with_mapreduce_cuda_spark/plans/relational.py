@@ -2999,9 +2999,9 @@ def rel_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     "spatial dedup and location blocking.",
 )
 def rel_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import grid_radius_pairs
     from ..sources.readers import load_table as _lt
 
-    r = 0.01
     p = (
         _lt(spark, sf_dir, "embeddings")
         .where(F.col("vec_id") < 2000)
@@ -3010,48 +3010,12 @@ def rel_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("embedding", 1).cast("double").alias("x"),
             F.element_at("embedding", 2).cast("double").alias("y"),
         )
-        .withColumn("cx", F.floor(F.col("x") / r).cast("long"))
-        .withColumn("cy", F.floor(F.col("y") / r).cast("long"))
     )
-    offsets = F.array(
-        *[
-            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
-        ]
-    )
-    a = (
-        p.withColumn("o", F.explode(offsets))
-        .select(
-            F.col("vec_id").alias("id_a"),
-            F.col("x").alias("xa"),
-            F.col("y").alias("ya"),
-            (F.col("cx") + F.col("o.dx")).alias("ncx"),
-            (F.col("cy") + F.col("o.dy")).alias("ncy"),
-        )
-    )
-    b = p.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("x").alias("xb"),
-        F.col("y").alias("yb"),
-        "cx",
-        "cy",
-    )
-    dist_sq = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
-        F.col("ya") - F.col("yb")
-    ) * (F.col("ya") - F.col("yb"))
-    return (
-        a.join(
-            b,
-            (F.col("ncx") == F.col("cx")) & (F.col("ncy") == F.col("cy")),
-        )
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", dist_sq.alias("dist_sq"))
-        # same literal the oracle states (0.01*0.01 happens to round to
-        # exactly 1e-4, but pinning the literal removes the ulp hazard
-        # if the radius ever changes)
-        .where(F.col("dist_sq") <= F.lit(0.0001))
-        .orderBy("id_a", "id_b")
+    # r_sq pinned to the exact literal the oracle states (0.01*0.01
+    # happens to round to exactly 1e-4, but pinning removes the ulp
+    # hazard if the radius ever changes)
+    return grid_radius_pairs(p, r=0.01, r_sq=0.0001).orderBy(
+        "id_a", "id_b"
     )
 
 
