@@ -3115,3 +3115,86 @@ def rel_collation_lcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n.n_nationkey
         """
     )
+
+
+# --- Robust JSON ingestion: corrupt-record handling --------------------------
+
+@query(
+    "rel_json_corrupt_records",
+    oracle="""
+    WITH raw AS (
+        SELECT event_type,
+               CASE WHEN event_id % 37 = 0
+                    THEN substr(props, 1, length(props) - 2)
+                    ELSE props END AS s,
+               event_id % 37 = 0 AS injected_bad
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN injected_bad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_corrupt,
+           CAST(sum(CASE WHEN NOT injected_bad
+                         THEN CAST(s ->> 'k' AS BIGINT) END) AS BIGINT)
+               AS k_sum
+    FROM raw GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Robust JSON ingestion: a deterministic corruption class "
+    "(every 37th record truncated mid-object -- malformed under ANY "
+    "parser) flows through from_json in PERMISSIVE mode with "
+    "columnNameOfCorruptRecord, and the per-type report counts "
+    "corrupt rows and aggregates a typed field from the valid ones.  "
+    "The oracle classifies by the INJECTION RULE, not by parsing -- "
+    "so the hash verifies from_json actually nulls exactly the "
+    "malformed class and parses exactly the valid class (a parser "
+    "that silently salvaged or over-rejected would diverge).  This "
+    "is the dirty-data contract of any 100 TB ingest: malformed "
+    "records must be counted and quarantined, never dropped "
+    "silently or allowed to poison typed columns.  Map-side only + "
+    "one aggregation.",
+)
+def rel_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.when(
+            F.col("event_id") % 37 == 0,
+            F.expr("substr(props, 1, length(props) - 2)"),
+        )
+        .otherwise(F.col("props"))
+        .alias("s"),
+    )
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("_bad", StringType()),
+        ]
+    )
+    parsed = ev.select(
+        "event_type",
+        F.from_json(
+            "s",
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_bad"},
+        ).alias("j"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("j._bad").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_corrupt"),
+            F.sum(F.when(F.col("j._bad").isNull(), F.col("j.k")))
+            .cast("bigint")
+            .alias("k_sum"),
+        )
+        .orderBy("event_type")
+    )
