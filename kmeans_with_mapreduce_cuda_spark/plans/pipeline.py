@@ -5193,3 +5193,79 @@ def pipe_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lbl").cast("int").alias("final_label"),
         F.col("seed_lbl").isNotNull().alias("is_seed"),
     ).orderBy("vec_id")
+
+
+# --- Synthetic data: cloze QA-pair generation -----------------------------------
+
+@query(
+    "pipe_synthetic_qa",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, lower(trim(text)) AS norm,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, norm, unnest(toks) AS tok FROM t),
+    f AS (
+        SELECT doc_id, norm, tok, count(*) AS c
+        FROM tok WHERE len(tok) >= 4 GROUP BY doc_id, norm, tok
+    ),
+    pick AS (
+        SELECT doc_id, norm, tok AS answer, c FROM (
+            SELECT doc_id, norm, tok, c,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY c DESC, tok ASC) AS rn
+            FROM f
+        ) WHERE rn = 1
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           answer,
+           CAST(c AS BIGINT) AS n_occurrences,
+           md5(replace(norm, answer, '____')) AS question_md5
+    FROM pick ORDER BY doc_id
+    """,
+    doc="Synthetic training-data generation, cloze style: per document "
+    "pick the most frequent >= 4-char token (ties to the "
+    "alphabetically first -- a total order, so the pick is "
+    "deterministic), blank every occurrence to '____', and emit the "
+    "(question, answer) pair -- the template trick behind cloze-task "
+    "pretraining sets and recall probes, expressed relationally.  "
+    "The question text is hash-checked via md5 of the fully blanked "
+    "normalized doc, so replace() semantics (all occurrences, "
+    "substring-level) are verified identical cross-engine, and "
+    "n_occurrences cross-checks the frequency count.  Scale shape: "
+    "token explode with map-side combine into the per-doc frequency "
+    "table, one doc-partitioned window for the argmax, blanking is a "
+    "map-only projection.  Docs with no qualifying token drop out in "
+    "both engines.",
+)
+def pipe_synthetic_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower(F.trim("text")).alias("norm"),
+        tokens("text").alias("toks"),
+    )
+    tok = d.select(
+        "doc_id", "norm", F.explode("toks").alias("tok")
+    ).where(F.length("tok") >= 4)
+    freq = tok.groupBy("doc_id", "norm", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("c").desc(), F.col("tok").asc()
+    )
+    pick = freq.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    return pick.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("tok").alias("answer"),
+        F.col("c").cast("bigint").alias("n_occurrences"),
+        F.md5(
+            F.replace(F.col("norm"), F.col("tok"), F.lit("____"))
+        ).alias("question_md5"),
+    ).orderBy("doc_id")
