@@ -130,3 +130,48 @@ def pagerank_int(
         ranks = new
 
     return PageRanks(ranks=ranks, deps=[ed, _CheckpointHandle(ranks)])
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    rounds: int = 3,
+) -> PageRanks:
+    """Bounded-hop BFS: minimum hop count from the ``seeds`` node set,
+    expanded for exactly ``rounds`` rounds (nodes further than that
+    stay absent -- the frontier semantics a crawl scheduler or
+    blast-radius query wants).  Per round one shuffle join (edges x
+    current distances) + one min-aggregate -- the same Pregel envelope
+    as :func:`pagerank_int` with min(hops) instead of rank mass, and
+    the same localCheckpoint lineage discipline.  All integers; with
+    a deterministic edge/seed derivation the result is bit-exact, so
+    an unrolled SQL oracle can hash-check it.  Returns
+    ``PageRanks(ranks=<(node, hops)>, deps=...)`` reusing the release
+    contract.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    ed = e.persist()
+    dist = (
+        seeds.select(F.col(node).alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        msgs = ed.join(dist, ed.src == dist.node).select(
+            F.col("dst").alias("node"),
+            (F.col("hops") + 1).alias("hops"),
+        )
+        new = (
+            dist.select("node", "hops")
+            .unionAll(msgs)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        _release_local_checkpoint(dist)
+        dist = new
+    return PageRanks(ranks=dist, deps=[ed, _CheckpointHandle(dist)])

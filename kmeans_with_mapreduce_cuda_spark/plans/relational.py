@@ -3198,3 +3198,94 @@ def rel_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- Graph analytics: bounded-hop BFS ----------------------------------------
+
+def _bfs_sql(rounds: int = 3) -> str:
+    """DuckDB twin of operators/graph.py:bfs_hops, unrolled (fixed
+    rounds need no recursion; edges MATERIALIZED per the pagerank
+    100x lesson -- DuckDB 1.0 inlines multi-referenced CTEs)."""
+    prev = "d0"
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+    d{i} AS (
+        SELECT node, min(h) AS h FROM (
+            SELECT node, h FROM {prev}
+            UNION ALL
+            SELECT e.dst AS node, {prev}.h + 1 AS h
+            FROM edges e JOIN {prev} ON {prev}.node = e.src
+        ) GROUP BY node
+    )""")
+        prev = f"d{i}"
+    return f"""
+    WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS MATERIALIZED (
+        SELECT a AS src, b AS dst FROM e0
+        UNION ALL
+        SELECT b AS src, a AS dst FROM e0
+    ),
+    d0 AS (
+        SELECT DISTINCT src AS node, 0 AS h FROM edges
+        WHERE src % 2 = 0 AND src < 10
+    ),{",".join(steps)}
+    SELECT CAST(h AS BIGINT) AS hops,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(node) AS BIGINT) AS min_node,
+           CAST(max(node) AS BIGINT) AS max_node
+    FROM {prev} GROUP BY h ORDER BY hops
+    """
+
+
+@query(
+    "rel_graph_bfs",
+    oracle=_bfs_sql(),
+    doc="Graph analytics #4: bounded-hop BFS over the symmetrized "
+    "customer<->supplier trade graph -- minimum hop count from a "
+    "deterministic seed set (the first four customer nodes present "
+    "in the edge list), expanded exactly 3 rounds; emits the "
+    "distance histogram with per-ring id ranges.  The blast-radius "
+    "/ crawl-frontier query: which entities are within k links.  "
+    "Per round one shuffle join + one min-aggregate (the Pregel "
+    "envelope of rel_pagerank with min(hops) for rank mass), "
+    "localCheckpoint lineage cut per round, all exact integers -- "
+    "operators/graph.py:bfs_hops.  Oracle: the same rounds unrolled "
+    "(edges MATERIALIZED -- the 100x CTE-inlining lesson).",
+)
+def rel_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import bfs_hops
+    from .pipeline import _eager
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    base = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    edges = base.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(base.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    seeds = edges.where(
+        (F.col("src") % 2 == 0) & (F.col("src") < 10)
+    ).select(F.col("src").alias("node"))
+    res = bfs_hops(edges, seeds, rounds=3)
+    hist = (
+        res.ranks.groupBy(F.col("hops").cast("bigint").alias("hops"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").cast("bigint").alias("min_node"),
+            F.max("node").cast("bigint").alias("max_node"),
+        )
+        .orderBy("hops")
+    )
+    return _eager(spark, hist, deps=res.deps)
