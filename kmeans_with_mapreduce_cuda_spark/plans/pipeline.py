@@ -5269,3 +5269,146 @@ def pipe_synthetic_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.replace(F.col("norm"), F.col("tok"), F.lit("____"))
         ).alias("question_md5"),
     ).orderBy("doc_id")
+
+
+# --- Dedup-pipeline evaluation (precision/recall vs exact truth) ---------------
+
+def _dedup_eval_sql(threshold: float = 0.5) -> str:
+    """Confusion counts of the sliced LSH candidate set against exact
+    shingle-Jaccard >= threshold ground truth (both derivable in SQL;
+    the slice bound makes the quadratic truth side affordable)."""
+    mh = _minhash_sql()
+    assert mh.count("FROM documents") == 1
+    mh_sliced = mh.replace(
+        "FROM documents", "FROM documents WHERE doc_id < 300"
+    )
+    return f"""
+    WITH lsh AS (SELECT doc_a, doc_b FROM ({mh_sliced})),
+    shingles AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    pair_overlap AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    truth AS (
+        SELECT doc_a, doc_b FROM pair_overlap
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter)
+              >= {threshold}
+    ),
+    j AS (
+        SELECT COALESCE(l.doc_a, t.doc_a) AS doc_a,
+               l.doc_a IS NOT NULL AS predicted,
+               t.doc_a IS NOT NULL AS actual
+        FROM lsh l
+        FULL OUTER JOIN truth t
+          ON l.doc_a = t.doc_a AND l.doc_b = t.doc_b
+    )
+    SELECT CAST(sum(CASE WHEN predicted AND actual THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN predicted AND NOT actual THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN actual AND NOT predicted THEN 1 ELSE 0 END)
+                AS BIGINT) AS fn,
+           CASE WHEN sum(CASE WHEN predicted THEN 1 ELSE 0 END) > 0
+                THEN CAST(sum(CASE WHEN predicted AND actual
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                     / sum(CASE WHEN predicted THEN 1 ELSE 0 END)
+           END AS precision,
+           CASE WHEN sum(CASE WHEN actual THEN 1 ELSE 0 END) > 0
+                THEN CAST(sum(CASE WHEN predicted AND actual
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                     / sum(CASE WHEN actual THEN 1 ELSE 0 END)
+           END AS recall
+    FROM j
+    """
+
+
+@query(
+    "pipe_dedup_eval",
+    oracle=_dedup_eval_sql(),
+    doc="Dedup-pipeline EVALUATION: confusion counts of the LSH "
+    "candidate set against exact shingle-Jaccard >= 0.5 ground truth "
+    "on the key-bounded slice -- tp/fp/fn plus precision and recall "
+    "as single exact-integer divisions (unrounded).  This is the "
+    "quality-measurement harness a production dedup pipeline ships "
+    "with: banding parameters (16 hashes x 8 bands here) trade "
+    "recall against candidate volume, and this query makes that "
+    "trade a measured, hash-checked number instead of folklore.  "
+    "Both arms reuse the registry's canonical derivations (the "
+    "operator for LSH, the shared shingle SQL for truth), so the "
+    "eval can never drift from what the pipeline actually runs.  "
+    "The slice bound makes the quadratic truth side affordable; at "
+    "100 TB you evaluate on a sampled slice exactly like this while "
+    "the LSH side runs corpus-wide.",
+)
+def pipe_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import word_shingles
+    from ..operators.dedup import minhash_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    res = minhash_lsh_pairs(d, max_bucket=1000)
+    lsh = _eager(
+        spark, res.pairs.select("doc_a", "doc_b"), deps=res.deps
+    )
+
+    sh = F.array_distinct(word_shingles("text", 3))
+    arrs = d.select("doc_id", sh.alias("_sh")).persist()
+    shingles = arrs.select("doc_id", F.explode("_sh").alias("shingle"))
+    sizes = arrs.select("doc_id", F.size("_sh").alias("n"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    overlap = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("inter").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("inter")
+    )
+    truth = _eager(
+        spark,
+        overlap.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .where(jac >= 0.5)
+        .select("doc_a", "doc_b"),
+        deps=[arrs],
+    )
+
+    j = lsh.withColumn("predicted", F.lit(True)).join(
+        truth.withColumn("actual", F.lit(True)),
+        ["doc_a", "doc_b"],
+        "full_outer",
+    )
+    tp = F.sum(
+        F.when(F.col("predicted") & F.col("actual"), 1).otherwise(0)
+    )
+    npred = F.sum(F.when(F.col("predicted"), 1).otherwise(0))
+    nact = F.sum(F.when(F.col("actual"), 1).otherwise(0))
+    return j.agg(
+        tp.cast("bigint").alias("tp"),
+        F.sum(
+            F.when(F.col("predicted") & F.col("actual").isNull(), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(
+            F.when(F.col("actual") & F.col("predicted").isNull(), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("fn"),
+        F.when(npred > 0, tp.cast("double") / npred).alias("precision"),
+        F.when(nact > 0, tp.cast("double") / nact).alias("recall"),
+    )
