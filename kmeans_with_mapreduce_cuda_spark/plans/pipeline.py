@@ -5412,3 +5412,176 @@ def pipe_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(npred > 0, tp.cast("double") / npred).alias("precision"),
         F.when(nact > 0, tp.cast("double") / nact).alias("recall"),
     )
+
+
+# --- URL / domain analysis (curation blocklist pass) -------------------------
+
+#: engine-portable URL pattern (Java regex AND RE2 common subset; no
+#: backrefs / lookaround).  Scheme + host, optional path/query.
+URL_RE = r"https?://[a-z0-9.-]+(/[a-z0-9/._?=-]*)?"
+#: capture group 1 = the host part.
+URL_HOST_RE = r"https?://([a-z0-9.-]+)"
+
+
+@query(
+    "text_url_domains",
+    oracle=rf"""
+    WITH injected AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 4 = 0
+                       THEN ' see https://www.site' || (doc_id % 20)
+                            || '.example.org/p/' || doc_id || ' there'
+                       ELSE '' END
+               || CASE WHEN doc_id % 10 = 0
+                       THEN ' ref http://ads' || (doc_id % 5)
+                            || '.tracker.net/x?q=1 now'
+                       ELSE '' END AS t
+        FROM documents
+    ),
+    urls AS (
+        SELECT doc_id, unnest(regexp_extract_all(t, '{URL_RE}')) AS url
+        FROM injected
+    )
+    SELECT regexp_extract(url, '{URL_HOST_RE}', 1) AS domain,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           regexp_extract(url, '{URL_HOST_RE}', 1) LIKE '%.tracker.net'
+               AS blocked
+    FROM urls
+    GROUP BY 1
+    ORDER BY n_docs DESC, domain
+    """,
+    doc="Common-Crawl-style URL/domain accounting: extract every URL from "
+    "the text with an engine-portable regex, reduce to the host, and "
+    "aggregate per-domain url + document frequencies with a "
+    "blocklist-suffix flag -- the pass that feeds domain blocklists and "
+    "per-domain sampling caps in web-corpus curation.  The synthetic "
+    "corpus has no URLs, so both engines inject deterministic "
+    "doc_id-derived URLs first (the text_pii_scrub recipe), making the "
+    "extraction + host-capture semantics genuinely verified.  Scale "
+    "shape: regex projection + explode, then one shuffle keyed on "
+    "domain strings whose cardinality is domains (millions), not "
+    "documents (billions); count(DISTINCT doc_id) is a two-phase "
+    "partial aggregate.  A real blocklist joins here as a broadcast "
+    "dim against the domain column -- never the URL stream.",
+)
+def text_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" see https://www.site"),
+                (did % 20).cast("string"),
+                F.lit(".example.org/p/"),
+                did.cast("string"),
+                F.lit(" there"),
+            ),
+        ).otherwise(""),
+        F.when(
+            did % 10 == 0,
+            F.concat(
+                F.lit(" ref http://ads"),
+                (did % 5).cast("string"),
+                F.lit(".tracker.net/x?q=1 now"),
+            ),
+        ).otherwise(""),
+    )
+    urls = d.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(t, F.lit(URL_RE), 0)).alias("url"),
+    )
+    dom = F.regexp_extract("url", URL_HOST_RE, 1)
+    return (
+        urls.select("doc_id", dom.alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count("*").cast("bigint").alias("n_urls"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .select(
+            "domain",
+            "n_urls",
+            "n_docs",
+            F.col("domain").like("%.tracker.net").alias("blocked"),
+        )
+        .orderBy(F.desc("n_docs"), "domain")
+    )
+
+
+# --- Sequence-length bucketing (training batch assembly) ---------------------
+
+@query(
+    "pipe_length_buckets",
+    oracle=r"""
+    WITH lens AS (
+        SELECT CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                    AS BIGINT) AS n
+        FROM documents
+    ),
+    b AS (
+        SELECT n,
+               CASE WHEN n <= 16 THEN 16
+                    WHEN n <= 32 THEN 32
+                    WHEN n <= 64 THEN 64
+                    WHEN n <= 128 THEN 128
+                    ELSE 256 END AS bucket
+        FROM lens
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           CAST(sum(bucket - n) AS BIGINT) AS pad_tokens,
+           CAST(sum(bucket - n) AS DOUBLE)
+               / CAST(sum(bucket) AS DOUBLE) AS pad_frac,
+           CAST((count(*) + 31) // 32 AS BIGINT) AS n_batches
+    FROM b
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    doc="Sequence-length bucketing: assign each document to a power-of-two "
+    "length bucket and account, per bucket, for document count, token "
+    "volume, padding waste if every member is padded to the bucket "
+    "ceiling, the padding fraction, and the number of 32-doc batches.  "
+    "This is the batch-assembly complement of pipe_token_packing: "
+    "packing concatenates documents into fixed-size packs, bucketing "
+    "groups similar lengths so per-batch padding stays bounded -- the "
+    "two standard answers to ragged-sequence training.  All quantities "
+    "are exact integers; pad_frac is ONE IEEE division of exact bigints "
+    "(emitted unrounded per the float policy); n_batches uses integer "
+    "division, portable because DuckDB's // truncates exactly like "
+    "Spark's DIV on non-negatives.  Scale shape: a projection plus one "
+    "5-group hash aggregate -- map-side partials reduce each partition "
+    "to <= 5 rows, so the shuffle is O(partitions), not O(rows).",
+)
+def pipe_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    n = token_count("text").cast("bigint")
+    bucket = (
+        F.when(n <= 16, 16)
+        .when(n <= 32, 32)
+        .when(n <= 64, 64)
+        .when(n <= 128, 128)
+        .otherwise(256)
+        .cast("bigint")
+    )
+    return (
+        d.select(n.alias("n"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("total_tokens"),
+            F.sum(F.col("bucket") - F.col("n")).cast("bigint").alias("pad_tokens"),
+            (
+                F.sum(F.col("bucket") - F.col("n")).cast("double")
+                / F.sum("bucket").cast("double")
+            ).alias("pad_frac"),
+            F.expr("CAST((count(*) + 31) DIV 32 AS BIGINT)").alias("n_batches"),
+        )
+        .orderBy("bucket")
+    )
