@@ -3289,3 +3289,67 @@ def rel_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hops")
     )
     return _eager(spark, hist, deps=res.deps)
+
+
+# --- CSV format round-trip ---------------------------------------------------
+
+@query(
+    "rel_csv_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           text || ', plus "a quoted field"' || chr(10)
+                || 'with an embedded line-break and a	tab' AS text,
+           lang,
+           n_chars
+    FROM documents
+    WHERE doc_id < 300
+    ORDER BY doc_id
+    """,
+    doc="CSV format surface: append a hostile suffix (embedded comma, "
+    "double quotes, a literal line break, a tab) to a documents slice, "
+    "write it as quoted CSV (RFC 4180 double-quote escaping: "
+    "escape='\"'), read it back with an explicit schema + "
+    "multiLine=true, and emit the rows.  The oracle derives the same "
+    "rows straight from parquet, so the value hash verifies the full "
+    "writer->reader round-trip preserved every delimiter-colliding "
+    "character and both integer columns exactly -- the semantics that "
+    "break when quote/escape/multiline options are wrong.  Explicit "
+    "schema on read (never inference: a 100 TB ingest cannot afford "
+    "the extra inference pass, and ANSI-mode inference can widen "
+    "types).  NOTE the scale trade documented here: multiLine=true "
+    "makes CSV files NON-SPLITTABLE (a quoted newline means record "
+    "boundaries can't be found mid-file), so large corpora should land "
+    "as many medium files -- this writer produces one file per "
+    "partition, which is exactly that layout.  Dest path is keyed by "
+    "the fixture's (size, mtime) (the rel_orc_roundtrip idiom) so "
+    "repeated runs overwrite in place.",
+)
+def rel_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_size}:{int(st.st_mtime)}".encode()
+    ).hexdigest()[:16]
+    dest = os.path.join(tempfile.gettempdir(), f"kmrc_csv_{key}")
+
+    hostile = F.concat(
+        F.col("text"),
+        F.lit(', plus "a quoted field"\nwith an embedded line-break and a\ttab'),
+    )
+    (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 300)
+        .select("doc_id", hostile.alias("text"), "lang", "n_chars")
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("escape", '"')
+        .csv(dest)
+    )
+    back = spark.read.schema(
+        "doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT"
+    ).options(header=True, multiLine=True, escape='"').csv(dest)
+    return back.orderBy("doc_id")
