@@ -869,3 +869,161 @@ def o14_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("r").alias("db_component"))
         .orderBy("cluster_id")
     )
+
+
+# --- O2 at cluster scale: k-means|| (scalable k-means++) ---------------------
+
+_KPP_L = 8           # oversampling factor per round (l in Bahmani et al.)
+_KPP_M = 1_000_000   # md5-coin modulus: coin = md5 % M, uniform on [0, M)
+
+
+def _kpp_d2_sql(pts: str, cents: str, out: str) -> str:
+    """Min integer distance^2 from every point to the center set."""
+    return f"""{out} AS (
+        SELECT p.id, p.xi, p.yi,
+               min((p.xi - c.xi) * (p.xi - c.xi)
+                   + (p.yi - c.yi) * (p.yi - c.yi)) AS d2
+        FROM pts p CROSS JOIN {cents} c
+        GROUP BY p.id, p.xi, p.yi
+    )"""
+
+
+def _kpp_accept_sql(d: str, t: str, salt: str, out: str) -> str:
+    """Exact-integer Bernoulli accept: coin * total < l*M * d2 (hugeint)."""
+    from ..functions.hashing import md5_long_sql
+
+    coin = f"({md5_long_sql('d.id', salt)} % {_KPP_M})"
+    return f"""{out} AS (
+        SELECT d.id, d.xi, d.yi FROM {d} d, {t}
+        WHERE CAST({coin} AS HUGEINT) * {t}.t
+              < CAST({_KPP_L * _KPP_M} AS HUGEINT) * d.d2
+    )"""
+
+
+_KPP_ORACLE = (
+    f"WITH points AS ({POINTS_SQL}),\n"
+    "pts AS (SELECT id, x, y, CAST(x AS BIGINT) AS xi,"
+    " CAST(round(y * 100, 0) AS BIGINT) AS yi FROM points"
+    " WHERE id <= 20000),\n"
+    f"c0 AS (SELECT id, xi, yi FROM pts ORDER BY {md5_long_sql('id', 'kpp0:')}, id LIMIT 1),\n"
+    + _kpp_d2_sql("pts", "c0", "d1") + ",\n"
+    "t1 AS (SELECT sum(d2) AS t FROM d1),\n"
+    + _kpp_accept_sql("d1", "t1", "kpp1:", "a1") + ",\n"
+    "c1 AS (SELECT * FROM c0 UNION ALL SELECT * FROM a1),\n"
+    + _kpp_d2_sql("pts", "c1", "d2r") + ",\n"
+    "t2 AS (SELECT sum(d2) AS t FROM d2r),\n"
+    + _kpp_accept_sql("d2r", "t2", "kpp2:", "a2") + ",\n"
+    "cand AS (SELECT * FROM c1 UNION ALL SELECT * FROM a2),\n"
+    """assign AS (
+        SELECT id, cand_id FROM (
+            SELECT p.id, c.id AS cand_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.id
+                       ORDER BY (p.xi - c.xi) * (p.xi - c.xi)
+                              + (p.yi - c.yi) * (p.yi - c.yi), c.id
+                   ) AS rn
+            FROM pts p CROSS JOIN cand c
+        ) WHERE rn = 1
+    ),
+    w AS (SELECT cand_id, CAST(count(*) AS BIGINT) AS weight
+          FROM assign GROUP BY cand_id)
+    SELECT w.cand_id, p.x, p.y, w.weight
+    FROM w JOIN pts p ON p.id = w.cand_id
+    ORDER BY w.weight DESC, w.cand_id
+    LIMIT 8"""
+)
+
+
+@query(
+    "o02_seed_kmeanspp",
+    oracle=_KPP_ORACLE,
+    doc="O2 at cluster scale: k-means|| (scalable k-means++, Bahmani et "
+    "al. VLDB'12) made fully deterministic and engine-portable.  Each "
+    "of 2 rounds computes every point's min distance^2 to the current "
+    "center set and accepts points in PARALLEL with exact-integer "
+    "Bernoulli(l*d2/total) coins: coords are lifted to exact bigints "
+    "(quantity, cents), so d2 and total are exact; the md5 coin m in "
+    "[0, 1e6) accepts iff m * total < l*1e6 * d2, compared in "
+    "decimal/hugeint so no float ever enters the trial -- both engines "
+    "accept IDENTICAL candidate sets at any scale.  The final step "
+    "weights each candidate by the points it serves and emits the "
+    "top-8 by weight -- the k-means|| reclustering input.  Contrast "
+    "with o02_seed_farthest: farthest-point needs k sequential passes "
+    "(one new center per scan); k-means|| needs O(rounds) passes "
+    "independent of k, each selecting ~l centers in parallel -- the "
+    "difference between 1000 barrier stages and 2 on a 100 TB corpus.  "
+    "Scale shape per round: one shuffle-free projection over k center "
+    "literals, one scalar sum to the driver, one filter collecting ~l "
+    "rows -- driver traffic is O(l), never O(points).  Replaces the "
+    "reference's wall-clock-seeded draw (random_num_generator.hpp:"
+    "17-28) with the seeding you would actually run on a cluster.",
+)
+def o02_seed_kmeanspp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _points(spark, sf_dir).where(F.col("id") <= 20000)
+    pts = p.select(
+        "id",
+        "x",
+        "y",
+        F.col("x").cast("bigint").alias("xi"),
+        F.round(F.col("y") * 100, 0).cast("bigint").alias("yi"),
+    ).persist()
+    try:
+        r0 = (
+            pts.select("id", "xi", "yi", md5_long("id", "kpp0:").alias("_k"))
+            .orderBy("_k", "id")
+            .limit(1)
+            .collect()[0]
+        )
+        centers: list[tuple[int, int, int]] = [(r0["id"], r0["xi"], r0["yi"])]
+
+        def d2_expr(cents: list[tuple[int, int, int]]):
+            terms = [
+                (F.col("xi") - F.lit(cx)) * (F.col("xi") - F.lit(cx))
+                + (F.col("yi") - F.lit(cy)) * (F.col("yi") - F.lit(cy))
+                for (_cid, cx, cy) in cents
+            ]
+            return F.least(*terms) if len(terms) > 1 else terms[0]
+
+        for rnd in (1, 2):
+            d2 = d2_expr(centers)
+            total = int(pts.select(F.sum(d2).alias("t")).collect()[0]["t"])
+            coin = md5_long("id", f"kpp{rnd}:") % _KPP_M
+            accept = coin.cast("decimal(7,0)") * F.lit(total).cast(
+                "decimal(19,0)"
+            ) < F.lit(_KPP_L * _KPP_M).cast("decimal(7,0)") * d2.cast(
+                "decimal(19,0)"
+            )
+            acc = pts.where(accept).select("id", "xi", "yi").orderBy("id").collect()
+            centers += [(r["id"], r["xi"], r["yi"]) for r in acc]
+
+        # weight step: nearest-candidate argmin (ties -> lowest cand id)
+        # as an array_min over (d2, cand_id) structs -- one shuffle-free
+        # projection + one small hash agg, the O4 assignment shape.
+        structs = [
+            F.struct(
+                (
+                    (F.col("xi") - F.lit(cx)) * (F.col("xi") - F.lit(cx))
+                    + (F.col("yi") - F.lit(cy)) * (F.col("yi") - F.lit(cy))
+                ).alias("d"),
+                F.lit(cid).cast("bigint").alias("c"),
+            )
+            for (cid, cx, cy) in centers
+        ]
+        w = (
+            pts.select(F.array_min(F.array(*structs))["c"].alias("cand_id"))
+            .groupBy("cand_id")
+            .agg(F.count("*").cast("bigint").alias("weight"))
+        )
+        coords = pts.select(F.col("id").alias("cand_id"), "x", "y")
+        out = (
+            w.join(F.broadcast(coords), "cand_id")
+            .select("cand_id", "x", "y", "weight")
+            .orderBy(F.desc("weight"), "cand_id")
+            .limit(8)
+        )
+        # materialize before unpersist (the _eager contract): collect the
+        # <= 8 result rows while the slice cache is still alive
+        rows = out.collect()
+    finally:
+        pts.unpersist()
+    return spark.createDataFrame(rows, "cand_id bigint, x double, y double, weight bigint")
