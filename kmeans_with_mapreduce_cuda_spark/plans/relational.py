@@ -3353,3 +3353,88 @@ def rel_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT"
     ).options(header=True, multiLine=True, escape='"').csv(dest)
     return back.orderBy("doc_id")
+
+
+# --- ntile quartiles ---------------------------------------------------------
+
+@query(
+    "rel_window_ntile",
+    oracle="""
+    WITH q AS (
+        SELECT event_type, value,
+               ntile(4) OVER (
+                   PARTITION BY event_type ORDER BY value, event_id
+               ) AS quartile
+        FROM events
+    )
+    SELECT event_type, CAST(quartile AS BIGINT) AS quartile,
+           CAST(count(*) AS BIGINT) AS n,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM q
+    GROUP BY event_type, quartile
+    ORDER BY event_type, quartile
+    """,
+    doc="ntile window function: equal-frequency quartiles per event type "
+    "with per-quartile count/min/max -- the standard decile/quartile "
+    "bucketing report.  ntile is deterministic only under a TOTAL "
+    "order, so the ORDER BY carries the event_id tie-break (the "
+    "repo-wide rule for rank-family functions); min/max pass doubles "
+    "through untouched (no arithmetic, bit-identical).  Scale shape: "
+    "one hash exchange on event_type + per-partition sort, then the "
+    "aggregate reuses the same partitioning -- but NOTE ntile, like "
+    "any rank function, needs the whole partition sorted; for "
+    "data-scale partitions prefer approx_percentile cutpoints "
+    "(mergeable sketch, no global sort) and a width_bucket-style "
+    "assignment against the broadcast cutpoints.",
+)
+def rel_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        e.select("event_type", "value", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("event_type", F.col("quartile").cast("bigint").alias("quartile"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("event_type", "quartile")
+    )
+
+
+# --- GROUPING / grouping_id disambiguation -----------------------------------
+
+_GROUPING_ID_SQL = """
+    SELECT lang, source,
+           CAST(GROUPING_ID(lang, source) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents
+    GROUP BY GROUPING SETS ((lang, source), (lang), ())
+    ORDER BY gid, lang, source
+"""
+
+
+@query(
+    "rel_grouping_id",
+    oracle=_GROUPING_ID_SQL,
+    doc="GROUPING SETS with GROUPING_ID(): the packed grouping-flag "
+    "bitmask (lang bit 1, source bit 0) that distinguishes a real NULL "
+    "group key from a superaggregate row -- without it, rollup "
+    "consumers cannot tell 'lang IS NULL' data from the grand total.  "
+    "The IDENTICAL ANSI string runs on both engines (the "
+    "rel_ansi_sql_verbatim contract) and the value hash verifies the "
+    "two engines pack the bits in the same argument order.  All "
+    "measures are exact integers.  Scale shape: one Expand (3 grouping "
+    "sets -> 3x rows map-side) + ONE exchange, identical to "
+    "rel_grouping_sets; the gid column is computed in the Expand, "
+    "costing nothing extra.",
+)
+def rel_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_ID_SQL)
