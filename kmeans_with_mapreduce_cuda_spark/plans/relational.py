@@ -3438,3 +3438,74 @@ def rel_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_GROUPING_ID_SQL)
+
+
+# --- Time-weighted average (irregular time series) ---------------------------
+
+@query(
+    "rel_time_weighted_avg",
+    oracle="""
+    WITH t AS (
+        SELECT event_type,
+               CAST(round(value * 100, 0) AS BIGINT) AS v_cents,
+               epoch_us(ts) AS us,
+               lead(epoch_us(ts)) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+               ) - epoch_us(ts) AS dt_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CASE WHEN sum(dt_us) > 0
+                THEN CAST(sum(v_cents * dt_us) AS DOUBLE)
+                     / CAST(sum(dt_us) * 100 AS DOUBLE)
+           END AS twa,
+           CAST(sum(v_cents) AS DOUBLE)
+               / CAST(count(*) * 100 AS DOUBLE) AS plain_avg
+    FROM t
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="TimescaleDB-style time-weighted average over an irregular "
+    "series: each reading is held until the next reading of the same "
+    "type (last-observation-carried-forward), so its weight is the "
+    "micro-second gap to its successor; the final reading carries no "
+    "weight.  The sensor-data aggregate where plain avg() lies "
+    "whenever sampling is bursty.  Exactness: value is cents-exact, so "
+    "v_cents * dt_us and both sums are exact bigints (numerator "
+    "bounded by max_cents * time-span -- the per-type gaps TELESCOPE, "
+    "so the bigint never overflows at any row count), and twa / "
+    "plain_avg are single IEEE divisions of exact integers -- emitted "
+    "unrounded per the float policy.  Scale shape: one hash exchange "
+    "on event_type reused by both the lag window and the aggregate "
+    "(the rel_scd2 single-exchange pattern); with billions of rows per "
+    "type the window sort spills but never collapses to one task.",
+)
+def rel_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    t = e.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v_cents"),
+        (F.lead(us).over(w) - us).alias("dt_us"),
+    )
+    num = F.sum(F.col("v_cents") * F.col("dt_us"))
+    den = F.sum("dt_us")
+    return (
+        t.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.when(
+                den > 0,
+                num.cast("double") / (den * 100).cast("double"),
+            ).alias("twa"),
+            (
+                F.sum("v_cents").cast("double")
+                / (F.count("*") * 100).cast("double")
+            ).alias("plain_avg"),
+        )
+        .orderBy("event_type")
+    )

@@ -287,3 +287,33 @@ def test_mllib_model_save_load_roundtrip(spark, tmp_path):
     b = predict_kmeans(back, emb).select("vec_id", "cluster_id").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     emb.unpersist()
+
+
+def test_kmeanspp_weights_partition_the_slice(spark):
+    """k-means|| invariants: the selected candidates' weights are a
+    partition of the (full-table-at-sf0.001) point slice -- every point
+    is served by exactly one candidate -- and the selection is
+    deterministic across invocations."""
+    from conftest import SF_DIR
+    from kmeans_with_mapreduce_cuda_spark.plans.kmeans_queries import (
+        o02_seed_kmeanspp,
+    )
+    from kmeans_with_mapreduce_cuda_spark.sources.readers import (
+        points_from_lineitem_cached,
+    )
+
+    n_slice = (
+        points_from_lineitem_cached(spark, SF_DIR)
+        .where(F.col("id") <= 20000)
+        .count()
+    )
+    a = o02_seed_kmeanspp(spark, SF_DIR).collect()
+    b = o02_seed_kmeanspp(spark, SF_DIR).collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    assert 1 <= len(a) <= 8
+    assert all(r["weight"] >= 1 for r in a)
+    # top-8 weights cannot exceed the slice; if fewer than 8 candidates
+    # exist they partition it exactly
+    assert sum(r["weight"] for r in a) <= n_slice
+    ws = [r["weight"] for r in a]
+    assert ws == sorted(ws, reverse=True) or len(set(ws)) < len(ws)
