@@ -3509,3 +3509,148 @@ def rel_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- Incremental rollup maintenance ------------------------------------------
+
+@query(
+    "rel_incremental_rollup",
+    oracle="""
+    WITH d AS (
+        SELECT event_type,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               CAST(round(value * 100, 0) AS BIGINT) AS v_cents
+        FROM events
+    ),
+    mx AS (SELECT max(day) AS maxday FROM d)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+           CAST(sum(v_cents) AS DOUBLE) / 100.0 AS total,
+           CAST(min(v_cents) AS DOUBLE) / 100.0 AS min_value,
+           CAST(max(v_cents) AS DOUBLE) / 100.0 AS max_value
+    FROM d
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Incremental rollup maintenance: per-(type, day) PARTIAL "
+    "aggregates (count / cents-sum / min / max -- all mergeable) for "
+    "every closed day are persisted to parquet once; when the newest "
+    "day arrives, the final per-type rollup is the persisted partials "
+    "UNION the delta-day partials, re-aggregated -- the raw history is "
+    "NEVER re-scanned.  That is how a warehouse keeps a 100 TB "
+    "event-history rollup fresh: the daily job touches one day of raw "
+    "data plus a partials table with |types| x |days| rows.  The "
+    "oracle computes the same rollup directly over the full raw table, "
+    "so the value hash proves merge-of-partials == full recompute "
+    "(the mergeability law; the same contract rel_hll_sketch_union "
+    "checks for sketches, here for exact measures).  n_days rides "
+    "along as a distinct-count over the partials' own key.  All "
+    "measures are exact bigints until one final /100 emission.  Dest "
+    "path keyed by fixture (size, mtime) (the rel_orc_roundtrip "
+    "idiom).",
+)
+def rel_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_size}:{int(st.st_mtime)}".encode()
+    ).hexdigest()[:16]
+    dest = os.path.join(tempfile.gettempdir(), f"kmrc_rollup_{key}")
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v_cents"),
+    )
+    maxday = e.agg(F.max("day")).collect()[0][0]
+
+    partials = lambda df: df.groupBy("event_type", "day").agg(  # noqa: E731
+        F.count("*").cast("bigint").alias("pn"),
+        F.sum("v_cents").cast("bigint").alias("psum"),
+        F.min("v_cents").alias("pmin"),
+        F.max("v_cents").alias("pmax"),
+    )
+    # closed days: persisted once (the incremental state)
+    partials(e.where(F.col("day") < maxday)).write.mode("overwrite").parquet(dest)
+    base = spark.read.parquet(dest)
+    delta = partials(e.where(F.col("day") == maxday))
+
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("pn").cast("bigint").alias("n"),
+            F.count("day").cast("bigint").alias("n_days"),
+            (F.sum("psum").cast("double") / 100.0).alias("total"),
+            (F.min("pmin").cast("double") / 100.0).alias("min_value"),
+            (F.max("pmax").cast("double") / 100.0).alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- Chi-square independence test --------------------------------------------
+
+@query(
+    "rel_chisq_independence",
+    oracle="""
+    WITH o AS (
+        SELECT lang, source, CAST(count(*) AS DOUBLE) AS obs
+        FROM documents GROUP BY lang, source
+    ),
+    r AS (SELECT lang, sum(obs) AS rt FROM o GROUP BY lang),
+    c AS (SELECT source, sum(obs) AS ct FROM o GROUP BY source),
+    n AS (SELECT sum(obs) AS tot FROM o)
+    SELECT round(sum((o.obs - r.rt * c.ct / n.tot)
+                     * (o.obs - r.rt * c.ct / n.tot)
+                     / (r.rt * c.ct / n.tot)), 6) AS chi2,
+           CAST((SELECT count(*) - 1 FROM r)
+                * (SELECT count(*) - 1 FROM c) AS BIGINT) AS dof,
+           CAST(n.tot AS BIGINT) AS n
+    FROM o JOIN r USING (lang) JOIN c USING (source), n
+    GROUP BY n.tot
+    """,
+    doc="Pearson chi-square test of independence on the lang x source "
+    "contingency table: observed counts vs expected row*col/N, the "
+    "statistic summed over all cells, with degrees of freedom -- the "
+    "data-audit that catches a corpus whose language mix silently "
+    "depends on source (a stratification bug every mixture pipeline "
+    "should test for).  Counts are exact; each cell's term is the same "
+    "IEEE expression tree in both engines and the cross-cell sum is "
+    "rounded at 6 (multi-term float sum -- the one genuinely "
+    "order-sensitive value, magnitude ~1e2 so round(6) has 8 digits of "
+    "slack over the ulp).  Scale shape: one exchange to the cell "
+    "aggregate (cells = |lang| x |source|, tiny), then broadcast-sized "
+    "joins of the margin tables -- the raw corpus is scanned once.",
+)
+def rel_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    o = d.groupBy("lang", "source").agg(
+        F.count("*").cast("double").alias("obs")
+    )
+    r = o.groupBy("lang").agg(F.sum("obs").alias("rt"))
+    c = o.groupBy("source").agg(F.sum("obs").alias("ct"))
+    n = o.agg(F.sum("obs").alias("tot"))
+    j = (
+        o.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .crossJoin(F.broadcast(n))
+    )
+    exp = F.col("rt") * F.col("ct") / F.col("tot")
+    term = (F.col("obs") - exp) * (F.col("obs") - exp) / exp
+    dof_r = r.count() - 1
+    dof_c = c.count() - 1
+    return (
+        j.groupBy("tot")
+        .agg(F.round(F.sum(term), 6).alias("chi2"))
+        .select(
+            "chi2",
+            F.lit(dof_r * dof_c).cast("bigint").alias("dof"),
+            F.col("tot").cast("bigint").alias("n"),
+        )
+    )

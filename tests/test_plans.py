@@ -894,3 +894,25 @@ def test_shard_manifest_window_is_partitioned(spark):
     corpus through one task."""
     plan = plan_of(REGISTRY["pipe_shard_manifest"].fn(spark, SF_DIR))
     assert "SinglePartition" not in plan, plan
+
+
+def test_time_weighted_avg_single_exchange_on_type(spark):
+    """rel_time_weighted_avg's lead window and final aggregate must
+    reuse ONE hash partitioning on event_type -- re-shuffling a
+    billions-of-rows series between the window and the agg would move
+    the fact table twice."""
+    import re
+
+    plan = plan_of(REGISTRY["rel_time_weighted_avg"].fn(spark, SF_DIR))
+    # the only allowed extra is the rangepartitioning sort of the
+    # 5-row result; the data-scale series must hash-exchange ONCE
+    assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 1, plan
+    assert "hashpartitioning(event_type" in plan, plan
+
+
+def test_chisq_margins_broadcast(spark):
+    """rel_chisq_independence joins the margin tables broadcast-side:
+    the cell table never re-shuffles for the joins."""
+    plan = plan_of(REGISTRY["rel_chisq_independence"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
