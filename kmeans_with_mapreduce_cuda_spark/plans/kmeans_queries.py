@@ -883,7 +883,7 @@ def _kpp_d2_sql(pts: str, cents: str, out: str) -> str:
         SELECT p.id, p.xi, p.yi,
                min((p.xi - c.xi) * (p.xi - c.xi)
                    + (p.yi - c.yi) * (p.yi - c.yi)) AS d2
-        FROM pts p CROSS JOIN {cents} c
+        FROM {pts} p CROSS JOIN {cents} c
         GROUP BY p.id, p.xi, p.yi
     )"""
 
@@ -902,7 +902,7 @@ def _kpp_accept_sql(d: str, t: str, salt: str, out: str) -> str:
 
 _KPP_ORACLE = (
     f"WITH points AS ({POINTS_SQL}),\n"
-    "pts AS (SELECT id, x, y, CAST(x AS BIGINT) AS xi,"
+    "pts AS (SELECT id, x, y, CAST(round(x, 0) AS BIGINT) AS xi,"
     " CAST(round(y * 100, 0) AS BIGINT) AS yi FROM points"
     " WHERE id <= 20000),\n"
     f"c0 AS (SELECT id, xi, yi FROM pts ORDER BY {md5_long_sql('id', 'kpp0:')}, id LIMIT 1),\n"
@@ -964,7 +964,7 @@ def o02_seed_kmeanspp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id",
         "x",
         "y",
-        F.col("x").cast("bigint").alias("xi"),
+        F.round(F.col("x"), 0).cast("bigint").alias("xi"),
         F.round(F.col("y") * 100, 0).cast("bigint").alias("yi"),
     ).persist()
     try:

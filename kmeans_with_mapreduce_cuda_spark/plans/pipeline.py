@@ -5534,9 +5534,11 @@ def text_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(bucket AS BIGINT) AS bucket,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n) AS BIGINT) AS total_tokens,
-           CAST(sum(bucket - n) AS BIGINT) AS pad_tokens,
-           CAST(sum(bucket - n) AS DOUBLE)
+           CAST(sum(greatest(bucket - n, 0)) AS BIGINT) AS pad_tokens,
+           CAST(sum(greatest(bucket - n, 0)) AS DOUBLE)
                / CAST(sum(bucket) AS DOUBLE) AS pad_frac,
+           CAST(sum(CASE WHEN n > bucket THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_overflow,
            CAST((count(*) + 31) // 32 AS BIGINT) AS n_batches
     FROM b
     GROUP BY bucket
@@ -5545,7 +5547,10 @@ def text_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Sequence-length bucketing: assign each document to a power-of-two "
     "length bucket and account, per bucket, for document count, token "
     "volume, padding waste if every member is padded to the bucket "
-    "ceiling, the padding fraction, and the number of 32-doc batches.  "
+    "ceiling, the padding fraction, and the number of 32-doc batches; "
+    "docs LONGER than the top bucket are truncation candidates -- their "
+    "pad clamps at 0 (never negative) and they are counted in "
+    "n_overflow.  "
     "This is the batch-assembly complement of pipe_token_packing: "
     "packing concatenates documents into fixed-size packs, bucketing "
     "groups similar lengths so per-batch padding stays bounded -- the "
@@ -5576,11 +5581,18 @@ def pipe_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
             F.sum("n").cast("bigint").alias("total_tokens"),
-            F.sum(F.col("bucket") - F.col("n")).cast("bigint").alias("pad_tokens"),
+            F.sum(F.greatest(F.col("bucket") - F.col("n"), F.lit(0)))
+            .cast("bigint")
+            .alias("pad_tokens"),
             (
-                F.sum(F.col("bucket") - F.col("n")).cast("double")
+                F.sum(F.greatest(F.col("bucket") - F.col("n"), F.lit(0))).cast(
+                    "double"
+                )
                 / F.sum("bucket").cast("double")
             ).alias("pad_frac"),
+            F.sum(F.when(F.col("n") > F.col("bucket"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_overflow"),
             F.expr("CAST((count(*) + 31) DIV 32 AS BIGINT)").alias("n_batches"),
         )
         .orderBy("bucket")

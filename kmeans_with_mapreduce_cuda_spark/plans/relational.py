@@ -2580,16 +2580,9 @@ def rel_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "overwrite in place instead of accreting directories.",
 )
 def rel_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-    import tempfile
+    from ..sources.readers import fixture_keyed_tmpdir
 
-    src = os.path.join(sf_dir, "orders.parquet")
-    st = os.stat(src)
-    key = hashlib.md5(
-        f"{sf_dir}:{st.st_size}:{int(st.st_mtime)}".encode()
-    ).hexdigest()[:16]
-    dest = os.path.join(tempfile.gettempdir(), f"kmrc_orc_{key}")
+    dest = fixture_keyed_tmpdir(sf_dir, "orders", "kmrc_orc")
 
     (
         load_table(spark, sf_dir, "orders")
@@ -3298,7 +3291,7 @@ def rel_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            text || ', plus "a quoted field"' || chr(10)
-                || 'with an embedded line-break and a	tab' AS text,
+                || 'with an embedded line-break, a	tab ' AS text,
            lang,
            n_chars
     FROM documents
@@ -3325,20 +3318,13 @@ def rel_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "repeated runs overwrite in place.",
 )
 def rel_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-    import tempfile
+    from ..sources.readers import fixture_keyed_tmpdir
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    key = hashlib.md5(
-        f"{sf_dir}:{st.st_size}:{int(st.st_mtime)}".encode()
-    ).hexdigest()[:16]
-    dest = os.path.join(tempfile.gettempdir(), f"kmrc_csv_{key}")
+    dest = fixture_keyed_tmpdir(sf_dir, "documents", "kmrc_csv")
 
     hostile = F.concat(
         F.col("text"),
-        F.lit(', plus "a quoted field"\nwith an embedded line-break and a\ttab'),
+        F.lit(', plus "a quoted field"\nwith an embedded line-break, a\ttab '),
     )
     (
         load_table(spark, sf_dir, "documents")
@@ -3347,6 +3333,10 @@ def rel_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .option("header", True)
         .option("escape", '"')
+        # the writer DEFAULTS to trimming edge whitespace inside fields;
+        # the trailing space in the hostile suffix exercises these
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
         .csv(dest)
     )
     back = spark.read.schema(
@@ -3521,8 +3511,7 @@ def rel_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                CAST(round(value * 100, 0) AS BIGINT) AS v_cents
         FROM events
-    ),
-    mx AS (SELECT max(day) AS maxday FROM d)
+    )
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
            CAST(count(DISTINCT day) AS BIGINT) AS n_days,
@@ -3551,16 +3540,9 @@ def rel_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "idiom).",
 )
 def rel_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-    import tempfile
+    from ..sources.readers import fixture_keyed_tmpdir
 
-    src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    key = hashlib.md5(
-        f"{sf_dir}:{st.st_size}:{int(st.st_mtime)}".encode()
-    ).hexdigest()[:16]
-    dest = os.path.join(tempfile.gettempdir(), f"kmrc_rollup_{key}")
+    dest = fixture_keyed_tmpdir(sf_dir, "events", "kmrc_rollup")
 
     e = load_table(spark, sf_dir, "events").select(
         "event_type",
@@ -3643,14 +3625,15 @@ def rel_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exp = F.col("rt") * F.col("ct") / F.col("tot")
     term = (F.col("obs") - exp) * (F.col("obs") - exp) / exp
-    dof_r = r.count() - 1
-    dof_c = c.count() - 1
     return (
         j.groupBy("tot")
-        .agg(F.round(F.sum(term), 6).alias("chi2"))
-        .select(
-            "chi2",
-            F.lit(dof_r * dof_c).cast("bigint").alias("dof"),
-            F.col("tot").cast("bigint").alias("n"),
+        .agg(
+            F.round(F.sum(term), 6).alias("chi2"),
+            (
+                (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
+            )
+            .cast("bigint")
+            .alias("dof"),
         )
+        .select("chi2", "dof", F.col("tot").cast("bigint").alias("n"))
     )

@@ -156,6 +156,24 @@ def points_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fixture_keyed_tmpdir(sf_dir: str, table: str, prefix: str) -> str:
+    """Deterministic per-fixture scratch path under the system temp dir,
+    keyed on the source parquet's (size, mtime): a regenerated fixture
+    invalidates naturally and repeated invocations overwrite in place.
+    Shared by the format round-trip and incremental-rollup queries and
+    the points cache (the kmrc cache idiom)."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_size}:{int(st.st_mtime)}".encode()
+    ).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"{prefix}_{key}")
+
+
 def points_from_lineitem_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized twin of :func:`points_from_lineitem`.
 
@@ -167,19 +185,13 @@ def points_from_lineitem_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of the cost.  Cache key includes the lineitem file's
     (size, mtime) so a regenerated fixture invalidates naturally.
     """
-    import hashlib
     import os
     import shutil
-    import tempfile
 
-    src = os.path.join(sf_dir, "lineitem.parquet")
     try:
-        st = os.stat(src)
-        tag = f"{sf_dir}:{st.st_size}:{int(st.st_mtime)}"
+        dest = fixture_keyed_tmpdir(sf_dir, "lineitem", "kmrc_points")
     except OSError:
         return points_from_lineitem(spark, sf_dir)
-    key = hashlib.md5(tag.encode()).hexdigest()[:16]
-    dest = os.path.join(tempfile.gettempdir(), f"kmrc_points_{key}")
     if not os.path.exists(os.path.join(dest, "_SUCCESS")):
         tmp = f"{dest}.tmp.{os.getpid()}"
         # round-robin to a handful of files so the cached scan reads in

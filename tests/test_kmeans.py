@@ -312,8 +312,11 @@ def test_kmeanspp_weights_partition_the_slice(spark):
     assert [r.asDict() for r in a] == [r.asDict() for r in b]
     assert 1 <= len(a) <= 8
     assert all(r["weight"] >= 1 for r in a)
-    # top-8 weights cannot exceed the slice; if fewer than 8 candidates
-    # exist they partition it exactly
-    assert sum(r["weight"] for r in a) <= n_slice
-    ws = [r["weight"] for r in a]
-    assert ws == sorted(ws, reverse=True) or len(set(ws)) < len(ws)
+    # the emitted rows are the top-8 of the candidate set; their weights
+    # cannot exceed the slice, and when the whole candidate set fits in
+    # the limit they must partition the slice EXACTLY (every point is
+    # served by exactly one candidate)
+    total_w = sum(r["weight"] for r in a)
+    assert total_w <= n_slice
+    if len(a) < 8:
+        assert total_w == n_slice
