@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.hashing import md5_long_sql
 from ..functions.text import STOPWORDS, tokens
 from ..operators.dedup import simhash16_sql, token_hashes_sql
 from ..sources.readers import load_table
@@ -5596,4 +5597,88 @@ def pipe_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST((count(*) + 31) DIV 32 AS BIGINT)").alias("n_batches"),
         )
         .orderBy("bucket")
+    )
+
+
+# --- Minority-class oversampling (class rebalancing) -------------------------
+
+@query(
+    "pipe_oversample_minority",
+    oracle=f"""
+    WITH c AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_s
+        FROM documents GROUP BY lang
+    ),
+    t AS (SELECT max(n_s) AS target FROM c),
+    j AS (
+        SELECT d.doc_id, d.lang, c.n_s, t.target
+        FROM documents d JOIN c USING (lang), t
+    ),
+    cp AS (
+        SELECT lang, n_s,
+               (target // n_s)
+               + CASE WHEN ({md5_long_sql('doc_id', 'ovs:')} % 1000)
+                           < ((target % n_s) * 1000) // n_s
+                      THEN 1 ELSE 0 END AS copies
+        FROM j
+    ),
+    ex AS (
+        SELECT lang, n_s, unnest(generate_series(1, copies)) AS k FROM cp
+    )
+    SELECT lang,
+           CAST(min(n_s) AS BIGINT) AS orig_n,
+           CAST(count(*) AS BIGINT) AS n_out,
+           CAST(sum(k) AS BIGINT) AS k_sum,
+           CAST(count(*) AS DOUBLE) / CAST(min(n_s) AS DOUBLE) AS ratio
+    FROM ex
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Minority-class oversampling to the majority count: every doc of "
+    "language s is replicated floor(target/n_s) times plus one more "
+    "with exact probability frac = (target mod n_s)/n_s, decided by an "
+    "md5 coin against the integer millis threshold -- deterministic "
+    "Bernoulli with zero RNG state (the pipe_importance_resample coin, "
+    "pointed the other way: that query DOWN-samples to reweight, this "
+    "one UP-samples to rebalance).  The explode is "
+    "sequence(1, copies), so each copy carries its replica index k; "
+    "k_sum hash-checks the exploded STRUCTURE (sum of 1..copies per "
+    "doc), not just row counts, and ratio is one exact-int IEEE "
+    "division (unrounded).  Scale shape: the per-class count table is "
+    "|langs| rows, broadcast back to the corpus; the explode is "
+    "map-side (no shuffle adds rows); one final aggregate.  At 100 TB "
+    "the same plan oversamples rare languages/domains during dataset "
+    "assembly without materializing an intermediate shuffle of "
+    "replicated bodies -- replication happens in the scan projection.",
+)
+def pipe_oversample_minority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_long
+
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_s"))
+    t = c.agg(F.max("n_s").alias("target"))
+    j = d.select("doc_id", "lang").join(F.broadcast(c), "lang").crossJoin(
+        F.broadcast(t)
+    )
+    copies = F.expr("target DIV n_s") + F.when(
+        md5_long("doc_id", "ovs:") % 1000
+        < F.expr("((target % n_s) * 1000) DIV n_s"),
+        1,
+    ).otherwise(0)
+    ex = j.select(
+        "lang",
+        "n_s",
+        F.explode(F.sequence(F.lit(1), copies.cast("int"))).alias("k"),
+    )
+    return (
+        ex.groupBy("lang")
+        .agg(
+            F.min("n_s").cast("bigint").alias("orig_n"),
+            F.count("*").cast("bigint").alias("n_out"),
+            F.sum("k").cast("bigint").alias("k_sum"),
+            (
+                F.count("*").cast("double") / F.min("n_s").cast("double")
+            ).alias("ratio"),
+        )
+        .orderBy("lang")
     )
