@@ -6,6 +6,9 @@ SQL-expressible; scale notes in each docstring.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -5681,4 +5684,88 @@ def pipe_oversample_minority(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ratio"),
         )
         .orderBy("lang")
+    )
+
+
+# --- Pandas UDF, iterator form (model-per-worker inference) ------------------
+
+@query(
+    "udf_pandas_iter",
+    oracle="""
+    SELECT event_id,
+           round(3.0 * (value - 200.0) / 150.0, 6) AS score
+    FROM events
+    WHERE event_id < 5000
+    ORDER BY event_id
+    """,
+    doc="Iterator-form pandas UDF (Iterator[pd.Series] -> "
+    "Iterator[pd.Series]): the 'model' (a linear scorer with weight/"
+    "mean/scale constants) is constructed ONCE per Python worker, "
+    "before the batch loop, then applied to every Arrow batch -- THE "
+    "pattern for ML inference over 100 TB, where loading the model "
+    "per-row (scalar UDF) or per-batch would dominate the job: with "
+    "1000 executors the load cost is paid 1000 times, not trillions.  "
+    "Completes the Python eval-mode surface (pandas scalar / "
+    "grouped-agg / applyInPandas / mapInPandas / UDTF / arrow scalar / "
+    "applyInArrow / pandas ITERATOR).  The oracle re-derives the same "
+    "affine score in SQL; round(6) because the Python float path and "
+    "the SQL path associate identically here but the contract keeps "
+    "computed floats rounded unless integer-exact.  Plan: "
+    "ArrowEvalPython over a pruned 2-column scan; no shuffle.",
+)
+def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Iterator/pd are module-level imports: PEP 563 stringifies the
+    # type hints and pandas_udf resolves them in MODULE globals
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def score_iter(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # expensive one-time init happens HERE, once per worker process
+        weight, mean, scale = 3.0, 200.0, 150.0
+        for v in batches:
+            yield weight * (v - mean) / scale
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 5000)
+    return ev.select(
+        "event_id", F.round(score_iter("value"), 6).alias("score")
+    ).orderBy("event_id")
+
+
+# --- Parameterized SQL -------------------------------------------------------
+
+@query(
+    "rel_parameterized_sql",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents
+    WHERE n_chars >= 400 AND lang <> 'en'
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Named-parameter SQL (spark.sql(query, args={...})): the "
+    "injection-safe API surface for templated analytics -- parameter "
+    "markers (:min_chars, :skip_lang) are bound as typed literals at "
+    "analysis time, so constant folding and parquet pushdown see the "
+    "values exactly as if they were inlined (same contract "
+    "rel_session_vars asserts for SQL variables).  The oracle inlines "
+    "the same values; the hash proves binding semantics.  All "
+    "measures exact integers.",
+)
+def rel_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM documents
+        WHERE n_chars >= :min_chars AND lang <> :skip_lang
+        GROUP BY lang
+        ORDER BY lang
+        """,
+        args={"min_chars": 400, "skip_lang": "en"},
     )
