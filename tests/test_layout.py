@@ -309,3 +309,38 @@ def test_zorder_clustering_three_columns(spark, tmp_path):
         back.agg(F.sum("l_quantity")).collect()[0][0]
         == li.agg(F.sum("l_quantity")).collect()[0][0]
     )
+
+
+def test_zorder_clustering_3col_narrows_all_columns(spark, tmp_path):
+    """3-column Z-order write: every file's footer min/max must narrow
+    on ALL THREE interleaved columns (the >2-column case; per the
+    docstring, spans widen with dimensionality but must still beat the
+    full domain on every axis)."""
+    from kmeans_with_mapreduce_cuda_spark.functions.layout import (
+        write_zorder_clustered,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    zdir = str(tmp_path / "zorder3")
+    write_zorder_clustered(
+        li, zdir, "l_orderkey", "l_partkey", "l_suppkey", num_files=16
+    )
+
+    spans = {}
+    for col in ("l_orderkey", "l_partkey", "l_suppkey"):
+        lo, hi = li.agg(F.min(col), F.max(col)).collect()[0]
+        rng = _key_ranges(zdir, col)
+        spans[col] = sum((h - l) / (hi - lo) for l, h in rng) / len(rng)
+    # every axis prunes: mean per-file span well under the full domain
+    # (looser than the 2-col bound -- 16 files tile a 3-D space)
+    for col, span in spans.items():
+        assert span < 0.75, (col, spans)
+
+    back = spark.read.parquet(zdir)
+    assert back.count() == li.count()
+    assert (
+        back.agg(F.sum("l_quantity")).collect()[0][0]
+        == li.agg(F.sum("l_quantity")).collect()[0][0]
+    )
