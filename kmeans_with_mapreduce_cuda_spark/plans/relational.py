@@ -3637,3 +3637,37 @@ def rel_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("chi2", "dof", F.col("tot").cast("bigint").alias("n"))
     )
+
+
+# --- Lateral column alias references -----------------------------------------
+
+_LATERAL_ALIAS_SQL = """
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS chars,
+           chars + 100 AS padded,
+           padded * 2 AS doubled,
+           CASE WHEN doubled > 1000 THEN 'big' ELSE 'small' END AS label
+    FROM documents
+    WHERE doc_id < 500
+    ORDER BY doc_id
+"""
+
+
+@query(
+    "rel_lateral_column_alias",
+    oracle=_LATERAL_ALIAS_SQL,
+    doc="Lateral column alias references: a SELECT item refers to an "
+    "alias defined EARLIER IN THE SAME SELECT (chars -> padded -> "
+    "doubled -> label), the modern-SQL ergonomics that otherwise force "
+    "nested subqueries or repeated expressions.  The identical ANSI "
+    "string runs on both engines (rel_ansi_sql_verbatim contract); "
+    "Spark resolves the chain at analysis into one flat projection -- "
+    "zero plan cost, pure sugar, and the hash proves both engines "
+    "expand the chain identically (left-to-right, no forward refs).  "
+    "All values exact integers/strings.",
+)
+def rel_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_ALIAS_SQL)
