@@ -1027,3 +1027,135 @@ def o02_seed_kmeanspp(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         pts.unpersist()
     return spark.createDataFrame(rows, "cand_id bigint, x double, y double, weight bigint")
+
+
+# --- O12 at corpus scale: mini-batch k-means ---------------------------------
+
+_MB_ROUNDS = 3   # refinement rounds (each sees an independent batch)
+_MB_MOD = 4      # md5-coin modulus: ~1/4 of the corpus per batch
+
+
+def _minibatch_sql() -> str:
+    """Mini-batch k-means as chained CTEs: per round, a deterministic
+    md5-coin batch (~25%) is assigned to the current centroids and the
+    centroids take a BATCH-AGGREGATE step
+    ``c' = (n_seen*c + nb*mean_batch) / (n_seen + nb)`` -- the
+    distributed-friendly variant of Sculley's per-point SGD update
+    (identical in expectation, order-independent, so it is expressible
+    as one aggregation per round in any engine).  All means are rounded
+    to ROUND_CENT between rounds (the o12 cross-engine contract);
+    clusters absent from a batch keep centroid and count unchanged."""
+    ctes = [
+        f"points AS ({POINTS_SQL})",
+        "cents0 AS (SELECT cluster_id, cx, cy, CAST(0 AS BIGINT) AS n "
+        f"FROM {cents_sql(INIT_CENTROIDS_2D)})",
+    ]
+    for r in range(1, _MB_ROUNDS + 1):
+        coin = md5_long_sql("id", f"mb{r}:")
+        ctes.append(
+            f"batch{r} AS (SELECT * FROM points WHERE {coin} % {_MB_MOD} = 0)"
+        )
+        ctes.append(f"assign{r} AS ({assign_sql(f'batch{r}', f'cents{r - 1}')})")
+        ctes.append(
+            f"agg{r} AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS nb, "
+            f"round(avg(x), {ROUND_CENT}) AS mx, "
+            f"round(avg(y), {ROUND_CENT}) AS my "
+            f"FROM assign{r} GROUP BY cluster_id)"
+        )
+        ctes.append(
+            f"cents{r} AS (SELECT c.cluster_id, "
+            "CASE WHEN a.nb IS NULL THEN c.cx ELSE "
+            f"round((c.n * c.cx + a.nb * a.mx) / (c.n + a.nb), {ROUND_CENT}) "
+            "END AS cx, "
+            "CASE WHEN a.nb IS NULL THEN c.cy ELSE "
+            f"round((c.n * c.cy + a.nb * a.my) / (c.n + a.nb), {ROUND_CENT}) "
+            "END AS cy, "
+            "c.n + COALESCE(a.nb, CAST(0 AS BIGINT)) AS n "
+            f"FROM cents{r - 1} c LEFT JOIN agg{r} a "
+            "ON c.cluster_id = a.cluster_id)"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT cluster_id, cx, cy, n AS n_seen FROM cents{_MB_ROUNDS}"
+    )
+
+
+@query(
+    "o12_kmeans_minibatch",
+    oracle=_minibatch_sql(),
+    doc="O12 at corpus scale: mini-batch k-means (Sculley, WWW'10) with "
+    "the batch-AGGREGATE update -- each of 3 rounds samples ~25% of the "
+    "corpus via a deterministic md5 Bernoulli coin (seeded per round, "
+    "zero RNG state), assigns only the batch (shuffle-free literal-"
+    "centroid projection, the O4 shape), and moves each centroid to the "
+    "count-weighted mean of its history and the batch: "
+    "c' = (n_seen*c + nb*mean_batch)/(n_seen + nb), n_seen += nb.  "
+    "Sculley's per-point SGD step is ORDER-DEPENDENT (each point "
+    "updates c before the next draws it), which no data-parallel engine "
+    "can reproduce deterministically; the batch-aggregate form is the "
+    "variant distributed systems actually run -- one hash aggregation "
+    "per round, same convergence class, bit-reproducible.  Why it "
+    "matters at 100 TB: a full Lloyd pass costs one corpus scan PER "
+    "ITERATION; mini-batch cuts per-round cost to the batch fraction "
+    "while the md5 coin keeps batches disjoint-in-expectation and "
+    "re-derivable by any engine (no sampled-data materialization, no "
+    "seed state to ship).  Update arithmetic is the same expression "
+    "tree in both engines (bigint*double products, one sum, one "
+    "division, round to ROUND_CENT), so centroids stay bit-identical "
+    "round by round; clusters absent from a batch keep centroid and "
+    "count (COALESCE, the o12 empty-cluster contract).  Reference "
+    "parity: replaces the fixed 999 full passes (config.cuh:11) with "
+    "the sublinear refinement you would run when one pass is hours.",
+)
+def o12_kmeans_minibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _points(spark, sf_dir)
+    # state rows: (cluster_id, cx, cy, n_seen) -- driver-side, k rows
+    state: list[tuple[int, float, float, int]] = [
+        (i, cx, cy, 0) for i, (cx, cy) in enumerate(INIT_CENTROIDS_2D)
+    ]
+    for r in range(1, _MB_ROUNDS + 1):
+        cents = [(cx, cy) for (_i, cx, cy, _n) in state]
+        batch = p.where(md5_long("id", f"mb{r}:") % _MB_MOD == 0)
+        agg = (
+            assign_2d(batch, cents)
+            .groupBy("cluster_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("nb"),
+                F.round(F.avg("x"), ROUND_CENT).alias("mx"),
+                F.round(F.avg("y"), ROUND_CENT).alias("my"),
+            )
+        )
+        # previous state as literal arrays indexed by cluster_id: the
+        # update expression evaluates IN SPARK (same tree as the oracle
+        # CTE; driver-side Python arithmetic would round half-to-even
+        # where SQL rounds half-away -- the float-discipline landmine)
+        idx = F.col("cluster_id").cast("int") + 1
+        prev_cx = F.element_at(F.array(*[F.lit(s[1]) for s in state]), idx)
+        prev_cy = F.element_at(F.array(*[F.lit(s[2]) for s in state]), idx)
+        prev_n = F.element_at(
+            F.array(*[F.lit(s[3]).cast("bigint") for s in state]), idx
+        )
+        upd = agg.select(
+            "cluster_id",
+            F.round(
+                (prev_n * prev_cx + F.col("nb") * F.col("mx"))
+                / (prev_n + F.col("nb")),
+                ROUND_CENT,
+            ).alias("cx"),
+            F.round(
+                (prev_n * prev_cy + F.col("nb") * F.col("my"))
+                / (prev_n + F.col("nb")),
+                ROUND_CENT,
+            ).alias("cy"),
+            (prev_n + F.col("nb")).alias("n"),
+        )
+        got = {int(row["cluster_id"]): row for row in upd.collect()}
+        state = [
+            (i, got[i]["cx"], got[i]["cy"], int(got[i]["n"]))
+            if i in got
+            else (i, cx0, cy0, n0)
+            for (i, cx0, cy0, n0) in state
+        ]
+    return spark.createDataFrame(
+        state, "cluster_id int, cx double, cy double, n_seen bigint"
+    )
