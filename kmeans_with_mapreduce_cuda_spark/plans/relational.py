@@ -3671,3 +3671,68 @@ def rel_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_ALIAS_SQL)
+
+
+# --- Dynamic partition pruning: the partitioned-star-join scale lever -------
+
+@query(
+    "rel_dpp_prune_join",
+    oracle="""
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS acctbal_cents
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE n.n_regionkey = 2
+    GROUP BY n.n_name
+    """,
+    doc="Dynamic partition pruning, the flagship star-schema scan "
+    "eliminator: the customer table is first written PARTITIONED BY "
+    "c_nationkey (hive-style directories, the layout a 100 TB fact "
+    "table lives in), then joined to nation filtered to one region.  "
+    "At planning time the partition values that survive the dim filter "
+    "are unknown; Catalyst inserts a DynamicPruningExpression on the "
+    "fact's partition column that REUSES the broadcast of the filtered "
+    "dim (SubqueryAdaptiveBroadcast, plan-asserted in test_plans.py), "
+    "so only the ~5-of-25 matching nation directories are ever read -- "
+    "at scale that is the difference between scanning 100 TB and "
+    "scanning the 20% the query touches, with zero user hints.  The "
+    "oracle computes the same join/agg straight from the unpartitioned "
+    "parquet, so the hash also verifies the partitioned write/read "
+    "round-trip (directory-encoded key included) lost nothing.  Money "
+    "aggregated as exact integer cents (round-then-cast, the Q1 "
+    "discipline); dest is the fixture-keyed tmpdir (kmrc cache idiom, "
+    "overwrites in place across invocations).",
+)
+def rel_dpp_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import fixture_keyed_tmpdir
+
+    dest = fixture_keyed_tmpdir(sf_dir, "customer", "kmrc_dpp")
+    import os
+
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "customer")
+            .write.mode("overwrite")
+            .partitionBy("c_nationkey")
+            .parquet(dest)
+        )
+    fact = spark.read.parquet(dest)
+    dim = load_table(spark, sf_dir, "nation").where(F.col("n_regionkey") == 2)
+    return (
+        fact.join(dim, fact.c_nationkey == dim.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("acctbal_cents"),
+        )
+    )
+
+
+def dpp_prune_plan(spark: SparkSession, sf_dir: str) -> str:
+    """Executed-plan text of the DPP join (test_plans.py asserts the
+    DynamicPruningExpression / SubqueryAdaptiveBroadcast markers)."""
+    df = rel_dpp_prune_join(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()

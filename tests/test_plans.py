@@ -916,3 +916,18 @@ def test_chisq_margins_broadcast(spark):
     plan = plan_of(REGISTRY["rel_chisq_independence"].fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_dpp_join_prunes_partitions(spark):
+    """rel_dpp_prune_join's executed plan must carry a dynamic-pruning
+    subquery on the fact's partition column (the scan-eliminator the
+    query exists to demonstrate) that reuses the dim broadcast rather
+    than running a separate filtering job."""
+    from kmeans_with_mapreduce_cuda_spark.plans.relational import dpp_prune_plan
+
+    plan = dpp_prune_plan(spark, SF_DIR)
+    assert "dynamicpruning" in plan.lower(), plan
+    # the pruning subquery must ride the broadcast exchange (zero extra
+    # jobs), not the fallback standalone-subquery path
+    assert "SubqueryAdaptiveBroadcast" in plan or "SubqueryBroadcast" in plan, plan
+    assert "PartitionFilters" in plan, plan
