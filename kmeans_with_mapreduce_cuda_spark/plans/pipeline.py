@@ -5769,3 +5769,108 @@ def rel_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_chars": 400, "skip_lang": "en"},
     )
+
+
+# --- Sparse cosine similarity via inverted-index join -----------------------
+
+_SPARSE_DF_CAP = 50   # drop terms in > cap docs (stopword-class pruning)
+_SPARSE_MIN_COS = 0.5
+
+
+@query(
+    "sim_sparse_cosine",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(
+                   regexp_split_to_array(trim(lower(text)), '\s+'),
+                   t -> t <> '')) AS term
+        FROM documents WHERE doc_id < 300
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, term
+    ),
+    keep AS (
+        SELECT term FROM tf GROUP BY term
+        HAVING count(*) <= {_SPARSE_DF_CAP}
+    ),
+    p AS (SELECT tf.* FROM tf JOIN keep USING (term)),
+    norms AS (
+        SELECT doc_id, sqrt(CAST(sum(tf * tf) AS DOUBLE)) AS nrm
+        FROM p GROUP BY doc_id
+    ),
+    dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+        FROM p a JOIN p b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, dot, dot / (na.nrm * nb.nrm) AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = doc_a
+    JOIN norms nb ON nb.doc_id = doc_b
+    WHERE dot / (na.nrm * nb.nrm) >= {_SPARSE_MIN_COS}
+    """,
+    doc="Sparse-vector cosine similarity via the inverted-index join -- "
+    "the classic IR shape the embedding paths (sim_topk / LSH / IVF) "
+    "deliberately avoid: docs as term-frequency vectors, pairwise dot "
+    "products computed by self-joining the POSTINGS list on term and "
+    "summing tf_a*tf_b, never materializing a dense vector.  The "
+    "posting self-join's cost is sum of df^2 over terms, so the "
+    "high-df cap (terms in > 50 docs dropped -- stopword-class "
+    "pruning) is the boundedness lever, exactly the band-bucket cap "
+    "argument from dedup_minhash_lsh: organic common terms, like hot "
+    "LSH bands, would otherwise go quadratic.  Cosine is defined over "
+    "the PRUNED term space in both engines (norms computed after the "
+    "cap, so the metric is internally consistent).  Float discipline: "
+    "dot and tf are exact bigints; each norm is ONE correctly-rounded "
+    "sqrt of an exact integer; cosine = dot / (nrm_a * nrm_b) is two "
+    "further IEEE ops in a fixed tree -- bit-identical across engines, "
+    "emitted UNROUNDED.  doc_id < 300 slice keeps the quadratic exact "
+    "oracle tractable (the dedup_ngram_jaccard framing); at corpus "
+    "scale the same plan runs uncapped on the doc side because the "
+    "df cap bounds every posting list.",
+)
+def sim_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import word_shingles
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    # word_shingles(n=1) == \S+ tokens, never empty strings (the
+    # text_bigram_logprob tokenization contract)
+    toks = d.select("doc_id", F.explode(word_shingles("text", 1)).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    keep = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= _SPARSE_DF_CAP)
+        .select("term")
+    )
+    # pruned postings feed three consumers (both join sides + norms):
+    # persist once, release via _eager (the dedup_ngram_jaccard pattern)
+    p = tf.join(keep, "term").persist()
+    norms = p.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf")).cast("double")).alias("nrm")
+    )
+    a, b = p.alias("a"), p.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).cast("bigint").alias("dot"))
+    )
+    na, nb = norms.alias("na"), norms.alias("nb")
+    cosine = F.col("dot") / (F.col("na.nrm") * F.col("nb.nrm"))
+    out = (
+        dots.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        .where(cosine >= _SPARSE_MIN_COS)
+        .select("doc_a", "doc_b", "dot", cosine.alias("cosine"))
+    )
+    return _eager(spark, out, deps=[p])
