@@ -3736,3 +3736,62 @@ def dpp_prune_plan(spark: SparkSession, sf_dir: str) -> str:
     DynamicPruningExpression / SubqueryAdaptiveBroadcast markers)."""
     df = rel_dpp_prune_join(spark, sf_dir)
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --- Calendar-interval arithmetic: month clamping & friends -----------------
+
+@query(
+    "rel_interval_calendar",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+        FROM orders WHERE o_orderkey < 2000
+    )
+    SELECT o_orderkey,
+           strftime(d, '%Y-%m-%d') AS order_date,
+           -- d + 90 (integer day add), NOT d + INTERVAL 90 DAY: DuckDB
+           -- 1.0 interval equality treats 1 MONTH = 30 DAYS, so its
+           -- CSE pass merges "+ INTERVAL 90 DAY" with "+ INTERVAL 3
+           -- MONTH" over the same column and returns the month-add for
+           -- BOTH columns (verified minimally; constants-only folds fine)
+           strftime(d + 90, '%Y-%m-%d') AS due_90d,
+           strftime(CAST(d + INTERVAL 3 MONTH AS DATE), '%Y-%m-%d') AS due_3m,
+           strftime(CAST(d - INTERVAL 1 MONTH AS DATE), '%Y-%m-%d') AS prev_1m,
+           strftime(last_day(d), '%Y-%m-%d') AS month_end,
+           strftime(CAST(date_trunc('quarter', d) AS DATE), '%Y-%m-%d')
+               AS quarter_start,
+           CAST(date_diff('day', d, DATE '1998-01-01') AS BIGINT) AS days_to_anchor
+    FROM o ORDER BY o_orderkey
+    """,
+    doc="Calendar-interval semantics, the corner rel_date_funcs' "
+    "point-functions don't pin down: month arithmetic CLAMPS to "
+    "month-end (Jan 31 + 3 months = Apr 30, Mar 31 - 1 month = Feb "
+    "28/29) identically in both engines -- the class of silent "
+    "divergence that corrupts billing/retention cohorts when one "
+    "engine overflows into the next month instead.  Also last_day, "
+    "quarter truncation, and signed day-diff to a fixed anchor.  "
+    "Every date is rendered as an ISO string (the rel_scd2 contract: "
+    "pandas renders DATE columns as midnight timestamps, so checked "
+    "date output is strftime'd in both engines); day arithmetic and "
+    "diffs are exact integers -- no float discipline needed.  "
+    "Key-bounded slice: O(1) rows at any scale factor.",
+)
+def rel_interval_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", F.col("o_orderdate").cast("date").alias("d"))
+    )
+    iso = lambda c: F.date_format(c, "yyyy-MM-dd")  # noqa: E731
+    return o.select(
+        "o_orderkey",
+        iso("d").alias("order_date"),
+        iso(F.expr("d + INTERVAL '90' DAY")).alias("due_90d"),
+        iso(F.expr("d + INTERVAL '3' MONTH")).alias("due_3m"),
+        iso(F.expr("d - INTERVAL '1' MONTH")).alias("prev_1m"),
+        iso(F.last_day("d")).alias("month_end"),
+        iso(F.date_trunc("quarter", "d").cast("date")).alias("quarter_start"),
+        F.datediff(F.lit("1998-01-01").cast("date"), F.col("d"))
+        .cast("bigint")
+        .alias("days_to_anchor"),
+    ).orderBy("o_orderkey")
