@@ -5874,3 +5874,101 @@ def sim_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "dot", cosine.alias("cosine"))
     )
     return _eager(spark, out, deps=[p])
+
+
+# --- PCA whitening (closed-form 2-D): feature prep for clustering ----------
+
+def _pca_whiten_sql() -> str:
+    """ONE ANSI string both engines run verbatim (the
+    rel_ansi_sql_verbatim contract): exact integer moments -> population
+    covariance -> closed-form 2x2 eigen -> whitened projection.  Shared
+    text guarantees identical expression TREES, which is what makes the
+    unrounded doubles hash-equal."""
+    from .registry import POINTS_SQL
+
+    return f"""
+    WITH points AS ({POINTS_SQL}),
+    pts AS (
+        SELECT id, CAST(round(x, 0) AS BIGINT) AS xi,
+               CAST(round(y * 100, 0) AS BIGINT) AS yi
+        FROM points
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(xi) AS sx, sum(yi) AS sy,
+               sum(CAST(xi * xi AS DECIMAL(38, 0))) AS sxx,
+               sum(CAST(yi * yi AS DECIMAL(38, 0))) AS syy,
+               sum(CAST(xi * yi AS DECIMAL(38, 0))) AS sxy
+        FROM pts
+    ),
+    cov AS (
+        SELECT n,
+               CAST(sx AS DOUBLE) / n AS mx,
+               CAST(sy AS DOUBLE) / n AS my,
+               CAST(sxx AS DOUBLE) / n
+                   - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS cxx,
+               CAST(syy AS DOUBLE) / n
+                   - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS cyy,
+               CAST(sxy AS DOUBLE) / n
+                   - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS cxy
+        FROM m
+    ),
+    eig AS (
+        SELECT n, mx, my, cxx, cyy, cxy,
+               (cxx + cyy) / 2
+                   + sqrt(((cxx - cyy) / 2) * ((cxx - cyy) / 2) + cxy * cxy)
+                   AS l1,
+               (cxx + cyy) / 2
+                   - sqrt(((cxx - cyy) / 2) * ((cxx - cyy) / 2) + cxy * cxy)
+                   AS l2
+        FROM cov
+    ),
+    basis AS (
+        SELECT n, mx, my, cxx, cyy, cxy, l1, l2,
+               cxy / sqrt(cxy * cxy + (l1 - cxx) * (l1 - cxx)) AS u1x,
+               (l1 - cxx) / sqrt(cxy * cxy + (l1 - cxx) * (l1 - cxx)) AS u1y,
+               cxy / sqrt(cxy * cxy + (l2 - cxx) * (l2 - cxx)) AS u2x,
+               (l2 - cxx) / sqrt(cxy * cxy + (l2 - cxx) * (l2 - cxx)) AS u2y
+        FROM eig
+    )
+    SELECT p.id,
+           ((CAST(p.xi AS DOUBLE) - mx) * u1x
+               + (CAST(p.yi AS DOUBLE) - my) * u1y) / sqrt(l1) AS w1,
+           ((CAST(p.xi AS DOUBLE) - mx) * u2x
+               + (CAST(p.yi AS DOUBLE) - my) * u2y) / sqrt(l2) AS w2,
+           cxx, cyy, cxy, l1, l2
+    FROM pts p CROSS JOIN basis
+    WHERE p.id <= 5
+    ORDER BY p.id
+    """
+
+
+@query(
+    "pipe_pca_whiten",
+    oracle=_pca_whiten_sql(),
+    doc="PCA whitening of the 2-D points plane -- the feature-prep step "
+    "that makes squared-Euclidean k-means scale-invariant (whitened "
+    "features have identity covariance, so no axis dominates the "
+    "distance the way raw extendedprice dwarfs raw quantity by 1000x).  "
+    "Shape: ONE full-corpus aggregation computes five EXACT integer "
+    "moments (coords lifted to quantity-units and cents; the squared "
+    "sums accumulate in DECIMAL(38,0) because sum(cents^2) passes "
+    "2^63 around sf0.1-x10 -- the rel_decimal_money regime), then the "
+    "2x2 population covariance, closed-form eigenpair (l = h +/- "
+    "sqrt(((cxx-cyy)/2)^2 + cxy^2)), and the whitened projection "
+    "x -> U^T (x - mean) / sqrt(l) are all scalar arithmetic on ONE "
+    "row.  Float discipline: every double derives from exact integers "
+    "through a FIXED expression tree (single decimal->double casts, "
+    "then +,-,*,/,sqrt -- all correctly rounded IEEE ops), and BOTH "
+    "engines execute the IDENTICAL verbatim SQL text, so w/lambda "
+    "values are bit-identical and emitted UNROUNDED.  Scale: the "
+    "moment pass is one map-side-combinable aggregation (the O9 tree-"
+    "reduction shape) -- at 100 TB this is a single scan + k=1 reduce; "
+    "the projection is shuffle-free.  Output: 5 whitened sample rows "
+    "carrying the model (cov entries + eigenvalues) as columns.",
+)
+def pipe_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_pca_whiten_sql())
