@@ -5901,17 +5901,36 @@ def _pca_whiten_sql() -> str:
                sum(CAST(xi * yi AS DECIMAL(38, 0))) AS sxy
         FROM pts
     ),
-    cov AS (
+    -- Exact-moment -> double discipline: the squared moments exceed
+    -- 2^53 from sf0.1 up, and Spark's BigDecimal->double vs DuckDB's
+    -- hugeint->double round DIFFERENTLY for non-representable values
+    -- (observed: last-bit cyy/l1 divergence at sf0.1).  So never cast
+    -- a >2^53 moment directly: split s = hi + lo with lo = s % 2^52
+    -- (< 2^52, exact in double) and hi a multiple of 2^52 (<= 53
+    -- significant bits while s < 2^105 -- exact in double).  Each part
+    -- casts exactly, each /n is ONE correctly-rounded IEEE division,
+    -- and the sum is one IEEE add, so the tree stays bit-identical
+    -- across engines (verified hex-equal on the sf0.1 failing value).
+    md AS (
         SELECT n,
-               CAST(sx AS DOUBLE) / n AS mx,
-               CAST(sy AS DOUBLE) / n AS my,
-               CAST(sxx AS DOUBLE) / n
-                   - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS cxx,
-               CAST(syy AS DOUBLE) / n
-                   - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS cyy,
-               CAST(sxy AS DOUBLE) / n
-                   - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS cxy
+               CAST(sx - (sx % 4503599627370496) AS DOUBLE) / n
+                   + CAST(sx % 4503599627370496 AS DOUBLE) / n AS mx,
+               CAST(sy - (sy % 4503599627370496) AS DOUBLE) / n
+                   + CAST(sy % 4503599627370496 AS DOUBLE) / n AS my,
+               CAST(sxx - (sxx % 4503599627370496) AS DOUBLE) / n
+                   + CAST(sxx % 4503599627370496 AS DOUBLE) / n AS exx,
+               CAST(syy - (syy % 4503599627370496) AS DOUBLE) / n
+                   + CAST(syy % 4503599627370496 AS DOUBLE) / n AS eyy,
+               CAST(sxy - (sxy % 4503599627370496) AS DOUBLE) / n
+                   + CAST(sxy % 4503599627370496 AS DOUBLE) / n AS exy
         FROM m
+    ),
+    cov AS (
+        SELECT n, mx, my,
+               exx - mx * mx AS cxx,
+               eyy - my * my AS cyy,
+               exy - mx * my AS cxy
+        FROM md
     ),
     eig AS (
         SELECT n, mx, my, cxx, cyy, cxy,
@@ -5958,10 +5977,13 @@ def _pca_whiten_sql() -> str:
     "sqrt(((cxx-cyy)/2)^2 + cxy^2)), and the whitened projection "
     "x -> U^T (x - mean) / sqrt(l) are all scalar arithmetic on ONE "
     "row.  Float discipline: every double derives from exact integers "
-    "through a FIXED expression tree (single decimal->double casts, "
-    "then +,-,*,/,sqrt -- all correctly rounded IEEE ops), and BOTH "
-    "engines execute the IDENTICAL verbatim SQL text, so w/lambda "
-    "values are bit-identical and emitted UNROUNDED.  Scale: the "
+    "through a FIXED expression tree; moments that can exceed 2^53 "
+    "never cast to double directly (engine cast-rounding differs "
+    "there) -- each is split s = hi + lo at 2^52 via %, both parts "
+    "exactly representable, then divided and summed as IEEE ops.  "
+    "BOTH engines execute the IDENTICAL verbatim SQL text, so "
+    "w/lambda values are bit-identical and emitted UNROUNDED.  "
+    "Scale: the "
     "moment pass is one map-side-combinable aggregation (the O9 tree-"
     "reduction shape) -- at 100 TB this is a single scan + k=1 reduce; "
     "the projection is shuffle-free.  Output: 5 whitened sample rows "
