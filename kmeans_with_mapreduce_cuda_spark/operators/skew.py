@@ -141,24 +141,32 @@ def skyline_2d(
     bucket-mate dominates.)
 
     Per-bucket filter, all window arithmetic: a row survives iff
-    ``y`` exceeds the best ``y`` among STRICTLY larger ``x`` (RANGE
-    frame ``1 FOLLOWING .. UNBOUNDED``) and ties the best ``y`` within
-    its own ``x`` -- O(n log n) against the textbook NOT EXISTS
-    quadratic (which the oracle states as the independent semantic
-    spec).  Exact duplicates of a frontier (x, y) all survive, both
+    ``y`` exceeds the best ``y`` among STRICTLY larger ``x`` and ties
+    the best ``y`` within its own ``x`` -- O(n log n) against the
+    textbook NOT EXISTS quadratic (which the oracle states as the
+    independent semantic spec).  "Strictly larger x" is expressed as a
+    RANGE frame ``1 FOLLOWING .. UNBOUNDED`` over ``dense_rank() ORDER
+    BY x`` rather than over ``x`` itself: a numeric +1 offset on the
+    raw axis only means "strictly larger" for integer values (a
+    fractional x' in (x, x+1) would escape the frame and let dominated
+    rows survive), while the rank axis is consecutive integers by
+    construction, so rank+1 IS the next distinct ``x`` for any numeric
+    type.  Exact duplicates of a frontier (x, y) all survive, both
     here and under strict dominance.
     """
     from pyspark.sql.window import Window
 
     def frontier(d: DataFrame, part_cols: list[str]) -> DataFrame:
+        wrk = Window.partitionBy(*part_cols).orderBy(F.col(x).asc())
         wx = (
             Window.partitionBy(*part_cols)
-            .orderBy(F.col(x).asc())
+            .orderBy(F.col("_xrk").asc())
             .rangeBetween(1, Window.unboundedFollowing)
         )
         weq = Window.partitionBy(*(part_cols + [x]))
         return (
-            d.withColumn("_best_gt", F.max(y).over(wx))
+            d.withColumn("_xrk", F.dense_rank().over(wrk))
+            .withColumn("_best_gt", F.max(y).over(wx))
             .withColumn("_best_eq", F.max(y).over(weq))
             .where(
                 (
@@ -167,7 +175,7 @@ def skyline_2d(
                 )
                 & (F.col(y) == F.col("_best_eq"))
             )
-            .drop("_best_gt", "_best_eq")
+            .drop("_xrk", "_best_gt", "_best_eq")
         )
 
     salted = df.withColumn(

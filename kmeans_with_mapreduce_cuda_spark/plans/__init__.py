@@ -17,80 +17,29 @@ from . import pipeline  # noqa: F401,E402
 # follow in registration order (hash-checked before rows-only).
 # ---------------------------------------------------------------------------
 
-# Round-4 ROTATION (VERDICT r3 item 1): the driver's cut has been exactly
-# 50 entries for three straight rounds, so the prefix must rotate, not just
-# prioritize.  First 50 this round = the 13-query O-series core (always
-# verified) + the 17 queries that have NEVER appeared in a driver
-# CORRECTNESS file (r3 verdict list) + the 20 least-recently-verified
-# (r3 gate-cut tail: last driver-green in r1/r2).  The ~37 queries that
-# have been green three rounds running sit past the cut for one round;
-# union driver coverage target after r4: 94/94.
+# Round-5 ROTATION (VERDICT r4 items 2-3): the registry grew 94 -> 197 in
+# round 4 against the hard 50-entry cut, leaving 83 queries with no driver
+# CORRECTNESS row.  This round DRAINS instead of growing: the always-
+# verified O-core is trimmed to its 5 composite queries (the judge-endorsed
+# one-round widening; the 8 primitives they subsume sit just past the
+# never-verified block), freeing 45 slots for the oldest never-verified
+# plus the verdict's weak-family picks (graph, similarity serving,
+# multimodal near-dup, pipe_pca_whiten).  After a green r5: union driver
+# coverage 159/197, 38 never-verified remain -- r6's prefix (45 slots under
+# the same trim) drains them to zero.  Re-derive from CORRECTNESS_r05.
 _PRIORITY = [
-    # K-Means core: scan -> seed -> map -> shuffle -> reduce -> iterate ->
-    # sink, INCLUDING the n-D generalizations (they carry the embedding
-    # workloads at scale)
-    "o01_scan_limit",
-    "o02_seed_sample",
-    "o03_distance_expr",
-    "o04_assign_argmin",
-    "o05_multi_emit",
-    "o06_sort_by_key",
-    "o07_group_counts",
-    "o08_centroid_update",
-    "o04_assign_argmin_nd",
-    "o09_centroid_update_nd",
+    # --- r5 O-core, trimmed to the 5 COMPOSITE operators (VERDICT r4
+    # item 2): each transitively exercises the scan/seed/assign/reduce
+    # chain that the 8 rotated-out primitives check individually, and
+    # all 13 have been green four straight rounds.  The 8 primitives
+    # sit immediately after the never-verified block below.
     "o12_kmeans_two_steps",
     "o13_sink_format",
     "o14_sse",
-    # --- the 17 never-driver-verified (r3 VERDICT "What's wrong" #1) ---
-    # relational tail first (cheap, pure-SQL), then the heavier
-    # similarity / MLlib / multimodal / text / streaming entries
-    "rel_window_rank_funcs",
-    "rel_unpivot",
-    "rel_null_semantics",
-    "rel_stats_agg",
-    "rel_map_funcs",
-    "rel_exists_subquery",
-    "rel_recursive_cte",
-    "rel_lateral_subquery",
-    "text_ngram_freq",
-    "text_repetition_ratio",
-    "text_normalize",
-    "kmeans_mllib_sizes",
-    "sim_ann_ivf",
-    "sim_ann_ivf_fixed",
-    "mm_decode_features",
-    "stream_sliding_counts",
-    "stream_static_join",
-    # --- 20 of the 31 queries ADDED during round 4 (never verified;
-    # the registry grew 94 -> 125 this round).  Never-verified beats
-    # once-verified, so these displace the r1/r2-verified tail, which
-    # moves just past the cut.  The 11 r4-new plain-SQL rel_* /
-    # pipeline entries that don't fit lead the past-cut block below
-    # and rotate into r5's prefix. ---
-    "dedup_semantic_clustered",
-    "text_contamination",
-    "stream_dedup",
-    "rel_salted_join",
-    "sim_int8_topk",
-    "dedup_components",
-    "pipe_doc_chunking",
-    "dedup_survivors",
-    "dedup_incremental",
-    "sim_ann_ivf_sq8",
-    "text_boilerplate_strip",
-    "text_pii_scrub",
-    "text_tfidf_topterms",
-    "pipe_vocab_build",
-    "pipe_quality_classifier",
-    "pipe_dataset_card",
-    "stream_session_windows_rocksdb",
-    "udaf_median_by_type",
-    "dedup_lsh_verified",
-    "stream_upsert_latest",
-    # ------------------- 50-entry cut lands here -------------------
-    # first: the 11 remaining never-verified r4 additions (picked up
-    # immediately if the budget reaches past 50; otherwise r5's prefix)
+    "o04_assign_argmin_nd",
+    "o09_centroid_update_nd",
+    # --- 45 never-driver-verified, strict age order (NOTES.md blocks):
+    # late-r4 block (11), second-continuation (8), third-continuation (19)
     "rel_funnel",
     "rel_retention",
     "rel_constraints",
@@ -102,10 +51,107 @@ _PRIORITY = [
     "rel_merge_upsert",
     "rel_scd2",
     "pipe_tokenizer_apply",
-    # then the r1/r2-verified tail displaced from the prefix this round
+    "rel_hll_sketch_union",
+    "pipe_global_shuffle",
+    "text_unigram_logprob",
+    "rel_bitmap_distinct",
+    "dedup_fuzzy_blocked",
+    "o14_silhouette",
+    "dedup_containment",
+    "rel_generators",
+    "dedup_cdc_chunks",
+    "rel_topk_salted",
+    "text_char_entropy",
+    "sim_pq_adc",
+    "stream_topk_types",
+    "rel_xml_funcs",
+    "dedup_minhash_mllib",
+    "rel_approx_top_k",
+    "rel_theta_sketch_sets",
+    "pipe_sft_format",
+    "o14_calinski",
+    "rel_anomaly_zscore",
+    "udf_arrow_scalar",
+    "pipe_span_corruption",
+    "text_bigram_logprob",
+    "rel_variant_explode",
+    "rel_topk_sketch_rollup",
+    "rel_pipe_syntax",
+    "stream_distinct_users",
+    # --- 7 weak-family picks (VERDICT r4 item 3): graph x4, similarity
+    # serving, multimodal near-dup, and the repaired pipe_pca_whiten
+    # (item 1 requires a driver row) -- slight age-order deviation,
+    # endorsed by the verdict's 'weak component families first'
+    "rel_pagerank",
+    "rel_triangles",
+    "rel_graph_bfs",
+    "pipe_label_propagation",
+    "sim_sparse_cosine",
+    "mm_phash_near_dup",
+    "pipe_pca_whiten",
+    # ------------------- 50-entry cut lands here -------------------
+    # remaining 38 never-verified in age order (drained fully in r6)
+    "rel_orc_roundtrip",
+    "pipe_dpo_pairs",
+    "sim_matryoshka_topk",
+    "pipe_pareto_frontier",
+    "pipe_importance_resample",
+    "pipe_dataset_diff",
+    "udf_sql_scalar",
+    "udf_sql_tvf",
+    "rel_session_vars",
+    "rel_decimal_money",
+    "rel_mad_robust",
+    "udf_arrow_grouped",
+    "pipe_shard_manifest",
+    "rel_spatial_radius_join",
+    "o14_davies_bouldin",
+    "text_readability",
+    "rel_sql_scripting",
+    "rel_collation_lcase",
+    "stream_approx_percentile",
+    "rel_json_corrupt_records",
+    "pipe_synthetic_qa",
+    "pipe_dedup_eval",
+    "text_url_domains",
+    "pipe_length_buckets",
+    "rel_csv_roundtrip",
+    "o02_seed_kmeanspp",
+    "rel_window_ntile",
+    "rel_grouping_id",
+    "rel_time_weighted_avg",
+    "rel_incremental_rollup",
+    "rel_chisq_independence",
+    "pipe_oversample_minority",
+    "udf_pandas_iter",
+    "rel_parameterized_sql",
+    "rel_lateral_column_alias",
+    "o12_kmeans_minibatch",
+    "rel_dpp_prune_join",
+    "rel_interval_calendar",
+    # the 8 O-core primitives rotated out of the prefix for one round
+    "o01_scan_limit",
+    "o02_seed_sample",
+    "o03_distance_expr",
+    "o04_assign_argmin",
+    "o05_multi_emit",
+    "o06_sort_by_key",
+    "o07_group_counts",
+    "o08_centroid_update",
+    # everything else: least-recently-verified first (r1/r2/r3 tails),
+    # four-rounds-green prefix veterans last
     "o12_kmeans_five_steps",
     "o14_sse_by_k",
     "o02_seed_farthest",
+    "rel_join_outer",
+    "rel_window_lag",
+    "rel_cube",
+    "rel_grouping_sets",
+    "rel_count_distinct_multi",
+    "rel_correlated_scalar",
+    "rel_json_variant",
+    "rel_session_window",
+    "rel_conditional_agg_q14",
     "text_token_stats",
     "text_quality_score",
     "text_lang_id",
@@ -121,11 +167,6 @@ _PRIORITY = [
     "pipe_token_packing",
     "udtf_shingles",
     "stream_hourly_counts",
-    "rel_join_outer",
-    "rel_window_lag",
-    # three-rounds-green representatives, rotated past the cut for r4;
-    # newest-first within the group so any regression in recent code
-    # still surfaces earliest if the budget reaches further than 50
     "udf_mapreduce_kmeans_step",
     "rel_approx_distinct",
     "rel_approx_percentile",
@@ -163,6 +204,43 @@ _PRIORITY = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
+    "rel_window_rank_funcs",
+    "rel_unpivot",
+    "rel_null_semantics",
+    "rel_stats_agg",
+    "rel_map_funcs",
+    "rel_exists_subquery",
+    "rel_recursive_cte",
+    "rel_lateral_subquery",
+    "text_ngram_freq",
+    "text_repetition_ratio",
+    "text_normalize",
+    "kmeans_mllib_sizes",
+    "sim_ann_ivf",
+    "sim_ann_ivf_fixed",
+    "mm_decode_features",
+    "stream_sliding_counts",
+    "stream_static_join",
+    "dedup_semantic_clustered",
+    "text_contamination",
+    "stream_dedup",
+    "rel_salted_join",
+    "sim_int8_topk",
+    "dedup_components",
+    "pipe_doc_chunking",
+    "dedup_survivors",
+    "dedup_incremental",
+    "sim_ann_ivf_sq8",
+    "text_boilerplate_strip",
+    "text_pii_scrub",
+    "text_tfidf_topterms",
+    "pipe_vocab_build",
+    "pipe_quality_classifier",
+    "pipe_dataset_card",
+    "stream_session_windows_rocksdb",
+    "udaf_median_by_type",
+    "dedup_lsh_verified",
+    "stream_upsert_latest",
 ]
 
 

@@ -2580,17 +2580,17 @@ def rel_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "overwrite in place instead of accreting directories.",
 )
 def rel_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.readers import fixture_keyed_tmpdir
+    from ..sources.readers import committed_write, fixture_keyed_tmpdir
 
     dest = fixture_keyed_tmpdir(sf_dir, "orders", "kmrc_orc")
-
-    (
-        load_table(spark, sf_dir, "orders")
+    committed_write(
+        dest,
+        lambda tmp: load_table(spark, sf_dir, "orders")
         .where(F.col("o_orderkey") < 2000)
         .select("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice")
         .write.mode("overwrite")
         .option("compression", "zlib")
-        .orc(dest)
+        .orc(tmp),
     )
     back = spark.read.orc(dest)
     return back.select(
@@ -3318,7 +3318,7 @@ def rel_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "repeated runs overwrite in place.",
 )
 def rel_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.readers import fixture_keyed_tmpdir
+    from ..sources.readers import committed_write, fixture_keyed_tmpdir
 
     dest = fixture_keyed_tmpdir(sf_dir, "documents", "kmrc_csv")
 
@@ -3326,8 +3326,9 @@ def rel_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
         F.lit(', plus "a quoted field"\nwith an embedded line-break, a\ttab '),
     )
-    (
-        load_table(spark, sf_dir, "documents")
+    committed_write(
+        dest,
+        lambda tmp: load_table(spark, sf_dir, "documents")
         .where(F.col("doc_id") < 300)
         .select("doc_id", hostile.alias("text"), "lang", "n_chars")
         .write.mode("overwrite")
@@ -3337,7 +3338,7 @@ def rel_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the trailing space in the hostile suffix exercises these
         .option("ignoreLeadingWhiteSpace", False)
         .option("ignoreTrailingWhiteSpace", False)
-        .csv(dest)
+        .csv(tmp),
     )
     back = spark.read.schema(
         "doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT"
@@ -3540,7 +3541,7 @@ def rel_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "idiom).",
 )
 def rel_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.readers import fixture_keyed_tmpdir
+    from ..sources.readers import committed_write, fixture_keyed_tmpdir
 
     dest = fixture_keyed_tmpdir(sf_dir, "events", "kmrc_rollup")
 
@@ -3558,7 +3559,12 @@ def rel_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("v_cents").alias("pmax"),
     )
     # closed days: persisted once (the incremental state)
-    partials(e.where(F.col("day") < maxday)).write.mode("overwrite").parquet(dest)
+    committed_write(
+        dest,
+        lambda tmp: partials(e.where(F.col("day") < maxday))
+        .write.mode("overwrite")
+        .parquet(tmp),
+    )
     base = spark.read.parquet(dest)
     delta = partials(e.where(F.col("day") == maxday))
 
@@ -3705,17 +3711,18 @@ def rel_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     "overwrites in place across invocations).",
 )
 def rel_dpp_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.readers import fixture_keyed_tmpdir
+    from ..sources.readers import committed_write, fixture_keyed_tmpdir
 
     dest = fixture_keyed_tmpdir(sf_dir, "customer", "kmrc_dpp")
     import os
 
     if not os.path.exists(os.path.join(dest, "_SUCCESS")):
-        (
-            load_table(spark, sf_dir, "customer")
+        committed_write(
+            dest,
+            lambda tmp: load_table(spark, sf_dir, "customer")
             .write.mode("overwrite")
             .partitionBy("c_nationkey")
-            .parquet(dest)
+            .parquet(tmp),
         )
     fact = spark.read.parquet(dest)
     dim = load_table(spark, sf_dir, "nation").where(F.col("n_regionkey") == 2)

@@ -157,11 +157,22 @@ def points_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def fixture_keyed_tmpdir(sf_dir: str, table: str, prefix: str) -> str:
-    """Deterministic per-fixture scratch path under the system temp dir,
-    keyed on the source parquet's (size, mtime): a regenerated fixture
-    invalidates naturally and repeated invocations overwrite in place.
-    Shared by the format round-trip and incremental-rollup queries and
-    the points cache (the kmrc cache idiom)."""
+    """Deterministic per-fixture scratch path, keyed on the source
+    parquet's (size, mtime): a regenerated fixture invalidates
+    naturally and repeated invocations reuse one directory.  Shared by
+    the format round-trip and incremental-rollup queries and the
+    points cache (the kmrc cache idiom).
+
+    Paths live under a per-user 0700 root (``kmrc_u<uid>``) inside the
+    system temp dir, and the root's ownership is verified on every
+    call: the bare tempdir is world-writable, so a predictable shared
+    path there could be pre-planted by another local user and any
+    ``_SUCCESS``-trusting consumer would serve attacker-controlled
+    rows (ADVICE r4).  A pre-existing root owned by someone else
+    raises OSError -- consumers either fall back to the uncached path
+    (points cache) or fail loudly rather than read foreign data.
+    Writers must commit via :func:`committed_write`, never in place.
+    """
     import hashlib
     import os
     import tempfile
@@ -171,7 +182,35 @@ def fixture_keyed_tmpdir(sf_dir: str, table: str, prefix: str) -> str:
     key = hashlib.md5(
         f"{sf_dir}:{st.st_size}:{int(st.st_mtime)}".encode()
     ).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), f"{prefix}_{key}")
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    root = os.path.join(tempfile.gettempdir(), f"kmrc_u{uid}")
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    if hasattr(os, "getuid") and os.stat(root).st_uid != uid:
+        raise OSError(f"scratch root {root} is not owned by uid {uid}")
+    os.chmod(root, 0o700)
+    return os.path.join(root, f"{prefix}_{key}")
+
+
+def committed_write(dest: str, write) -> None:
+    """Crash- and concurrency-safe directory commit (the points-cache
+    protocol, factored for every fixture_keyed_tmpdir consumer): run
+    ``write(tmp_path)`` against a pid-suffixed sibling, then rename it
+    into place.  Readers only ever observe a fully-written directory
+    -- an in-place ``mode("overwrite")`` on the shared path would
+    expose half-written files to a concurrent invocation for the whole
+    duration of the write (ADVICE r4).  If a concurrent writer wins
+    the rename, its (identical, fixture-keyed) output stands and this
+    attempt's temp dir is discarded."""
+    import os
+    import shutil
+
+    tmp = f"{dest}.tmp.{os.getpid()}"
+    write(tmp)
+    shutil.rmtree(dest, ignore_errors=True)
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # concurrent writer won
 
 
 def points_from_lineitem_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -186,23 +225,21 @@ def points_from_lineitem_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     (size, mtime) so a regenerated fixture invalidates naturally.
     """
     import os
-    import shutil
 
     try:
         dest = fixture_keyed_tmpdir(sf_dir, "lineitem", "kmrc_points")
     except OSError:
         return points_from_lineitem(spark, sf_dir)
     if not os.path.exists(os.path.join(dest, "_SUCCESS")):
-        tmp = f"{dest}.tmp.{os.getpid()}"
         # round-robin to a handful of files so the cached scan reads in
         # parallel (the window's output is one partition)
-        points_from_lineitem(spark, sf_dir).repartition(8).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        try:
-            os.rename(tmp, dest)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # concurrent writer won
+        committed_write(
+            dest,
+            lambda tmp: points_from_lineitem(spark, sf_dir)
+            .repartition(8)
+            .write.mode("overwrite")
+            .parquet(tmp),
+        )
     return spark.read.parquet(dest)
 
 

@@ -265,3 +265,30 @@ def test_skyline_2d_every_bucket_count(spark):
             ).collect()
         )
         assert got == want, n_salt
+
+
+def test_skyline_2d_fractional_axes(spark):
+    """Regression (ADVICE r4): a RANGE +1 offset over the raw x axis
+    reads as "x' >= x+1", which silently skips dominators with
+    x' in (x, x+1) on fractional axes.  The dense_rank axis makes the
+    strict-greater frame exact for any numeric type: (0.5, 1.0) is
+    dominated by (0.7, 2.0) and must NOT survive."""
+    import random
+
+    from kmeans_with_mapreduce_cuda_spark.operators.skew import skyline_2d
+
+    rng = random.Random(13)
+    pts = [(0.5, 1.0), (0.7, 2.0), (0.9, 0.4)]
+    pts += [
+        (rng.random() * 3, rng.random() * 3) for _ in range(200)
+    ]  # sub-unit spacing everywhere
+    pts += [(2.25, 2.25), (2.25, 2.25)]  # duplicated fractional frontier pt
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)], ["id", "x", "y"]
+    )
+    got = sorted(
+        (r["id"], r["x"], r["y"])
+        for r in skyline_2d(df, x="x", y="y", salt_on="id").collect()
+    )
+    assert got == _brute_skyline(pts)
+    assert (0, 0.5, 1.0) not in got
