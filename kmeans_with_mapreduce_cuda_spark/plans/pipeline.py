@@ -2472,6 +2472,51 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_dedup_rocksdb_changelog",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    doc="stream_dedup drained under RocksDB + CHANGELOG checkpointing "
+    "(VERDICT r4 optional item): per-commit checkpoint cost becomes "
+    "O(batch churn) -- key deltas in N.changelog files -- instead of "
+    "O(total state) full-SST snapshot uploads, which is the difference "
+    "between shipping kilobytes and re-uploading a multi-TB dedup "
+    "state every trigger at 100 TB stream scale.  Same oracle as "
+    "stream_dedup by contract: checkpoint format never changes "
+    "results, and this row makes that claim driver-hash-checked.  "
+    "tests/test_streaming.py additionally asserts the .changelog "
+    "files (and no full-snapshot zips) actually appear in the state "
+    "dir.  Confs are set before the build and restored after, so "
+    "neighboring gate queries keep the default provider.",
+)
+def stream_dedup_rocksdb_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.streams import (
+        CHANGELOG_CONF,
+        dedup_stream,
+        read_events_stream,
+        use_rocksdb_state,
+    )
+
+    prov = "spark.sql.streaming.stateStore.providerClass"
+    old_prov = spark.conf.get(prov)
+    old_chlog = spark.conf.get(CHANGELOG_CONF, None)
+    try:
+        use_rocksdb_state(spark, changelog=True)
+        return _drain_stream_to_table(
+            spark,
+            lambda: dedup_stream(
+                read_events_stream(spark, sf_dir),
+                keys=["user_id", "event_type"],
+            ).select("user_id", "event_type"),
+            "_gate_dedup_chlog_",
+        )
+    finally:
+        spark.conf.set(prov, old_prov)
+        if old_chlog is None:
+            spark.conf.unset(CHANGELOG_CONF)
+        else:
+            spark.conf.set(CHANGELOG_CONF, old_chlog)
+
+
+@query(
     "sim_int8_topk",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -931,3 +931,19 @@ def test_dpp_join_prunes_partitions(spark):
     # jobs), not the fallback standalone-subquery path
     assert "SubqueryAdaptiveBroadcast" in plan or "SubqueryBroadcast" in plan, plan
     assert "PartitionFilters" in plan, plan
+
+
+def test_dpp_semijoin_filter_prunes_partitions(spark):
+    """rel_dpp_semijoin_filter's IN-subquery must execute as a LeftSemi
+    broadcast join whose dynamic-pruning subquery rides the dim
+    broadcast and reaches the fact scan's PartitionFilters -- the
+    filter-shaped twin of test_dpp_join_prunes_partitions."""
+    from kmeans_with_mapreduce_cuda_spark.plans.relational import (
+        dpp_semijoin_plan,
+    )
+
+    plan = dpp_semijoin_plan(spark, SF_DIR)
+    assert "LeftSemi" in plan, plan
+    assert "dynamicpruning" in plan.lower(), plan
+    assert "SubqueryAdaptiveBroadcast" in plan or "SubqueryBroadcast" in plan, plan
+    assert "PartitionFilters" in plan, plan

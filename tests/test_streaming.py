@@ -621,3 +621,82 @@ def test_upsert_latest_batch_split_invariance(spark, tmp_path):
         if u not in expect or (ts, eid) > (expect[u][0], expect[u][1]):
             expect[u] = (ts, eid, v)
     assert one == sorted((u, *t) for u, t in expect.items())
+
+
+def test_rocksdb_changelog_checkpointing_writes_deltas(spark):
+    """Changelog checkpointing (VERDICT r4 optional item): under
+    RocksDB + changelogCheckpointing, each commit must upload key
+    DELTAS (N.changelog files) instead of full SST snapshot zips, and
+    the drained dedup set must equal the batch DISTINCT exactly.  This
+    pins the conf actually taking effect in this build -- a silently
+    ignored conf would leave zips and no changelogs."""
+    import glob
+    import os
+    import tempfile
+
+    from kmeans_with_mapreduce_cuda_spark.streaming import (
+        read_events_stream,
+    )
+    from kmeans_with_mapreduce_cuda_spark.streaming.streams import (
+        CHANGELOG_CONF,
+        dedup_stream,
+        use_rocksdb_state,
+    )
+
+    prov = "spark.sql.streaming.stateStore.providerClass"
+    old_prov = spark.conf.get(prov)
+    old_chlog = spark.conf.get(CHANGELOG_CONF, None)
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    ck = tempfile.mkdtemp(prefix="kmrc_ckpt_chlog_")
+    try:
+        use_rocksdb_state(spark, changelog=True)
+        assert spark.conf.get(CHANGELOG_CONF) == "true"
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        df = dedup_stream(
+            read_events_stream(spark, SF_DIR),
+            keys=["user_id", "event_type"],
+        ).select("user_id", "event_type")
+        q = (
+            df.writeStream.format("memory")
+            .queryName("_chlog_test_")
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(120)
+        finally:
+            q.stop()
+        got = {
+            tuple(r) for r in spark.table("_chlog_test_").collect()
+        }
+        from kmeans_with_mapreduce_cuda_spark.sources.readers import (
+            load_table,
+        )
+
+        exact = {
+            tuple(r)
+            for r in load_table(spark, SF_DIR, "events")
+            .select("user_id", "event_type")
+            .distinct()
+            .collect()
+        }
+        assert got == exact
+        state = os.path.join(ck, "state")
+        chlogs = glob.glob(
+            os.path.join(state, "**", "*.changelog"), recursive=True
+        )
+        zips = glob.glob(os.path.join(state, "**", "*.zip"), recursive=True)
+        assert chlogs, "no .changelog files written"
+        assert not zips, f"full snapshot zips present: {zips[:3]}"
+    finally:
+        spark.conf.set(prov, old_prov)
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        if old_chlog is None:
+            spark.conf.unset(CHANGELOG_CONF)
+        else:
+            spark.conf.set(CHANGELOG_CONF, old_chlog)
+        import shutil
+
+        shutil.rmtree(ck, ignore_errors=True)
