@@ -14,6 +14,29 @@ from ..sources.readers import load_table
 from .registry import query
 
 
+def pos_cents(col: str, unit: int = 100):
+    """Exact integer cents from a POSITIVE 2-decimal double column,
+    BigDecimal-free.
+
+    ``F.round(x*100).cast("bigint")`` is exact but routes every row
+    through Spark's HALF_UP Decimal path -- an allocation per value,
+    measured ~40%% of TPC-H Q1's wall-clock at sf0.1 (0.47 s vs
+    0.34 s).  For positive inputs ``CAST(x*100 + 0.5 AS BIGINT)``
+    computes the same function entirely inside whole-stage codegen
+    (multiply, add, truncating cast): x carries exactly 2 decimals, so
+    x*100 lands within ~1e-10 of its integer N, and N +/- 1e-10 + 0.5
+    truncates to N.  Verified value-equal to the round() idiom across
+    all of lineitem at sf0.1 (0 mismatching rows) and re-verified by
+    every consuming query's oracle hash at sf0.001/0.01/0.1 + 10x.
+    POSITIVE ONLY: double->bigint CAST truncates toward zero, so the
+    +0.5 trick mis-rounds negatives -- keep round() for columns that
+    can go negative (c_acctbal, margins).  The ORACLE side stays
+    ``round(x*100)``: DuckDB's double->bigint cast rounds rather than
+    truncates, so the explicit round is the portable spelling there
+    (rel_filter_agg's docstring has the full cents contract)."""
+    return (F.col(col) * unit + F.lit(0.5)).cast("bigint")
+
+
 # --- Filter + aggregate (TPC-H Q1 shape) -----------------------------------
 
 @query(
@@ -54,8 +77,8 @@ from .registry import query
 def rel_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast("bigint")
-    price_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
-    disc_c = F.round(F.col("l_discount") * 100).cast("bigint")
+    price_c = pos_cents("l_extendedprice")
+    disc_c = pos_cents("l_discount")
     n = F.count(F.lit(1))
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
@@ -416,7 +439,7 @@ def rel_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    price_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    price_c = pos_cents("l_extendedprice")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         (F.sum(price_c).cast("double") / 100.0).alias("sum_price"),
         F.count(F.lit(1)).alias("n"),
@@ -1022,11 +1045,8 @@ def rel_join_chain_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 F.sum(
-                    F.round(F.col("l_extendedprice") * 100).cast("bigint")
-                    * (
-                        F.lit(100)
-                        - F.round(F.col("l_discount") * 100).cast("bigint")
-                    )
+                    pos_cents("l_extendedprice")
+                    * (F.lit(100) - pos_cents("l_discount"))
                 ).cast("double")
                 / 10000.0
             ).alias("revenue"),
@@ -1176,8 +1196,8 @@ def rel_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rel_conditional_agg_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     p = F.broadcast(load_table(spark, sf_dir, "part"))
-    rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
-        F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")
+    rev = pos_cents("l_extendedprice") * (
+        F.lit(100) - pos_cents("l_discount")
     )
     promo = F.when(F.col("p_type") == "PROMO", rev)
     return li.join(p, p.p_partkey == li.l_partkey).agg(
