@@ -326,19 +326,30 @@ def pq_codebooks(
     ]
 
 
-def _sq_dist_expr(vec_col: str, offset: int, code: list[float]) -> Column:
-    """Explicit left-associated sum of squared diffs between embedding
-    dims [offset, offset+len(code)) and a literal code vector.  The
-    FIXED association order is the float-determinism contract: the
-    oracle generates the same tree, float->double casts are exact, so
-    the resulting double is bit-identical across engines (registry
-    float policy: controlled-order short chains stay UNROUNDED)."""
-    acc: Column | None = None
+def _sq_dist_sql(vec_col: str, offset: int, code: list[float]) -> str:
+    """SQL text of the left-associated sum of squared diffs between
+    embedding dims [offset, offset+len(code)) and a literal code
+    vector.  The FIXED association order is the float-determinism
+    contract: the oracle generates the same tree, float->double casts
+    are exact, so the resulting double is bit-identical across engines
+    (registry float policy: controlled-order short chains stay
+    UNROUNDED).  Generated as TEXT, not Column-API calls: the
+    expression has m*k*dsub ~ 1000 terms, and building it one py4j
+    call at a time cost ~15 s of pure driver round-trips per query
+    build (the update_nd / HOF-as-SQL-text lesson); one F.expr parse
+    of the same tree is milliseconds.  Literals carry the ``D`` suffix
+    so Spark parses them as DOUBLE (a bare ``0.12`` parses as DECIMAL
+    and would change the arithmetic type lattice); repr() is the
+    shortest round-trip form, so the parsed double is bit-equal to the
+    Python float."""
+    terms = []
     for d, c in enumerate(code):
-        e = F.element_at(F.col(vec_col), offset + d + 1).cast("double")
-        t = (e - F.lit(float(c))) * (e - F.lit(float(c)))
-        acc = t if acc is None else acc + t
-    assert acc is not None
+        e = f"CAST(element_at({vec_col}, {offset + d + 1}) AS DOUBLE)"
+        lit = f"{float(c)!r}D"
+        terms.append(f"(({e} - {lit}) * ({e} - {lit}))")
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = f"({acc} + {t})"
     return acc
 
 
@@ -356,18 +367,20 @@ def pq_encode(
     codegen projection: no join, no shuffle (the codebook IS the
     plan, like the K-Means assign stage)."""
     m, k = len(codebooks), len(codebooks[0])
-    out = df
+    dsub = len(codebooks[0][0])
+    cols = ["*"]
     for s in range(m):
-        dists = F.array(
-            *[
-                _sq_dist_expr(features, s * len(codebooks[0][0]), codebooks[s][j])
+        arr = "array({})".format(
+            ", ".join(
+                _sq_dist_sql(features, s * dsub, codebooks[s][j])
                 for j in range(k)
-            ]
+            )
         )
-        out = out.withColumn(
-            f"{code_prefix}{s}",
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+        cols.append(
+            f"CAST(array_position({arr}, array_min({arr})) - 1 AS INT)"
+            f" AS {code_prefix}{s}"
         )
+    out = df.selectExpr(*cols)
     packed: Column | None = None
     for s in range(m):
         t = F.col(f"{code_prefix}{s}").cast("bigint") * F.lit(k ** s)
@@ -448,12 +461,14 @@ def matryoshka_topk(
     pruning) and broadcast-join the survivors back for stage 2.
 
     Determinism: distances are generated left-associated against
-    literal query values (:func:`_sq_dist_expr`), so an oracle stating
+    literal query values (:func:`_sq_dist_sql`), so an oracle stating
     the same tree agrees bit-for-bit and both stages' (dist, id)
     orderings are exact -- the candidate CUT at k_coarse is therefore
     engine-portable, which a float-divergent distance would break.
     """
-    coarse = _sq_dist_expr(features, 0, [float(v) for v in q_vec[:coarse_dims]])
+    coarse = F.expr(
+        _sq_dist_sql(features, 0, [float(v) for v in q_vec[:coarse_dims]])
+    )
     cand = (
         emb.select(
             F.col(id_col), F.col(features), coarse.alias("coarse_dist")
@@ -461,7 +476,7 @@ def matryoshka_topk(
         .orderBy("coarse_dist", id_col)
         .limit(k_coarse)
     )
-    full = _sq_dist_expr(features, 0, [float(v) for v in q_vec])
+    full = F.expr(_sq_dist_sql(features, 0, [float(v) for v in q_vec]))
     return (
         cand.select(id_col, "coarse_dist", full.alias("full_dist"))
         .orderBy("full_dist", id_col)

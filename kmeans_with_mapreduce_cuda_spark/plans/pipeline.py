@@ -4449,7 +4449,7 @@ def _matryoshka_sql(
     "(sim_ann_ivf: cell routing) and PQ (sim_pq_adc: compressed "
     "codes) as the third standard ANN serving shape.  UNROUNDED "
     "value-hash oracle: both distance trees generated left-associated "
-    "identically (the _sq_dist_expr contract), so the stage-1 cut and "
+    "identically (the _sq_dist_sql contract), so the stage-1 cut and "
     "final ranking agree bit-for-bit -- "
     "operators/similarity.py:matryoshka_topk.",
 )
