@@ -322,3 +322,72 @@ def test_bigram_logprob_agrees_on_whitespace_residue_docs(spark, tmp_path):
         for r in con.execute(REGISTRY["text_bigram_logprob"].oracle).fetchall()
     )
     assert got == exp, (got, exp)
+
+
+def test_pos_cents_equals_round_idiom_on_two_decimal_grid(spark):
+    """pos_cents (CAST(x*100 + 0.5 AS BIGINT), the codegen-native cents
+    idiom) must equal round(x*100) for EVERY positive 2-decimal value a
+    money column can hold, not just the fixture's draw: sweep the full
+    cent grid over several magnitude decades (0.01 .. ~1e7), where
+    x*100's float error is largest relative to the 0.5 guard."""
+    from kmeans_with_mapreduce_cuda_spark.plans.relational import pos_cents
+
+    df = (
+        spark.range(1, 2_000_000, 7)  # ~285k cent values across decades
+        .withColumn("x", (F.col("id").cast("double") * 7.0 + 3.0) / 100.0)
+        .withColumn("f", pos_cents("x"))
+        .withColumn("r", F.round(F.col("x") * 100).cast("bigint"))
+    )
+    bad = df.where(F.col("f") != F.col("r")).count()
+    assert bad == 0
+
+
+def test_committed_write_replaces_stale_dest(spark, tmp_path):
+    """committed_write must atomically replace a pre-existing (stale or
+    partial) destination and leave no temp sibling behind."""
+    import os
+
+    from kmeans_with_mapreduce_cuda_spark.sources.readers import (
+        committed_write,
+    )
+
+    dest = str(tmp_path / "cw_dest")
+    os.makedirs(dest)
+    with open(os.path.join(dest, "stale.txt"), "w") as f:
+        f.write("half-written junk")
+
+    committed_write(
+        dest,
+        lambda tmp: spark.range(5).write.mode("overwrite").parquet(tmp),
+    )
+    assert os.path.exists(os.path.join(dest, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(dest, "stale.txt"))
+    assert spark.read.parquet(dest).count() == 5
+    siblings = [
+        p for p in os.listdir(tmp_path) if p.startswith("cw_dest.tmp.")
+    ]
+    assert siblings == []
+
+
+def test_fixture_keyed_tmpdir_private_root(spark):
+    """The scratch root must be per-user and 0700 (ADVICE r4: a
+    predictable path in the world-writable tempdir could be pre-planted
+    by another local user)."""
+    import os
+    import stat
+    import tempfile
+
+    from kmeans_with_mapreduce_cuda_spark.sources.readers import (
+        fixture_keyed_tmpdir,
+    )
+
+    from conftest import SF_DIR
+
+    p = fixture_keyed_tmpdir(SF_DIR, "lineitem", "kmrc_unittest")
+    root = os.path.dirname(p)
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    assert os.path.basename(root) == f"kmrc_u{uid}"
+    assert os.path.dirname(root) == tempfile.gettempdir()
+    st = os.stat(root)
+    assert stat.S_IMODE(st.st_mode) == 0o700
+    assert st.st_uid == uid
