@@ -342,10 +342,23 @@ def _sq_dist_sql(vec_col: str, offset: int, code: list[float]) -> str:
     and would change the arithmetic type lattice); repr() is the
     shortest round-trip form, so the parsed double is bit-equal to the
     Python float."""
+    import math
+
+    assert code, "empty code vector"
     terms = []
     for d, c in enumerate(code):
+        c = float(c)
+        if not math.isfinite(c):
+            # repr(nan)+'D' would be unparseable SQL ('nanD'); a
+            # non-finite codebook/query value is bad upstream data --
+            # fail loudly at build with a readable message instead of a
+            # ParseException (code-review r5 finding)
+            raise ValueError(
+                f"non-finite literal {c!r} at dim {offset + d} -- "
+                "codebook/query vectors must be finite"
+            )
         e = f"CAST(element_at({vec_col}, {offset + d + 1}) AS DOUBLE)"
-        lit = f"{float(c)!r}D"
+        lit = f"{c!r}D"
         terms.append(f"(({e} - {lit}) * ({e} - {lit}))")
     acc = terms[0]
     for t in terms[1:]:

@@ -3701,6 +3701,26 @@ def rel_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Dynamic partition pruning: the partitioned-star-join scale lever -------
 
+def _dpp_customer_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Write-once hive-partitioned customer layout shared by both DPP
+    queries (partitionBy(c_nationkey), fixture-keyed dest, committed
+    via the rename protocol); returns the directory path."""
+    import os
+
+    from ..sources.readers import committed_write, fixture_keyed_tmpdir
+
+    dest = fixture_keyed_tmpdir(sf_dir, "customer", "kmrc_dpp")
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        committed_write(
+            dest,
+            lambda tmp: load_table(spark, sf_dir, "customer")
+            .write.mode("overwrite")
+            .partitionBy("c_nationkey")
+            .parquet(tmp),
+        )
+    return dest
+
+
 @query(
     "rel_dpp_prune_join",
     oracle="""
@@ -3731,20 +3751,7 @@ def rel_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     "overwrites in place across invocations).",
 )
 def rel_dpp_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.readers import committed_write, fixture_keyed_tmpdir
-
-    dest = fixture_keyed_tmpdir(sf_dir, "customer", "kmrc_dpp")
-    import os
-
-    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
-        committed_write(
-            dest,
-            lambda tmp: load_table(spark, sf_dir, "customer")
-            .write.mode("overwrite")
-            .partitionBy("c_nationkey")
-            .parquet(tmp),
-        )
-    fact = spark.read.parquet(dest)
+    fact = spark.read.parquet(_dpp_customer_fixture(spark, sf_dir))
     dim = load_table(spark, sf_dir, "nation").where(F.col("n_regionkey") == 2)
     return (
         fact.join(dim, fact.c_nationkey == dim.n_nationkey)
@@ -3796,20 +3803,9 @@ def dpp_prune_plan(spark: SparkSession, sf_dir: str) -> str:
     "unpartitioned customer; exact integer cents (Q1 discipline).",
 )
 def rel_dpp_semijoin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.readers import committed_write, fixture_keyed_tmpdir
-
-    dest = fixture_keyed_tmpdir(sf_dir, "customer", "kmrc_dpp")
-    import os
-
-    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
-        committed_write(
-            dest,
-            lambda tmp: load_table(spark, sf_dir, "customer")
-            .write.mode("overwrite")
-            .partitionBy("c_nationkey")
-            .parquet(tmp),
-        )
-    spark.read.parquet(dest).createOrReplaceTempView("kmrc_cust_part")
+    spark.read.parquet(
+        _dpp_customer_fixture(spark, sf_dir)
+    ).createOrReplaceTempView("kmrc_cust_part")
     load_table(spark, sf_dir, "nation").createOrReplaceTempView(
         "kmrc_nation_dim"
     )

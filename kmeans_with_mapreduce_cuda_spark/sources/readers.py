@@ -175,6 +175,7 @@ def fixture_keyed_tmpdir(sf_dir: str, table: str, prefix: str) -> str:
     """
     import hashlib
     import os
+    import stat
     import tempfile
 
     src = os.path.join(sf_dir, f"{table}.parquet")
@@ -185,7 +186,14 @@ def fixture_keyed_tmpdir(sf_dir: str, table: str, prefix: str) -> str:
     uid = os.getuid() if hasattr(os, "getuid") else 0
     root = os.path.join(tempfile.gettempdir(), f"kmrc_u{uid}")
     os.makedirs(root, mode=0o700, exist_ok=True)
-    if hasattr(os, "getuid") and os.stat(root).st_uid != uid:
+    # lstat + islink: makedirs(exist_ok=True) happily accepts a
+    # pre-planted SYMLINK to a directory, and a followed stat would
+    # check the target's owner -- the attacker-chosen entry itself must
+    # be a real directory owned by us (code-review r5 finding).
+    st_root = os.lstat(root)
+    if os.path.islink(root) or not stat.S_ISDIR(st_root.st_mode):
+        raise OSError(f"scratch root {root} is not a real directory")
+    if hasattr(os, "getuid") and st_root.st_uid != uid:
         raise OSError(f"scratch root {root} is not owned by uid {uid}")
     os.chmod(root, 0o700)
     return os.path.join(root, f"{prefix}_{key}")
@@ -194,23 +202,40 @@ def fixture_keyed_tmpdir(sf_dir: str, table: str, prefix: str) -> str:
 def committed_write(dest: str, write) -> None:
     """Crash- and concurrency-safe directory commit (the points-cache
     protocol, factored for every fixture_keyed_tmpdir consumer): run
-    ``write(tmp_path)`` against a pid-suffixed sibling, then rename it
-    into place.  Readers only ever observe a fully-written directory
-    -- an in-place ``mode("overwrite")`` on the shared path would
-    expose half-written files to a concurrent invocation for the whole
-    duration of the write (ADVICE r4).  If a concurrent writer wins
-    the rename, its (identical, fixture-keyed) output stands and this
-    attempt's temp dir is discarded."""
+    ``write(tmp_path)`` against a pid-suffixed sibling, move any stale
+    ``dest`` ASIDE (never delete it in place), rename the fresh dir
+    into the gap, then drop the aside copy.  Readers only ever observe
+    a fully-written directory -- an in-place ``mode("overwrite")`` on
+    the shared path would expose half-written files to a concurrent
+    invocation for the whole duration of the write (ADVICE r4), and a
+    delete-before-rename would let a LOSING concurrent writer destroy
+    the winner's freshly committed output (code-review r5 finding).
+    If the final rename loses a race, the winner's (identical,
+    fixture-keyed) output stands and this attempt's dirs are
+    discarded; if it fails for a non-race reason, the stale aside copy
+    is restored so ``dest`` never silently vanishes."""
     import os
     import shutil
 
     tmp = f"{dest}.tmp.{os.getpid()}"
     write(tmp)
-    shutil.rmtree(dest, ignore_errors=True)
+    doomed: str | None = f"{dest}.old.{os.getpid()}"
+    try:
+        os.rename(dest, doomed)
+    except OSError:
+        doomed = None  # nothing stale to move aside
     try:
         os.rename(tmp, dest)
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)  # concurrent writer won
+        if doomed is not None and not os.path.exists(dest):
+            try:
+                os.rename(doomed, dest)  # non-race failure: restore stale
+                doomed = None
+            except OSError:
+                pass
+    if doomed is not None:
+        shutil.rmtree(doomed, ignore_errors=True)
 
 
 def points_from_lineitem_cached(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -445,8 +445,10 @@ def use_rocksdb_state(spark: SparkSession, changelog: bool = False) -> None:
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
     )
-    if changelog:
-        spark.conf.set(CHANGELOG_CONF, "true")
+    # set BOTH ways: changelog=False must actively clear a prior
+    # changelog=True call on the shared session, or the signature would
+    # lie to later callers (code-review r5 finding)
+    spark.conf.set(CHANGELOG_CONF, "true" if changelog else "false")
 
 
 def session_window_stream(
