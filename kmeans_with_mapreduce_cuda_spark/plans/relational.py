@@ -3701,24 +3701,33 @@ def rel_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Dynamic partition pruning: the partitioned-star-join scale lever -------
 
-def _dpp_customer_fixture(spark: SparkSession, sf_dir: str) -> str:
+def _dpp_customer_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-once hive-partitioned customer layout shared by both DPP
     queries (partitionBy(c_nationkey), fixture-keyed dest, committed
-    via the rename protocol); returns the directory path."""
+    via the rename protocol); returns the read-back DataFrame.
+
+    The read supplies the source schema EXPLICITLY: a zero-row
+    partitioned write leaves only _SUCCESS behind (no data files, no
+    partition directories), and a bare read of that fails with
+    UNABLE_TO_INFER_SCHEMA -- an empty date-slice snapshot is a normal
+    event at warehouse scale and must read back as an empty frame, not
+    an error.  Partition discovery still runs off the directory names,
+    so dynamic pruning / PartitionFilters are unaffected
+    (plan-asserted in test_plans.py)."""
     import os
 
     from ..sources.readers import committed_write, fixture_keyed_tmpdir
 
+    src = load_table(spark, sf_dir, "customer")
     dest = fixture_keyed_tmpdir(sf_dir, "customer", "kmrc_dpp")
     if not os.path.exists(os.path.join(dest, "_SUCCESS")):
         committed_write(
             dest,
-            lambda tmp: load_table(spark, sf_dir, "customer")
-            .write.mode("overwrite")
+            lambda tmp: src.write.mode("overwrite")
             .partitionBy("c_nationkey")
             .parquet(tmp),
         )
-    return dest
+    return spark.read.schema(src.schema).parquet(dest)
 
 
 @query(
@@ -3751,7 +3760,7 @@ def _dpp_customer_fixture(spark: SparkSession, sf_dir: str) -> str:
     "overwrites in place across invocations).",
 )
 def rel_dpp_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fact = spark.read.parquet(_dpp_customer_fixture(spark, sf_dir))
+    fact = _dpp_customer_fixture(spark, sf_dir)
     dim = load_table(spark, sf_dir, "nation").where(F.col("n_regionkey") == 2)
     return (
         fact.join(dim, fact.c_nationkey == dim.n_nationkey)
@@ -3803,9 +3812,9 @@ def dpp_prune_plan(spark: SparkSession, sf_dir: str) -> str:
     "unpartitioned customer; exact integer cents (Q1 discipline).",
 )
 def rel_dpp_semijoin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.read.parquet(
-        _dpp_customer_fixture(spark, sf_dir)
-    ).createOrReplaceTempView("kmrc_cust_part")
+    _dpp_customer_fixture(spark, sf_dir).createOrReplaceTempView(
+        "kmrc_cust_part"
+    )
     load_table(spark, sf_dir, "nation").createOrReplaceTempView(
         "kmrc_nation_dim"
     )

@@ -59,6 +59,14 @@ QUERIES = [
     "rel_topk_sketch_rollup",
     "rel_pipe_syntax",
     "stream_distinct_users",
+    # r5 additions + r5-touched numerics (sim_pq_adc is NOT here: a
+    # model-fit query on an empty table raises the documented readable
+    # assertion -- see test_pq_codebooks_empty_input_raises_readably)
+    "rel_dpp_prune_join",
+    "rel_dpp_semijoin_filter",
+    "stream_dedup_rocksdb_changelog",
+    "pipe_pca_whiten",
+    "pipe_pareto_frontier",
 ]
 
 
@@ -113,3 +121,16 @@ def test_int8_quantization_empty_and_zero_vectors(spark):
     rows = {r["vec_id"]: r for r in quantize_embeddings_int8(zeros).collect()}
     assert rows[1]["q_scale"] == 0.0 and all(c == 0 for c in rows[1]["q_code"])
     assert rows[2]["q_scale"] > 0 and max(abs(c) for c in rows[2]["q_code"]) == 127
+
+
+def test_pq_codebooks_empty_input_raises_readably(spark):
+    """Model-fit operators cannot produce a model from zero rows; the
+    contract is a READABLE assertion at fit time (same as k-means
+    seeding), never a downstream ParseException or silent empty model."""
+    from kmeans_with_mapreduce_cuda_spark.operators.similarity import (
+        pq_codebooks,
+    )
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    with pytest.raises(AssertionError, match="seed vectors"):
+        pq_codebooks(empty)
