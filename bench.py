@@ -18,6 +18,16 @@ Headline queries:
 - sim_topk       : brute-force cosine top-10 over embeddings.
 - json_variant   : VARIANT parse + typed extraction + agg over events.
 - token_packing  : running-sum sequence packing over documents.
+- dedup_semantic : K-Means-cell-clustered embedding cosine near-dup
+                   (added round 5; cell-routed, never all-pairs).
+- dedup_components: near-dup pairs -> connected components -> cluster ids
+                   (added round 5; pointer-jumping label propagation).
+- sim_int8       : int8-quantized cosine top-k serving path (added
+                   round 5).
+
+The three round-5 keys raise the headline TOTAL by their own cost
+(~2-4 s at sf0.1) relative to BENCH_r01-r04 — read round-over-round
+totals per-query, not headline (see BASELINE.md).
 """
 
 from __future__ import annotations
@@ -107,6 +117,13 @@ def main() -> None:
         ("sim_topk", "sim_topk_bruteforce"),
         ("json_variant", "rel_json_variant"),
         ("token_packing", "pipe_token_packing"),
+        # Round-5 additions (NOTES.md bench-evolution proposal): the
+        # three scale-relevant paths added during round 4.  They extend
+        # the TOTAL by their own cost; cross-round total comparisons
+        # must be per-query (BASELINE.md).
+        ("dedup_semantic", "dedup_semantic_clustered"),
+        ("dedup_components", "dedup_components"),
+        ("sim_int8", "sim_int8_topk"),
     ]:
         entries.append((bench_name, lambda n=reg_name: run_registry(n), 1))
 
