@@ -518,19 +518,43 @@ def connected_components(
     (GraphFrames' CC does the same).  Old checkpoint blocks are
     released by the ContextCleaner once unreferenced.
 
-    The convergence check (any label still shrinking?) is a 1-row
-    driver boundary per round -- the same D2H shape as the K-Means
-    centroid collect.
+    The convergence check is a 1-row driver boundary per round -- the
+    same D2H shape as the K-Means centroid collect.  It is SUM-based:
+    every round's label is min(old, neighbor msgs, jump), so per-node
+    labels are monotone non-increasing and ``sum(comp)`` is unchanged
+    iff NO label moved -- an exact fixpoint test.  The sum is taken in
+    DECIMAL(38,0) (exact; a bigint sum could overflow past ~1e18 total
+    label mass at corpus scale, and ANSI mode would make that loud
+    rather than wrong).  Cost shape: one map-side-combined aggregate
+    over the already-materialized checkpoint blocks, versus the
+    join-plus-count formulation's extra shuffle join of old and new
+    labels each round -- cheaper at every scale, identical round count.
     """
-    sym = edges.select(
-        F.col(a).alias("src"), F.col(b).alias("dst")
-    ).unionAll(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+    # Persist the symmetric edge list PRE-PARTITIONED on the join key:
+    # every round joins sym on src, and without this the edge list --
+    # the data-scale side of the loop -- would be re-shuffled once per
+    # round.  One exchange total instead of one per round is the same
+    # discipline rel_pagerank pins with
+    # test_pagerank_reuses_persisted_edge_list.
+    sym = (
+        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionAll(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .repartition("src")
+        .persist()
+    )
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
+
+    def _label_mass(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).collect()[0][0]
+
+    prev_mass = _label_mass(labels)
     for it in range(max_iter):
         msgs = sym.join(labels, sym.src == labels.node).select(
             F.col("dst").alias("node"), F.col("comp")
@@ -551,18 +575,13 @@ def connected_components(
             _release_local_checkpoint(labels)
             labels = new
             break
-        shrunk = (
-            new.join(
-                labels.select("node", F.col("comp").alias("old")), "node"
-            )
-            .where(F.col("comp") < F.col("old"))
-            .limit(1)
-            .count()
-        )
+        cur_mass = _label_mass(new)
         _release_local_checkpoint(labels)  # old round: deterministic free
         labels = new
-        if shrunk == 0:
+        if cur_mass == prev_mass:  # exact fixpoint: no label moved
             break
+        prev_mass = cur_mass
+    sym.unpersist()  # final labels are checkpointed; edges no longer read
     out = labels.select("node", "comp")
     # same explicit release contract as LshPairs: the gate query
     # materializes via _eager(deps=res.deps).

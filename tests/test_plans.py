@@ -840,6 +840,46 @@ def test_pagerank_reuses_persisted_edge_list(spark):
             dep.unpersist()
 
 
+def test_connected_components_reuses_persisted_edge_list(spark):
+    """connected_components' per-round join must read the symmetric
+    edge list from the cache pre-partitioned on the join key
+    (InMemoryTableScan, no re-shuffle of the edge side per round) --
+    the same discipline as rel_pagerank.  The operator releases its
+    internal cache before returning, so the assertion rebuilds the
+    round plan the way the loop does."""
+    import pyspark.sql.functions as F
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], ["doc_a", "doc_b"]
+    )
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .repartition("src")
+        .persist()
+    )
+    try:
+        labels = (
+            sym.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("comp", F.col("node"))
+            .localCheckpoint(eager=True)
+        )
+        rnd = sym.join(labels, sym.src == labels.node).select(
+            F.col("dst").alias("node"), "comp"
+        )
+        plan = plan_of(rnd)
+        assert "InMemoryTableScan" in plan, plan
+        # the only exchange hashed on src is the one INSIDE the cached
+        # relation; the round plan must not re-shuffle the edge side
+        cached_at = plan.index("InMemoryRelation")
+        assert "Exchange hashpartitioning(src" not in plan[:cached_at], plan
+    finally:
+        sym.unpersist()
+
+
 def test_sql_udf_inlines_no_python_eval(spark):
     """udf_sql_scalar: SQL-language UDFs must inline at analysis --
     no Python eval node of any kind, aggregation still codegen'd."""
