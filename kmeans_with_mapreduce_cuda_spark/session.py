@@ -47,5 +47,25 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Whole-stage codegen of large generated expressions (the
+        # 64-term dot products, PQ encode trees, n-D distance SQL text)
+        # emits Java methods past the JVM's 8000-bytecode
+        # DontCompileHugeMethods threshold: the method codegens fine but
+        # runs in the BYTECODE INTERPRETER forever.  Measured on the
+        # within-cell cosine join at sf0.1: 2.8 s -> 0.45 s (6x) with
+        # the flag.  Spark's own spark.sql.codegen.hugeMethodLimit
+        # (65535) never fires first, so without this flag the "codegen"
+        # path silently loses to hand-rolled interpretation.  On a real
+        # cluster set the same flag in executor options (done below);
+        # the larger code cache absorbs the extra compiled variants
+        # across a many-query session.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m",
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m",
+        )
     )
     return builder.getOrCreate()
