@@ -26,8 +26,10 @@ Headline queries:
                    round 5).
 
 The three round-5 keys raise the headline TOTAL by their own cost
-(~2-4 s at sf0.1) relative to BENCH_r01-r04 — read round-over-round
-totals per-query, not headline (see BASELINE.md).
+(measured ~5-7.5 s at sf0.1: dedup_semantic 1.9-2.3, dedup_components
+4.7-5.8 incl. its own LSH pair generation, sim_int8 0.5-0.6) relative
+to BENCH_r01-r04 — read round-over-round totals per-query, not
+headline (see BASELINE.md).
 """
 
 from __future__ import annotations

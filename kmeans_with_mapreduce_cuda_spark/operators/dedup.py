@@ -19,6 +19,7 @@ from typing import NamedTuple
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.text import tokens, word_shingles
 
@@ -519,16 +520,20 @@ def connected_components(
     released by the ContextCleaner once unreferenced.
 
     The convergence check is a 1-row driver boundary per round -- the
-    same D2H shape as the K-Means centroid collect.  It is SUM-based:
-    every round's label is min(old, neighbor msgs, jump), so per-node
-    labels are monotone non-increasing and ``sum(comp)`` is unchanged
-    iff NO label moved -- an exact fixpoint test.  The sum is taken in
-    DECIMAL(38,0) (exact; a bigint sum could overflow past ~1e18 total
-    label mass at corpus scale, and ANSI mode would make that loud
-    rather than wrong).  Cost shape: one map-side-combined aggregate
-    over the already-materialized checkpoint blocks, versus the
-    join-plus-count formulation's extra shuffle join of old and new
-    labels each round -- cheaper at every scale, identical round count.
+    same D2H shape as the K-Means centroid collect.  For INTEGRAL node
+    ids it is SUM-based: every round's label is min(old, neighbor
+    msgs, jump), so per-node labels are monotone non-increasing and
+    ``sum(comp)`` is unchanged iff NO label moved -- an exact fixpoint
+    test.  The sum is taken in DECIMAL(38,0) (exact; a bigint sum
+    could overflow past ~1e18 total label mass at corpus scale, and
+    ANSI mode would make that loud rather than wrong).  Cost shape:
+    one map-side-combined aggregate over the already-materialized
+    checkpoint blocks, versus the join-plus-count formulation's extra
+    shuffle join of old and new labels each round -- cheaper at every
+    scale, identical round count.  Non-integral ids (string url/hash
+    keys, floats) cannot ride that cast losslessly, so they dispatch
+    to the type-agnostic moved-label equi-join check instead --
+    correctness never depends on the id type.
     """
     # Persist the symmetric edge list PRE-PARTITIONED on the join key:
     # every round joins sym on src, and without this the edge list --
@@ -542,46 +547,82 @@ def connected_components(
         .repartition("src")
         .persist()
     )
-    labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
-
-    def _label_mass(df: DataFrame):
-        return df.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-        ).collect()[0][0]
-
-    prev_mass = _label_mass(labels)
-    for it in range(max_iter):
-        msgs = sym.join(labels, sym.src == labels.node).select(
-            F.col("dst").alias("node"), F.col("comp")
-        )
-        cand = labels.select("node", "comp").unionAll(msgs)
-        if jump:
-            l1, l2 = labels.alias("l1"), labels.alias("l2")
-            jumped = l1.join(
-                l2, F.col("l1.comp") == F.col("l2.node")
-            ).select(F.col("l1.node").alias("node"), F.col("l2.comp"))
-            cand = cand.unionAll(jumped)
-        new = (
-            cand.groupBy("node")
-            .agg(F.min("comp").alias("comp"))
+    try:
+        labels = (
+            sym.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("comp", F.col("node"))
             .localCheckpoint(eager=True)
         )
-        if it == max_iter - 1:  # no next round: the check can't matter
-            _release_local_checkpoint(labels)
-            labels = new
-            break
-        cur_mass = _label_mass(new)
-        _release_local_checkpoint(labels)  # old round: deterministic free
-        labels = new
-        if cur_mass == prev_mass:  # exact fixpoint: no label moved
-            break
-        prev_mass = cur_mass
-    sym.unpersist()  # final labels are checkpointed; edges no longer read
+
+        # Fixpoint detection is type-dispatched.  The 1-job sum-mass
+        # check (sum is unchanged iff no monotone-non-increasing label
+        # moved) requires ids whose DECIMAL(38,0) cast is lossless and
+        # injective -- integral types only.  Any other id type (string
+        # urls/hash keys, floats whose cast truncates) falls back to
+        # the type-agnostic moved-label count: a checkpoint-to-
+        # checkpoint equi-join that costs one extra shuffle per round
+        # but compares labels by real equality.
+        integral_ids = isinstance(
+            labels.schema["comp"].dataType,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+        )
+
+        def _label_mass(df: DataFrame):
+            return df.agg(
+                F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+            ).collect()[0][0]
+
+        def _moved(old: DataFrame, new: DataFrame) -> bool:
+            o = old.select(
+                F.col("node").alias("o_node"), F.col("comp").alias("o_comp")
+            )
+            return bool(
+                new.join(o, new.node == F.col("o_node"))
+                .where(F.col("comp") != F.col("o_comp"))
+                .limit(1)
+                .count()
+            )
+
+        prev_mass = _label_mass(labels) if integral_ids else None
+        for it in range(max_iter):
+            msgs = sym.join(labels, sym.src == labels.node).select(
+                F.col("dst").alias("node"), F.col("comp")
+            )
+            cand = labels.select("node", "comp").unionAll(msgs)
+            if jump:
+                l1, l2 = labels.alias("l1"), labels.alias("l2")
+                jumped = l1.join(
+                    l2, F.col("l1.comp") == F.col("l2.node")
+                ).select(F.col("l1.node").alias("node"), F.col("l2.comp"))
+                cand = cand.unionAll(jumped)
+            new = (
+                cand.groupBy("node")
+                .agg(F.min("comp").alias("comp"))
+                .localCheckpoint(eager=True)
+            )
+            if it == max_iter - 1:  # no next round: the check can't matter
+                _release_local_checkpoint(labels)
+                labels = new
+                break
+            if integral_ids:
+                cur_mass = _label_mass(new)
+                _release_local_checkpoint(labels)
+                labels = new
+                if cur_mass == prev_mass:  # exact fixpoint: no label moved
+                    break
+                prev_mass = cur_mass
+            else:
+                converged = not _moved(labels, new)
+                _release_local_checkpoint(labels)
+                labels = new
+                if converged:
+                    break
+    finally:
+        # sym is function-local: no caller could release it via deps,
+        # so a mid-loop job failure must not leave the repartitioned
+        # edge list -- the data-scale side -- pinned in block storage.
+        sym.unpersist()
     out = labels.select("node", "comp")
     # same explicit release contract as LshPairs: the gate query
     # materializes via _eager(deps=res.deps).

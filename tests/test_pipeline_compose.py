@@ -91,6 +91,33 @@ def test_connected_components_resolves_chains_and_islands(spark):
     }
 
 
+def test_connected_components_string_ids(spark):
+    """Node ids are not required to be numeric: string keys (urls,
+    content hashes) must converge via the type-agnostic moved-label
+    check.  The sum-mass fixpoint path only applies to integral ids --
+    under ANSI mode a string->decimal cast would throw, and with ANSI
+    off it would yield NULL masses that compare equal after round 1
+    and silently stop propagation early (review finding, round 5).
+    The 4-node path needs >1 round, so an early stop is detected."""
+    from kmeans_with_mapreduce_cuda_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        # path a-b-c-d (diameter 3: >1 round), island x-y
+        [("b", "c"), ("a", "b"), ("c", "d"), ("x", "y")],
+        "doc_a string, doc_b string",
+    )
+    res = connected_components(edges)
+    try:
+        got = {r["node"]: r["comp"] for r in res.labels.collect()}
+    finally:
+        for dep in res.deps:
+            dep.unpersist()
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a",
+                   "x": "x", "y": "x"}
+
+
 def test_connected_components_max_iter_bounds_rounds(spark):
     """max_iter is a hard round bound: a 6-node path needs ~5
     propagation rounds; max_iter=1 must stop early (labels then only
