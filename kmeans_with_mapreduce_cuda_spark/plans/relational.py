@@ -138,7 +138,9 @@ def rel_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderpriority,
            CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS revenue
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE o.o_orderstatus = 'F'
     GROUP BY o.o_orderpriority
@@ -155,8 +157,16 @@ def rel_join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.countDistinct("o_orderkey").alias("n_orders"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # Exact-cents revenue (rel_filter_agg contract): the raw
+            # double sum is order-dependent and diverges past the cent
+            # at ~1e13 per-group magnitude (rel_salted_join failed the
+            # 100x probe on exactly this shape).
+            (
+                F.sum(
+                    pos_cents("l_extendedprice")
+                    * (F.lit(100) - pos_cents("l_discount"))
+                ).cast("double")
+                / 10000.0
             ).alias("revenue"),
         )
     )
@@ -534,9 +544,17 @@ def rel_ansi_sql_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_ANSI_Q3)
 
 
+# Revenue in exact bigint cents (the rel_filter_agg contract): the
+# raw double sum is summation-ORDER-dependent, so even a verbatim
+# string diverges across engines past ~1e13 per-group magnitude.  The
+# round-then-cast spelling is the portable exact idiom (DuckDB's
+# double->bigint cast rounds, Spark's truncates; explicit round()
+# agrees everywhere).
 _ANSI_GROUP_BY_ALL = """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS revenue,
            CAST(count(*) AS BIGINT) AS n
     FROM lineitem
     WHERE l_quantity >= 25
@@ -565,10 +583,12 @@ def rel_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_pivot",
     oracle="""
     SELECT l_returnflag,
-           round(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 2)
-               AS rev_f,
-           round(sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END), 2)
-               AS rev_o
+           CAST(sum(CASE WHEN l_linestatus = 'F' THEN
+                    CAST(round(l_extendedprice * 100) AS BIGINT) END)
+                AS DOUBLE) / 100.0 AS rev_f,
+           CAST(sum(CASE WHEN l_linestatus = 'O' THEN
+                    CAST(round(l_extendedprice * 100) AS BIGINT) END)
+                AS DOUBLE) / 100.0 AS rev_o
     FROM lineitem GROUP BY l_returnflag
     """,
     doc="Pivot: revenue by returnflag spread across linestatus columns "
@@ -577,10 +597,17 @@ def rel_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # Exact-cents pivot cells (rel_filter_agg contract): per-cell sums
+    # reach ~1.5e13 at the 100x probe scale, past the double sum's
+    # cent-exactness -- aggregate bigint cents, divide once.
     p = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["F", "O"])
-        .agg(F.round(F.sum("l_extendedprice"), 2))
+        .agg(
+            (
+                F.sum(pos_cents("l_extendedprice")).cast("double") / 100.0
+            ).alias("rev")
+        )
     )
     return p.select(
         "l_returnflag",
@@ -1517,7 +1544,8 @@ _RECURSIVE_SQL = """
     )
     SELECT m.m AS month,
            CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
-           round(coalesce(sum(o.o_totalprice), 0.0), 2) AS revenue
+           CAST(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
+                AS DOUBLE) / 100.0 AS revenue
     FROM months m
     LEFT JOIN orders o ON CAST(month(o.o_orderdate) AS INTEGER) = m.m
     GROUP BY m.m
@@ -1579,7 +1607,9 @@ def rel_lateral_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_items,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS revenue
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority
     """,
@@ -1618,8 +1648,18 @@ def rel_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # Exact-cents revenue (the rel_filter_agg contract): the
+            # raw double sum diverged from DuckDB past the cent at the
+            # 100x probe (~6e13 per-group magnitude, order-dependent
+            # float error -- the round-4 landmine class).  Per-group
+            # cent-mass stays under 2^53 through 100x, and
+            # bigint->double casts round identically in both engines.
+            (
+                F.sum(
+                    pos_cents("l_extendedprice")
+                    * (F.lit(100) - pos_cents("l_discount"))
+                ).cast("double")
+                / 10000.0
             ).alias("revenue"),
         )
     )
