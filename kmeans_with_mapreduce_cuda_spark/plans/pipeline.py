@@ -693,6 +693,7 @@ def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_sql(num_hashes: int = 16, bands: int = 8, seed: int = 42) -> str:
     from ..functions.hashing import MINHASH_P, minhash_params
+    from ..operators.dedup import MAX_BAND_BUCKET
 
     r = num_hashes // bands
     params = minhash_params(num_hashes, seed)
@@ -703,10 +704,36 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 8, seed: int = 42) -> str:
         f"list_min([ ({a} * {base} + {b}) % {MINHASH_P} FOR s IN shingles ]) AS h{j}"
         for j, (a, b) in enumerate(params)
     )
+    # The hot-bucket skew cap (operators/dedup.py minhash_lsh_pairs:
+    # band keys held by > MAX_BAND_BUCKET docs are excluded) is part of
+    # the QUERY CONTRACT and must be mirrored here, exactly like
+    # dedup_fuzzy_blocked's block cap.  It never fires at the gate
+    # scales (bucket max ~120 at 10x), so an uncapped oracle passes
+    # there -- but the 100x verbatim-duplication probe pushed buckets
+    # past 1000 and caught the asymmetry as a 4.6% pair-count gap.
+    # Keyed per band on the band's own h-columns, count <= cap kept --
+    # identical integer predicate in both engines at any scale.  The
+    # AS MATERIALIZED hints keep DuckDB from inlining sig into each of
+    # the 2*bands references (the rel_pagerank CTE lesson).
+
+    def band_key(alias: str, b: int) -> str:
+        return " AND ".join(
+            f"{alias}.h{b * r + j} = k{b}.h{b * r + j}" for j in range(r)
+        )
+
+    kept_ctes = ", ".join(
+        f"k{b} AS MATERIALIZED (SELECT "
+        + ", ".join(f"h{b * r + j}" for j in range(r))
+        + ", count(*) AS n FROM sig GROUP BY "
+        + ", ".join(f"h{b * r + j}" for j in range(r))
+        + f" HAVING count(*) <= {MAX_BAND_BUCKET})"
+        for b in range(bands)
+    )
     band_arms = " UNION ALL ".join(
         "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b ON "
         + " AND ".join(f"a.h{b * r + j} = b.h{b * r + j}" for j in range(r))
         + " AND a.doc_id < b.doc_id"
+        + f" JOIN k{b} ON {band_key('a', b)}"
         for b in range(bands)
     )
     agree = " + ".join(
@@ -720,7 +747,8 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 8, seed: int = 42) -> str:
     sh AS (
         SELECT doc_id, {_SHINGLE_LIST_EXPR} AS shingles FROM toks
     ),
-    sig AS (SELECT doc_id, {h_cols} FROM sh WHERE len(shingles) > 0),
+    sig AS MATERIALIZED (SELECT doc_id, {h_cols} FROM sh WHERE len(shingles) > 0),
+    {kept_ctes},
     cand AS ({band_arms}),
     pairs AS (SELECT DISTINCT doc_a, doc_b FROM cand)
     SELECT p.doc_a, p.doc_b, round(({agree}) / {num_hashes}.0, 6) AS est_jaccard

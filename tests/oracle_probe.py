@@ -51,6 +51,16 @@ def main() -> None:
     # so oracle OOM doesn't masquerade as a query failure.
     con.execute("SET temp_directory='/tmp/duckdb_probe_spill'")
     con.execute("SET preserve_insertion_order=false")
+    # DuckDB's default memory_limit is 80% of RAM, and its accounting
+    # undercounts large list payloads: the 100x dedup_minhash_lsh
+    # oracle ballooned to 115 GB RSS and drew the KERNEL oom-killer
+    # (which takes out the whole probe, Spark included) before DuckDB
+    # ever started spilling.  A hard cap well under physical RAM turns
+    # that into disk spill instead.  Override per-run when a heavier
+    # oracle genuinely needs more: PROBE_DUCKDB_MEM=64g.
+    con.execute(
+        f"SET memory_limit='{os.environ.get('PROBE_DUCKDB_MEM', '32g')}'"
+    )
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
