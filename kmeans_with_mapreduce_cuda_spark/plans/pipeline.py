@@ -6,6 +6,7 @@ SQL-expressible; scale notes in each docstring.
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import pandas as pd
@@ -1959,9 +1960,14 @@ def _drain_stream_to_table(spark: SparkSession, build, prefix: str) -> DataFrame
             .start()
         )
         try:
-            if not q.awaitTermination(120):
+            # 120 s covers every gate fixture with wide margin; scale
+            # probes (10M+ events through stateful joins) override via
+            # SPARK_GRAFT_DRAIN_TIMEOUT without touching gate behavior.
+            drain_s = int(os.environ.get("SPARK_GRAFT_DRAIN_TIMEOUT", "120"))
+            if not q.awaitTermination(drain_s):
                 raise TimeoutError(
-                    f"stream {name} did not finish availableNow drain in 120s"
+                    f"stream {name} did not finish availableNow drain"
+                    f" in {drain_s}s"
                 )
         finally:
             q.stop()  # idempotent after natural termination; never leak
@@ -3916,8 +3922,11 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         try:
-            if not q.awaitTermination(120):
-                raise TimeoutError("upsert stream did not drain in 120s")
+            drain_s = int(os.environ.get("SPARK_GRAFT_DRAIN_TIMEOUT", "120"))
+            if not q.awaitTermination(drain_s):
+                raise TimeoutError(
+                    f"upsert stream did not drain in {drain_s}s"
+                )
         finally:
             q.stop()
         final = spark.read.parquet(state).select(
