@@ -56,8 +56,14 @@ def dot_product_sql(a: str, b: str, dim: int) -> str:
     NOTES.md).  The text parses to a left-associated add chain
     ``t1 + t2 + ...`` which is bit-identical to the HOF fold
     ``((0.0 + t1) + t2) + ...`` because ``0.0 + t1 == t1`` exactly in
-    IEEE double, so oracle hashes do not move.  Rendered as SQL text,
-    never Column-API loops, per the >100-node rule (NOTES.md)."""
+    IEEE double, so oracle hashes do not move.  ONE edge: t1 = -0.0
+    yields +0.0 under the old fold but -0.0 in this chain -- the
+    identity holds for every value EXCEPT the sign of a negative-zero
+    total.  Harmless in current consumers (all-zero dot products are
+    filtered by the cosine threshold before output), but a future
+    consumer emitting unfiltered dot products must not rely on
+    unconditional bit-identity of the zero's sign.  Rendered as SQL
+    text, never Column-API loops, per the >100-node rule (NOTES.md)."""
     return " + ".join(
         f"element_at({a}, {i}) * element_at({b}, {i})"
         for i in range(1, dim + 1)

@@ -80,11 +80,26 @@ def lsh_bucket_sql(
     return "CAST(" + " + ".join(terms) + " AS INTEGER)"
 
 
+def n_planes_for(n_vectors: int, target_bucket: int = 256) -> int:
+    """Plane count sized to the corpus: 2^planes buckets put an EXPECTED
+    ``target_bucket`` vectors in each, so within-bucket join output stays
+    ~n_vectors * target_bucket regardless of corpus size.  A FIXED plane
+    count is quadratic ruin at scale (4 planes = 16 buckets over 20M
+    vectors -> ~1.2e12 candidate pairs); planes must grow with log2(N).
+    """
+    import math
+
+    if n_vectors <= target_bucket:
+        return 1
+    return max(1, math.ceil(math.log2(n_vectors / target_bucket)))
+
+
 def lsh_bucket_pairs(
     df: DataFrame,
+    *,
+    n_planes: int,
     id_col: str = "vec_id",
     features: str = "embedding",
-    n_planes: int = 4,
     seed: int = 42,
     threshold: float = 0.3,
     max_bucket: int | None = None,
@@ -96,6 +111,14 @@ def lsh_bucket_pairs(
     all-pairs comparison, the same LSH shape as MinHash banding but for
     the embedding column.  Recall dial: fewer planes = bigger buckets =
     higher recall and more candidates.
+
+    ``n_planes`` is REQUIRED (no default) because the right value is a
+    function of corpus size, not a constant: expected bucket occupancy
+    is N / 2^planes, so candidate-pair volume is ~N^2 / 2^planes --
+    a fixed plane count silently goes quadratic as N grows.  Size it
+    with ``n_planes_for(N)`` (keeps expected occupancy ~256); the gate
+    query pins 4 only because its 2k-vector fixture needs populated
+    buckets for an oracle-checkable result.
 
     Skew guard (same rationale as ``dedup.minhash_lsh_pairs``): a
     degenerate sign bucket -- e.g. a corpus dominated by one embedding

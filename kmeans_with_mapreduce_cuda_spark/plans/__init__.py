@@ -17,80 +17,27 @@ from . import pipeline  # noqa: F401,E402
 # follow in registration order (hash-checked before rows-only).
 # ---------------------------------------------------------------------------
 
-# Round-5 ROTATION (VERDICT r4 items 2-3): the registry grew 94 -> 197 in
-# round 4 against the hard 50-entry cut, leaving 83 queries with no driver
-# CORRECTNESS row.  This round DRAINS instead of growing: the always-
-# verified O-core is trimmed to its 5 composite queries (the judge-endorsed
-# one-round widening; the 8 primitives they subsume sit just past the
-# never-verified block), freeing 45 slots for the oldest never-verified
-# plus the verdict's weak-family picks (graph, similarity serving,
-# multimodal near-dup, pipe_pca_whiten).  After a green r5: union driver
-# coverage 159/197, 38 never-verified remain -- r6's prefix (45 slots under
-# the same trim) drains them to zero.  Re-derive from CORRECTNESS_r05.
+# Round-6 ROTATION (VERDICT r5 items 1-2): CORRECTNESS_r05 came back
+# 49/50 green (the one red: pipe_tokenizer_apply, output-shape only --
+# fixed this round, see plans/pipeline.py).  This prefix DRAINS the
+# final 40 never-driver-verified queries (NOTES.md r6 prefix, age
+# order) so union coverage reaches 199/199: 5 O-core composites +
+# pipe_tokenizer_apply (the must-re-green red row; its slot pushes
+# o05_multi_emit -- four rounds green -- past the cut to r7) + the 40
+# + 4 of the 8 rotated-out O-primitives.  o05-o08 lead the past-cut
+# block for r7.  Re-derive from CORRECTNESS_r06.
 _PRIORITY = [
-    # --- r5 O-core, trimmed to the 5 COMPOSITE operators (VERDICT r4
-    # item 2): each transitively exercises the scan/seed/assign/reduce
-    # chain that the 8 rotated-out primitives check individually, and
-    # all 13 have been green four straight rounds.  The 8 primitives
-    # sit immediately after the never-verified block below.
+    # --- O-core, kept at the 5 COMPOSITE operators (judge-endorsed
+    # trim, VERDICT r4 item 2 / r5 table): each transitively exercises
+    # the scan/seed/assign/reduce chain of the 8 primitives.
     "o12_kmeans_two_steps",
     "o13_sink_format",
     "o14_sse",
     "o04_assign_argmin_nd",
     "o09_centroid_update_nd",
-    # --- 45 never-driver-verified, strict age order (NOTES.md blocks):
-    # late-r4 block (11), second-continuation (8), third-continuation (19)
-    "rel_funnel",
-    "rel_retention",
-    "rel_constraints",
-    "rel_resample",
-    "rel_listagg",
-    "rel_try_arith",
-    "dedup_cross_corpus",
-    "text_gopher_rules",
-    "rel_merge_upsert",
-    "rel_scd2",
+    # --- the single red r5 row, re-submitted after the hashability fix
     "pipe_tokenizer_apply",
-    "rel_hll_sketch_union",
-    "pipe_global_shuffle",
-    "text_unigram_logprob",
-    "rel_bitmap_distinct",
-    "dedup_fuzzy_blocked",
-    "o14_silhouette",
-    "dedup_containment",
-    "rel_generators",
-    "dedup_cdc_chunks",
-    "rel_topk_salted",
-    "text_char_entropy",
-    "sim_pq_adc",
-    "stream_topk_types",
-    "rel_xml_funcs",
-    "dedup_minhash_mllib",
-    "rel_approx_top_k",
-    "rel_theta_sketch_sets",
-    "pipe_sft_format",
-    "o14_calinski",
-    "rel_anomaly_zscore",
-    "udf_arrow_scalar",
-    "pipe_span_corruption",
-    "text_bigram_logprob",
-    "rel_variant_explode",
-    "rel_topk_sketch_rollup",
-    "rel_pipe_syntax",
-    "stream_distinct_users",
-    # --- 7 weak-family picks (VERDICT r4 item 3): graph x4, similarity
-    # serving, multimodal near-dup, and the repaired pipe_pca_whiten
-    # (item 1 requires a driver row) -- slight age-order deviation,
-    # endorsed by the verdict's 'weak component families first'
-    "rel_pagerank",
-    "rel_triangles",
-    "rel_graph_bfs",
-    "pipe_label_propagation",
-    "sim_sparse_cosine",
-    "mm_phash_near_dup",
-    "pipe_pca_whiten",
-    # ------------------- 50-entry cut lands here -------------------
-    # remaining 38 never-verified in age order (drained fully in r6)
+    # --- the 40 never-driver-verified, strict age order (NOTES.md)
     "rel_orc_roundtrip",
     "pipe_dpo_pairs",
     "sim_matryoshka_topk",
@@ -129,11 +76,15 @@ _PRIORITY = [
     "o12_kmeans_minibatch",
     "rel_dpp_prune_join",
     "rel_interval_calendar",
-    # the 8 O-core primitives rotated out of the prefix for one round
+    "rel_dpp_semijoin_filter",
+    "stream_dedup_rocksdb_changelog",
+    # --- 4 of the 8 O-primitives rotated back in (o05-o08 spill to r7)
     "o01_scan_limit",
     "o02_seed_sample",
     "o03_distance_expr",
     "o04_assign_argmin",
+    # ------------------- 50-entry cut lands here -------------------
+    # the remaining 4 O-core primitives (lead r7's rotation)
     "o05_multi_emit",
     "o06_sort_by_key",
     "o07_group_counts",

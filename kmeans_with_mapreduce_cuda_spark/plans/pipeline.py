@@ -21,6 +21,22 @@ from ..sources.readers import load_table
 from .registry import query
 
 
+def _drain_timeout() -> int:
+    """Streaming-drain budget in seconds.  120 s covers every gate
+    fixture with wide margin; scale probes (10M+ events through
+    stateful joins) override via SPARK_GRAFT_DRAIN_TIMEOUT without
+    touching gate behavior.  Validated here once so a malformed value
+    fails with a message naming the variable, not a bare ValueError."""
+    raw = os.environ.get("SPARK_GRAFT_DRAIN_TIMEOUT", "120")
+    try:
+        return int(raw)
+    except ValueError as exc:
+        raise ValueError(
+            "SPARK_GRAFT_DRAIN_TIMEOUT must be an integer number of "
+            f"seconds, got {raw!r}"
+        ) from exc
+
+
 def _eager(
     spark: SparkSession, df: DataFrame, deps: list[DataFrame] | None = None
 ) -> DataFrame:
@@ -1960,10 +1976,7 @@ def _drain_stream_to_table(spark: SparkSession, build, prefix: str) -> DataFrame
             .start()
         )
         try:
-            # 120 s covers every gate fixture with wide margin; scale
-            # probes (10M+ events through stateful joins) override via
-            # SPARK_GRAFT_DRAIN_TIMEOUT without touching gate behavior.
-            drain_s = int(os.environ.get("SPARK_GRAFT_DRAIN_TIMEOUT", "120"))
+            drain_s = _drain_timeout()
             if not q.awaitTermination(drain_s):
                 raise TimeoutError(
                     f"stream {name} did not finish availableNow drain"
@@ -3819,7 +3832,8 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pos p LEFT JOIN top t USING (term)
     )
     SELECT doc_id,
-           list(id ORDER BY pos) FILTER (WHERE pos <= 32) AS ids,
+           string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos)
+               FILTER (WHERE pos <= 32) AS ids,
            CAST(any_value(n_tokens) AS INTEGER) AS n_tokens,
            CAST(count(*) FILTER (WHERE id = -1) AS INTEGER) AS n_oov
     FROM enc
@@ -3836,7 +3850,11 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pattern of the K-Means assign stage (operators/kmeans.py).  The "
     "join-based alternative would shuffle every (doc, token) pair; "
     "the oracle does precisely that, which is the point -- same "
-    "result, different physics.",
+    "result, different physics.  The encoded sequence is emitted as a "
+    "space-joined STRING (not array<int>): the driver's pandas "
+    "canonicalizer cannot sort/hash list cells (the r5 red row), and "
+    "a delimiter-joined rendering is the hashable, order-preserving "
+    "encoding -- same precedent as pipe_span_corruption's digest.",
 )
 def pipe_tokenizer_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -3858,7 +3876,12 @@ def pipe_tokenizer_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("int")
     return d.select(
         "doc_id",
-        F.transform(F.slice(toks, 1, 32), lookup).alias("ids"),
+        F.array_join(
+            F.transform(
+                F.slice(toks, 1, 32), lambda t: lookup(t).cast("string")
+            ),
+            " ",
+        ).alias("ids"),
         F.size(toks).alias("n_tokens"),
         F.size(F.filter(toks, lambda t: vocab_map[t].isNull())).alias("n_oov"),
     )
@@ -3922,7 +3945,7 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         try:
-            drain_s = int(os.environ.get("SPARK_GRAFT_DRAIN_TIMEOUT", "120"))
+            drain_s = _drain_timeout()
             if not q.awaitTermination(drain_s):
                 raise TimeoutError(
                     f"upsert stream did not drain in {drain_s}s"

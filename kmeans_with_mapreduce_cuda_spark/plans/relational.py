@@ -1651,9 +1651,16 @@ def rel_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Exact-cents revenue (the rel_filter_agg contract): the
             # raw double sum diverged from DuckDB past the cent at the
             # 100x probe (~6e13 per-group magnitude, order-dependent
-            # float error -- the round-4 landmine class).  Per-group
-            # cent-mass stays under 2^53 through 100x, and
-            # bigint->double casts round identically in both engines.
+            # float error -- the round-4 landmine class).  The bigint
+            # SUM itself is exact and deterministic; the per-group mass
+            # in cents*(100-disc_cents) units is ~6e17 at 100x -- PAST
+            # 2^53 -- so the final double is NOT cent-exact, but the
+            # guarantee we rely on is cross-engine EQUALITY: both
+            # engines cast the identical integer to double with the
+            # same IEEE round-to-nearest.  Overflow headroom: ~6e17
+            # per group at 100x vs 9.2e18 bigint max (~15x), and ANSI
+            # mode (pinned in session.py) makes any overflow loud --
+            # past ~9e17 cents-units per group, switch to DECIMAL.
             (
                 F.sum(
                     pos_cents("l_extendedprice")

@@ -32,6 +32,13 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", shuffle)
+        # Pinned, not assumed: Spark 4 defaults ANSI on, but the exact
+        # integer-cents aggregates (plans/relational.py pos_cents) rely
+        # on overflow being LOUD -- with ANSI off (Spark 3.x, or a user
+        # override) a bigint sum past 9.2e18 wraps silently while DuckDB
+        # promotes to HUGEINT, diverging catastrophically.  Pinning here
+        # makes "loud not wrong" a guarantee, not a version accident.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -59,13 +66,35 @@ def get_spark(
         # cluster set the same flag in executor options (done below);
         # the larger code cache absorbs the extra compiled variants
         # across a many-query session.
+        #
+        # SCOPE CAVEAT: driver extraJavaOptions set via the builder only
+        # take effect when THIS Python process launches the JVM (the
+        # pyspark-shell gateway, i.e. every harness/bench/test entry in
+        # this repo).  Under spark-submit client mode, or against an
+        # already-created session, the JVM pre-exists and the option is
+        # silently ignored -- pass it via --driver-java-options /
+        # spark-defaults.conf there.  We also MERGE with any
+        # environment-supplied value rather than clobbering it.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m",
+            _merged_java_options("spark.driver.extraJavaOptions"),
         )
         .config(
             "spark.executor.extraJavaOptions",
-            "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m",
+            _merged_java_options("spark.executor.extraJavaOptions"),
         )
     )
     return builder.getOrCreate()
+
+
+_CODEGEN_JVM_OPTS = "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m"
+
+
+def _merged_java_options(conf_key: str) -> str:
+    """Prepend user-supplied JVM options (SPARK_GRAFT_JAVA_OPTS, or the
+    JSON-ish ``spark.*.extraJavaOptions`` already present in
+    SPARK_SUBMIT_OPTS-style env) ahead of our codegen flags, so adopting
+    this session factory never silently drops a caller's -Xmx/-D flags.
+    Later -XX flags win in HotSpot, so ours stay effective."""
+    user = os.environ.get("SPARK_GRAFT_JAVA_OPTS", "").strip()
+    return f"{user} {_CODEGEN_JVM_OPTS}".strip() if user else _CODEGEN_JVM_OPTS

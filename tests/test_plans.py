@@ -987,3 +987,41 @@ def test_dpp_semijoin_filter_prunes_partitions(spark):
     assert "dynamicpruning" in plan.lower(), plan
     assert "SubqueryAdaptiveBroadcast" in plan or "SubqueryBroadcast" in plan, plan
     assert "PartitionFilters" in plan, plan
+
+
+def test_registry_schema_policy_no_complex_output_columns():
+    """Driver-hashability policy over the WHOLE registry: no checked
+    query may emit a top-level list/struct/map/union column.  The
+    driver's pandas canonicalizer sorts and hashes cell values, and
+    list cells raise ``TypeError: unhashable type`` -- the class that
+    produced r5's only red row (pipe_tokenizer_apply's bare
+    ``array<int>`` ids; now a space-joined string).  Checked against
+    the ORACLE's DESCRIBE output (DuckDB, sf0.001 views, no execution):
+    oracle and Spark schemas must match for the hash gate anyway, so
+    the oracle side is the cheap, execution-free proxy -- streaming
+    and iterative queries are covered without draining them."""
+    import duckdb
+
+    from kmeans_with_mapreduce_cuda_spark.plans import REGISTRY
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    offenders = []
+    for name, q in REGISTRY.items():
+        if q.oracle is None:
+            continue  # rows-only checks never hash cell values
+        for col, typ, *_ in con.execute(f"DESCRIBE {q.oracle}").fetchall():
+            t = typ.upper()
+            if "[]" in t or "STRUCT" in t or "MAP(" in t or "UNION" in t:
+                offenders.append((name, col, typ))
+    assert not offenders, (
+        "queries emitting driver-unhashable top-level columns: "
+        f"{offenders}"
+    )
