@@ -3177,6 +3177,68 @@ def rel_collation_lcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rel_collation_unicode_ci",
+    oracle="""
+    WITH variants AS (
+        SELECT n_nationkey, n_name AS v FROM nation
+        UNION ALL SELECT n_nationkey, lower(n_name) FROM nation
+        UNION ALL
+        SELECT n_nationkey,
+               upper(substr(n_name, 1, 1)) || lower(substr(n_name, 2))
+        FROM nation
+    )
+    SELECT lower(v) AS name_lower,
+           CAST(count(*) AS BIGINT) AS n_variants,
+           CAST(count(DISTINCT v) AS BIGINT) AS n_binary_distinct,
+           CAST(min(n_nationkey) AS BIGINT) AS nationkey
+    FROM variants
+    GROUP BY lower(v)
+    """,
+    doc="Second collation surface (VERDICT r5 item 7): ICU-backed "
+    "UNICODE_CI drives GROUP BY and DISTINCT -- three byte-distinct "
+    "case renderings of every nation name (original, lower, sentence "
+    "case) collapse to ONE group under the collated key, while "
+    "count(DISTINCT v COLLATE UTF8_BINARY) still sees all three -- "
+    "the contrast between collation-aware and binary equality in one "
+    "row.  The oracle states the same semantics with explicit "
+    "lower() grouping (for ASCII names UNICODE_CI equality == lower() "
+    "equality).  Scale note: collation rides the column TYPE, so the "
+    "hash aggregate keys on the collation sort key and stays a plain "
+    "one-exchange group-by -- no function-wrapped keys defeating "
+    "statistics; ordering comparisons are deliberately excluded "
+    "because ICU root order on punctuation differs from byte order "
+    "(equality/grouping is the portable, oracle-checkable surface).",
+)
+def rel_collation_unicode_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "_coll_nation"
+    )
+    return spark.sql(
+        """
+        WITH variants AS (
+            SELECT n_nationkey, n_name COLLATE UNICODE_CI AS v
+            FROM _coll_nation
+            UNION ALL
+            SELECT n_nationkey, lower(n_name) COLLATE UNICODE_CI
+            FROM _coll_nation
+            UNION ALL
+            SELECT n_nationkey,
+                   (upper(substr(n_name, 1, 1)) || lower(substr(n_name, 2)))
+                       COLLATE UNICODE_CI
+            FROM _coll_nation
+        )
+        SELECT lower(v) AS name_lower,
+               CAST(count(*) AS BIGINT) AS n_variants,
+               CAST(count(DISTINCT collate(v, 'UTF8_BINARY')) AS BIGINT)
+                   AS n_binary_distinct,
+               CAST(min(n_nationkey) AS BIGINT) AS nationkey
+        FROM variants
+        GROUP BY v
+        """
+    )
+
+
 # --- Robust JSON ingestion: corrupt-record handling --------------------------
 
 @query(

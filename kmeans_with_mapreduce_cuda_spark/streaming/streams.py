@@ -478,6 +478,20 @@ def session_window_stream(
     )
 
 
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet as a file-source stream (one file = one batch
+    here; production watches a landing directory or reads Kafka).  The
+    documents schema is all plain scalar types, so no physical-type
+    adaptation is needed -- contrast ``read_events_stream``'s ts
+    handling."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def ingest_dedup_foreach_batch(
     spark: SparkSession,
     index_path: str,

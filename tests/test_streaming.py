@@ -700,3 +700,19 @@ def test_rocksdb_changelog_checkpointing_writes_deltas(spark):
         import shutil
 
         shutil.rmtree(ck, ignore_errors=True)
+
+
+def test_stream_tokenizer_encode_equals_batch(spark):
+    """The streaming encode (frozen vocab literal map over a document
+    file stream, parquet sink) must reproduce the batch
+    pipe_tokenizer_apply result row-for-row: the encode is stateless,
+    so batch-vs-stream equality is exact, not eventual."""
+    got = {
+        tuple(r)
+        for r in REGISTRY["stream_tokenizer_encode"].fn(spark, SF_DIR).collect()
+    }
+    exp = {
+        tuple(r)
+        for r in REGISTRY["pipe_tokenizer_apply"].fn(spark, SF_DIR).collect()
+    }
+    assert got == exp
