@@ -161,6 +161,77 @@ def lsh_bucket_pairs(
     )
 
 
+def within_cell_cosine_pairs(
+    assigned: DataFrame,
+    dim: int,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "emb",
+    norm_col: str = "nrm",
+    cell_col: str = "cell_id",
+    max_cell: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Cosine pairs WITHIN blocking cells -- the SemDeDup join stage,
+    factored out of the gate query so the skew guard is part of the
+    operator, not prose.  ``assigned`` carries (id, emb array<double>,
+    precomputed l2 norm, cell_id); returns ``(pairs, capped_cells)``.
+
+    Scale shape: the equi-join on cell_id shuffles each cell to one
+    task, so output (and one task's work) is quadratic in the LARGEST
+    cell.  Organic corpora keep cells bounded; adversarial duplication
+    (every doc byte-identical) concentrates one cell.  ``max_cell``
+    bounds that: cells above the cap are excluded via a broadcast
+    anti-join (the hot-key list is tiny at any scale -- the
+    dedup.minhash_lsh_pairs precedent) and returned AS DATA in
+    ``capped_cells`` (cell_id, n) -- never silently dropped.  The
+    caller routes capped cells to the strategy that actually fits
+    them: exact/MinHash dedup first (byte-duplicates are why a cell
+    explodes), or a recursive sub-clustering pass within the cell.
+    ``None`` disables (the oracle-checked gate instance, where the
+    fixture's cells are bounded by construction).
+
+    Two codegen stages on purpose -- see the gate query's comment: the
+    64-term dot evaluates once as the join filter, survivors reshuffle
+    through a deliberate boundary, and the output column re-derives
+    the identical IEEE value for survivors only (measured 3x on the
+    probe loop at sf0.1).
+    """
+    from ..functions.distance import dot_product_sql
+
+    counts = assigned.groupBy(cell_col).agg(F.count(F.lit(1)).alias("n"))
+    if max_cell is not None:
+        capped = counts.where(F.col("n") > max_cell)
+        assigned = assigned.join(
+            F.broadcast(capped.select(cell_col)), cell_col, "left_anti"
+        )
+    else:
+        capped = counts.where(F.lit(False))
+    a = assigned.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(emb_col).alias("emb_a"),
+        F.col(norm_col).alias("nrm_a"),
+        cell_col,
+    )
+    b = assigned.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(emb_col).alias("emb_b"),
+        F.col(norm_col).alias("nrm_b"),
+        cell_col,
+    )
+    sim = F.expr(dot_product_sql("emb_a", "emb_b", dim)) / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
+    kept = (
+        a.join(b, cell_col)
+        .where((F.col("vec_a") < F.col("vec_b")) & (sim >= threshold))
+        .select("vec_a", "vec_b", "emb_a", "emb_b", "nrm_a", "nrm_b")
+        .repartition("vec_a")
+    )
+    pairs = kept.select("vec_a", "vec_b", F.round(sim, 6).alias("cos_sim"))
+    return pairs, capped
+
+
 def _emb_dim(df: DataFrame, features: str) -> int:
     """Embedding dimensionality from the first row (driver-side, 1 row)."""
     row = df.select(F.size(features).alias("d")).first()

@@ -2370,6 +2370,7 @@ def _semantic_dedup_build(
     the _eager collect)."""
     from ..functions.distance import dot_product_sql
     from ..operators.kmeans import assign_nd
+    from ..operators.similarity import within_cell_cosine_pairs
     from .kmeans_queries import _cents_nd
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -2394,38 +2395,12 @@ def _semantic_dedup_build(
         )
         .persist()
     )
-    a = assigned.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("emb").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-        "cell_id",
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("emb").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-        "cell_id",
-    )
-    sim = F.expr(dot_product_sql("emb_a", "emb_b", 64)) / (
-        F.col("nrm_a") * F.col("nrm_b")
-    )
-    # Two codegen stages ON PURPOSE.  Referencing the 64-term dot in
-    # both the join filter and the rounded output column puts TWO
-    # copies of it into one whole-stage method; the method still
-    # codegens but grows past what the JIT optimizes well, and the hot
-    # probe loop ran ~3x slower (measured at sf0.1: 2.7 s -> 1.3 s
-    # split).  Stage 1 evaluates the dot ONCE as the join filter and
-    # emits only survivor rows (with their arrays); the repartition is
-    # a deliberate codegen boundary, shuffling survivors only -- a
-    # small fraction of candidates at any scale -- and stage 2
-    # re-derives the identical IEEE value for just those rows.
-    kept = (
-        a.join(b, "cell_id")
-        .where((F.col("vec_a") < F.col("vec_b")) & (sim >= 0.35))
-        .select("vec_a", "vec_b", "emb_a", "emb_b", "nrm_a", "nrm_b")
-        .repartition("vec_a")
-    )
-    out = kept.select("vec_a", "vec_b", F.round(sim, 6).alias("cos_sim"))
+    # Uncapped here (the fixture's cells are bounded by construction,
+    # and the oracle states the uncapped contract); the OPERATOR
+    # carries the max_cell skew guard for corpus-scale use -- capped
+    # cells come back as data and are routed to exact/MinHash dedup
+    # first, which is the documented pipeline order anyway.
+    out, _ = within_cell_cosine_pairs(assigned, dim=64, threshold=0.35)
     return out, assigned
 
 

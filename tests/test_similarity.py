@@ -465,3 +465,37 @@ def test_n_planes_for_scales_logarithmically():
         # expected occupancy within [target/2, target] once N > target
         occ = 2**exp / 2**cur
         assert occ <= 256
+
+
+def test_within_cell_pairs_cap_returns_capped_cells_as_data(spark):
+    """The SemDeDup join's skew guard: an adversarial cell (41 identical
+    vectors) is excluded by max_cell and REPORTED in capped_cells with
+    its cardinality, while a small cell's near-parallel pair still
+    emerges; uncapped, the hot cell contributes quadratic pairs."""
+    from kmeans_with_mapreduce_cuda_spark.operators.similarity import (
+        within_cell_cosine_pairs,
+    )
+
+    dim = 4
+    rows = [(i, [1.0, 0.0, 0.0, 0.0], 1.0, 0) for i in range(41)]
+    rows += [
+        (500, [0.0, 1.0, 0.0, 0.0], 1.0, 1),
+        (501, [0.0, 0.9, 0.1, 0.0], (0.9**2 + 0.1**2) ** 0.5, 1),
+    ]
+    assigned = spark.createDataFrame(
+        rows, "vec_id bigint, emb array<double>, nrm double, cell_id int"
+    )
+
+    pairs, capped = within_cell_cosine_pairs(
+        assigned, dim=dim, threshold=0.35, max_cell=10
+    )
+    got = {(r["vec_a"], r["vec_b"]) for r in pairs.collect()}
+    assert got == {(500, 501)}
+    cap_rows = capped.collect()
+    assert [(r["cell_id"], r["n"]) for r in cap_rows] == [(0, 41)]
+
+    un_pairs, un_capped = within_cell_cosine_pairs(
+        assigned, dim=dim, threshold=0.35, max_cell=None
+    )
+    assert un_pairs.count() == 41 * 40 // 2 + 1
+    assert un_capped.count() == 0
