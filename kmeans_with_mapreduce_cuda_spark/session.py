@@ -75,14 +75,8 @@ def get_spark(
         # silently ignored -- pass it via --driver-java-options /
         # spark-defaults.conf there.  We also MERGE with any
         # environment-supplied value rather than clobbering it.
-        .config(
-            "spark.driver.extraJavaOptions",
-            _merged_java_options("spark.driver.extraJavaOptions"),
-        )
-        .config(
-            "spark.executor.extraJavaOptions",
-            _merged_java_options("spark.executor.extraJavaOptions"),
-        )
+        .config("spark.driver.extraJavaOptions", _merged_java_options())
+        .config("spark.executor.extraJavaOptions", _merged_java_options())
     )
     return builder.getOrCreate()
 
@@ -90,11 +84,10 @@ def get_spark(
 _CODEGEN_JVM_OPTS = "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m"
 
 
-def _merged_java_options(conf_key: str) -> str:
-    """Prepend user-supplied JVM options (SPARK_GRAFT_JAVA_OPTS, or the
-    JSON-ish ``spark.*.extraJavaOptions`` already present in
-    SPARK_SUBMIT_OPTS-style env) ahead of our codegen flags, so adopting
-    this session factory never silently drops a caller's -Xmx/-D flags.
-    Later -XX flags win in HotSpot, so ours stay effective."""
+def _merged_java_options() -> str:
+    """Prepend user-supplied JVM options (SPARK_GRAFT_JAVA_OPTS) ahead
+    of our codegen flags, so adopting this session factory never
+    silently drops a caller's -Xmx/-D flags.  Later -XX flags win in
+    HotSpot, so ours stay effective."""
     user = os.environ.get("SPARK_GRAFT_JAVA_OPTS", "").strip()
     return f"{user} {_CODEGEN_JVM_OPTS}".strip() if user else _CODEGEN_JVM_OPTS
