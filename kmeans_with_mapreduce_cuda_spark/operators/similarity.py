@@ -85,7 +85,8 @@ def n_planes_for(n_vectors: int, target_bucket: int = 256) -> int:
     ``target_bucket`` vectors in each, so within-bucket join output stays
     ~n_vectors * target_bucket regardless of corpus size.  A FIXED plane
     count is quadratic ruin at scale (4 planes = 16 buckets over 20M
-    vectors -> ~1.2e12 candidate pairs); planes must grow with log2(N).
+    vectors -> ~1.25e6 per bucket -> ~1.25e13 candidate pairs); planes
+    must grow with log2(N).
     """
     import math
 

@@ -21,7 +21,9 @@ from . import pipeline  # noqa: F401,E402
 # 49/50 green (the one red: pipe_tokenizer_apply, output-shape only --
 # fixed this round, see plans/pipeline.py).  This prefix DRAINS the
 # final 40 never-driver-verified queries (NOTES.md r6 prefix, age
-# order) so union coverage reaches 199/199: 5 O-core composites +
+# order) so union coverage reaches 199/199 of the r5-era registry (the
+# two r6 additions -- stream_tokenizer_encode, rel_collation_unicode_ci
+# -- register past the cut and lead r7's rotation): 5 O-core composites +
 # pipe_tokenizer_apply (the must-re-green red row; its slot pushes
 # o05_multi_emit -- four rounds green -- past the cut to r7) + the 40
 # + 4 of the 8 rotated-out O-primitives.  o05-o08 lead the past-cut

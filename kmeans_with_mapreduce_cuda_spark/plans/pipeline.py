@@ -29,12 +29,36 @@ def _drain_timeout() -> int:
     fails with a message naming the variable, not a bare ValueError."""
     raw = os.environ.get("SPARK_GRAFT_DRAIN_TIMEOUT", "120")
     try:
-        return int(raw)
+        val = int(raw)
     except ValueError as exc:
         raise ValueError(
             "SPARK_GRAFT_DRAIN_TIMEOUT must be an integer number of "
             f"seconds, got {raw!r}"
         ) from exc
+    if val <= 0:
+        # awaitTermination(0) raises a bare VALUE_NOT_POSITIVE naming
+        # only 'timeout' -- exactly the variable-less error this helper
+        # exists to prevent.
+        raise ValueError(
+            "SPARK_GRAFT_DRAIN_TIMEOUT must be a positive number of "
+            f"seconds, got {raw!r}"
+        )
+    return val
+
+
+def _await_drain(q, what: str) -> None:
+    """availableNow drain under the validated timeout; ALWAYS stops the
+    query (stop is idempotent after natural termination, so a success
+    path never leaks a stream either).  The one shared copy of the
+    await/timeout/stop block for every streaming gate query."""
+    try:
+        drain_s = _drain_timeout()
+        if not q.awaitTermination(drain_s):
+            raise TimeoutError(
+                f"{what} did not finish availableNow drain in {drain_s}s"
+            )
+    finally:
+        q.stop()
 
 
 def _eager(
@@ -1975,15 +1999,7 @@ def _drain_stream_to_table(spark: SparkSession, build, prefix: str) -> DataFrame
             .trigger(availableNow=True)
             .start()
         )
-        try:
-            drain_s = _drain_timeout()
-            if not q.awaitTermination(drain_s):
-                raise TimeoutError(
-                    f"stream {name} did not finish availableNow drain"
-                    f" in {drain_s}s"
-                )
-        finally:
-            q.stop()  # idempotent after natural termination; never leak
+        _await_drain(q, f"stream {name}")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         spark.conf.set("spark.sql.session.timeZone", old_tz)
@@ -3937,14 +3953,7 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        try:
-            drain_s = _drain_timeout()
-            if not q.awaitTermination(drain_s):
-                raise TimeoutError(
-                    f"upsert stream did not drain in {drain_s}s"
-                )
-        finally:
-            q.stop()
+        _await_drain(q, "upsert stream")
         final = spark.read.parquet(state).select(
             "user_id",
             F.unix_micros("ts").alias("last_ts_us"),
@@ -3999,14 +4008,7 @@ def stream_tokenizer_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        try:
-            drain_s = _drain_timeout()
-            if not q.awaitTermination(drain_s):
-                raise TimeoutError(
-                    f"tokenizer stream did not drain in {drain_s}s"
-                )
-        finally:
-            q.stop()
+        _await_drain(q, "tokenizer stream")
         return _eager(spark, spark.read.parquet(out))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)

@@ -428,18 +428,21 @@ def test_lsh_bucket_count_grows_with_planes(spark):
     )
     dim = e.select(F.size("_emb").alias("d")).first()["d"]
     counts = []
-    for n_planes in (1, 2, 4, 6, 8):
-        planes = hyperplanes_pm1(dim=dim, n_planes=n_planes, seed=42)
-        n = (
-            e.withColumn(
-                "bucket", F.expr(lsh_bucket_sql("_emb", planes, one_based=False))
+    try:
+        for n_planes in (1, 2, 4, 6, 8):
+            planes = hyperplanes_pm1(dim=dim, n_planes=n_planes, seed=42)
+            n = (
+                e.withColumn(
+                    "bucket",
+                    F.expr(lsh_bucket_sql("_emb", planes, one_based=False)),
+                )
+                .agg(F.countDistinct("bucket").alias("n"))
+                .first()["n"]
             )
-            .agg(F.countDistinct("bucket").alias("n"))
-            .first()["n"]
-        )
-        assert n <= 2**n_planes
-        counts.append(n)
-    e.unpersist()
+            assert n <= 2**n_planes
+            counts.append(n)
+    finally:
+        e.unpersist()
     assert counts == sorted(counts), counts
     assert counts[-1] > counts[0], counts  # genuinely refines on real data
 
