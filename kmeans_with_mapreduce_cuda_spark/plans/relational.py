@@ -311,21 +311,24 @@ def rel_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH p AS (SELECT event_id AS pid, user_id, date_trunc('microseconds', ts) AS pts
                FROM events WHERE event_type = 'purchase'),
-    c AS (SELECT event_id AS cid, user_id, date_trunc('microseconds', ts) AS cts
-          FROM events WHERE event_type = 'click')
-    SELECT pid, user_id, cid FROM (
-        SELECT p.pid, p.user_id, c.cid,
-               ROW_NUMBER() OVER (
-                   PARTITION BY p.pid ORDER BY c.cts DESC, c.cid DESC
-               ) AS rn
-        FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.cts <= p.pts
-    ) WHERE rn = 1
+    c0 AS (SELECT user_id, date_trunc('microseconds', ts) AS cts,
+                  max(event_id) AS cid
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+    SELECT p.pid, p.user_id, c0.cid
+    FROM p ASOF LEFT JOIN c0
+      ON p.user_id = c0.user_id AND p.pts >= c0.cts
     """,
     doc="As-of join: for each purchase, the most recent click of the same "
     "user at-or-before it.  Spark has no ASOF JOIN; the scalable "
     "formulation is union-both-sides + one window pass (sort once, carry "
-    "the last right-side row forward) -- never the range-join explosion "
-    "the oracle uses.  Ties: latest ts, then highest click id.",
+    "the last right-side row forward) -- never a per-purchase "
+    "all-prior-clicks expansion.  Ties: latest ts, then highest click "
+    "id.  The oracle is DuckDB's NATIVE ASOF LEFT JOIN over clicks "
+    "pre-collapsed to max(event_id) per (user, ts) -- exactly the tie "
+    "rule -- which keeps the oracle linear too (the original windowed "
+    "all-prior-pairs oracle was quadratic in per-user density and "
+    "out-spilled the 100x fixture's disk; verified row-identical to it "
+    "at sf0.01 before the swap).",
 )
 def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
