@@ -391,3 +391,56 @@ def test_fixture_keyed_tmpdir_private_root(spark):
     st = os.stat(root)
     assert stat.S_IMODE(st.st_mode) == 0o700
     assert st.st_uid == uid
+
+
+def test_drain_timeout_env_validation(monkeypatch):
+    """_drain_timeout names the env var on EVERY bad input class: a
+    malformed string, zero, and a negative value (awaitTermination(0)
+    would otherwise raise a bare VALUE_NOT_POSITIVE naming only
+    'timeout')."""
+    import pytest
+
+    from kmeans_with_mapreduce_cuda_spark.plans.pipeline import (
+        _drain_timeout,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_DRAIN_TIMEOUT", raising=False)
+    assert _drain_timeout() == 120
+    monkeypatch.setenv("SPARK_GRAFT_DRAIN_TIMEOUT", "300")
+    assert _drain_timeout() == 300
+    for bad in ("abc", "12.5", "0", "-5", ""):
+        monkeypatch.setenv("SPARK_GRAFT_DRAIN_TIMEOUT", bad)
+        with pytest.raises(ValueError, match="SPARK_GRAFT_DRAIN_TIMEOUT"):
+            _drain_timeout()
+
+
+def test_await_drain_always_stops_the_query(monkeypatch):
+    """_await_drain must stop() the stream on BOTH paths: a clean drain
+    (stop is idempotent, never leaks a stream) and a timeout (the
+    TimeoutError must not leave the query running)."""
+    import pytest
+
+    from kmeans_with_mapreduce_cuda_spark.plans.pipeline import (
+        _await_drain,
+    )
+
+    class FakeQuery:
+        def __init__(self, drained: bool):
+            self.drained = drained
+            self.stopped = False
+
+        def awaitTermination(self, timeout):
+            assert timeout > 0
+            return self.drained
+
+        def stop(self):
+            self.stopped = True
+
+    ok = FakeQuery(drained=True)
+    _await_drain(ok, "test stream")
+    assert ok.stopped
+
+    hung = FakeQuery(drained=False)
+    with pytest.raises(TimeoutError, match="test stream"):
+        _await_drain(hung, "test stream")
+    assert hung.stopped
