@@ -309,12 +309,17 @@ def rel_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "rel_asof_join",
     oracle="""
-    WITH p AS (SELECT event_id AS pid, user_id, date_trunc('microseconds', ts) AS pts
+    WITH p AS (SELECT event_id AS pid, user_id,
+                      date_trunc('microseconds', ts) AS pts,
+                      ts IS NULL AS pts_null
                FROM events WHERE event_type = 'purchase'),
     c0 AS (SELECT user_id, date_trunc('microseconds', ts) AS cts,
                   max(event_id) AS cid
-           FROM events WHERE event_type = 'click' GROUP BY 1, 2)
-    SELECT p.pid, p.user_id, c0.cid
+           FROM events
+           WHERE event_type = 'click' AND ts IS NOT NULL
+           GROUP BY 1, 2)
+    SELECT p.pid, p.user_id,
+           CASE WHEN p.pts_null THEN NULL ELSE c0.cid END AS cid
     FROM p ASOF LEFT JOIN c0
       ON p.user_id = c0.user_id AND p.pts >= c0.cts
     """,
@@ -328,7 +333,16 @@ def rel_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rule -- which keeps the oracle linear too (the original windowed "
     "all-prior-pairs oracle was quadratic in per-user density and "
     "out-spilled the 100x fixture's disk; verified row-identical to it "
-    "at sf0.01 before the swap).",
+    "at sf0.01 before the swap).  NULL-ts fidelity: DuckDB's ASOF "
+    "matches a NULL left timestamp to the LATEST right row, where the "
+    "old c.cts <= p.pts predicate yields no match -- the CASE nulls "
+    "the cid for NULL pts and NULL-cts clicks are filtered, so the "
+    "rewrite is semantically identical to the old oracle on every "
+    "NULL class, not just on fixtures that happen to lack NULL ts.  "
+    "The NULL flag is computed BEFORE the join (pts_null in the CTE): "
+    "DuckDB 1.0's ASOF rewrites post-join references to the left key, "
+    "so 'p.pts IS NULL' after the join evaluates FALSE even when pts "
+    "is NULL -- verified empirically; the pre-join flag sidesteps it.",
 )
 def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")

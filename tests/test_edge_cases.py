@@ -424,6 +424,9 @@ def test_await_drain_always_stops_the_query(monkeypatch):
         _await_drain,
     )
 
+    # a leftover probe-session override (e.g. "0") must not leak in
+    monkeypatch.delenv("SPARK_GRAFT_DRAIN_TIMEOUT", raising=False)
+
     class FakeQuery:
         def __init__(self, drained: bool):
             self.drained = drained
