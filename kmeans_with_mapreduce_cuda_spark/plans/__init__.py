@@ -17,29 +17,191 @@ from . import pipeline  # noqa: F401,E402
 # follow in registration order (hash-checked before rows-only).
 # ---------------------------------------------------------------------------
 
-# Round-6 ROTATION (VERDICT r5 items 1-2): CORRECTNESS_r05 came back
-# 49/50 green (the one red: pipe_tokenizer_apply, output-shape only --
-# fixed this round, see plans/pipeline.py).  This prefix DRAINS the
-# final 40 never-driver-verified queries (NOTES.md r6 prefix, age
-# order) so union coverage reaches 199/199 of the r5-era registry (the
-# two r6 additions -- stream_tokenizer_encode, rel_collation_unicode_ci
-# -- register past the cut and lead r7's rotation): 5 O-core composites +
-# pipe_tokenizer_apply (the must-re-green red row; its slot pushes
-# o05_multi_emit -- four rounds green -- past the cut to r7) + the 40
-# + 4 of the 8 rotated-out O-primitives.  o05-o08 lead the past-cut
-# block for r7.  Re-derive from CORRECTNESS_r06.
+# Round-7 ROTATION (VERDICT r6 item 1): CORRECTNESS_r06 came back 50/50
+# green, union coverage 199/199 of the r5-era registry.  This prefix is
+# the NOTES.md "r7 prefix" verbatim: it leads with the 5 O-core
+# composites, then the 2 r6 additions (rel_collation_unicode_ci,
+# stream_tokenizer_encode -- the only queries with no driver row), then
+# the 4 O-primitives rotated out at r6 (o05-o08), then the 39
+# least-recently-verified (r2-green tail first, then r3).  The 4
+# displaced age-3 entries (rel_filter_agg, rel_join_broadcast,
+# rel_join_shuffle, rel_join_semi_anti) lead the r8 rotation.
+# A green r7 = union coverage 201/201, no green row older than r3.
+# Re-derive from CORRECTNESS_r07.
 _PRIORITY = [
-    # --- O-core, kept at the 5 COMPOSITE operators (judge-endorsed
-    # trim, VERDICT r4 item 2 / r5 table): each transitively exercises
-    # the scan/seed/assign/reduce chain of the 8 primitives.
+    # ---- r7 PREFIX (50): pre-computed at r6 close (NOTES.md), submitted
+    # verbatim per VERDICT r6 item 1.  5 O-core composites, then the 2
+    # r6 additions (only queries with no driver row; judge-verified green
+    # r6), then o05-o08 (the rotated-out primitives owed from r6), then
+    # the 39 least-recently-verified in strict age order (r2 tail, r3).
     "o12_kmeans_two_steps",
     "o13_sink_format",
     "o14_sse",
     "o04_assign_argmin_nd",
     "o09_centroid_update_nd",
-    # --- the single red r5 row, re-submitted after the hashability fix
+    # --- the 2 r6 additions: never driver-verified
+    "rel_collation_unicode_ci",
+    "stream_tokenizer_encode",
+    # --- the 4 O-primitives owed from the r6 cut
+    "o05_multi_emit",
+    "o06_sort_by_key",
+    "o07_group_counts",
+    "o08_centroid_update",
+    # --- 39 least-recently-verified, strict age order (r2 first)
+    "o12_kmeans_five_steps",
+    "o14_sse_by_k",
+    "o02_seed_farthest",
+    "rel_join_outer",
+    "rel_window_lag",
+    "rel_cube",
+    "rel_grouping_sets",
+    "rel_count_distinct_multi",
+    "rel_correlated_scalar",
+    "rel_json_variant",
+    "rel_session_window",
+    "rel_conditional_agg_q14",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_simhash",
+    "mm_payload_meta",
+    "mm_resize_meta",
+    "mm_frame_sample",
+    "sim_topk_bruteforce",
+    "pipe_stratified_sample",
+    "pipe_source_mixture",
+    "pipe_train_val_test",
+    "pipe_token_packing",
+    "udtf_shingles",
+    "stream_hourly_counts",
+    "udf_mapreduce_kmeans_step",
+    "rel_approx_distinct",
+    "rel_approx_percentile",
+    "rel_window_range_frame",
+    "rel_group_by_all",
+    "stream_session_windows",
+    "udf_group_normalize",
+    "text_bpe_token_stats",
+    "text_lang_id_ngram",
+    "sim_lsh_pairs",
+    "pipe_corpus_clean",
+    "rel_join_chain_q5",
+    # ------------------- 50-entry cut lands here -------------------
+    # Past-cut: least-recently-verified first so r8 can rotate them in.
+    # New r7 queries (no driver row yet) are inserted at the head of
+    # this block as they are added -- they lead the r8 rotation.
+    # --- last driver-verified r3
+    "stream_stream_join",
+    "rel_filter_agg",
+    "rel_join_broadcast",
+    "rel_join_shuffle",
+    "rel_join_semi_anti",
+    "rel_window_topk",
+    "rel_rollup",
+    "rel_set_ops",
+    "rel_string_funcs",
+    "rel_date_funcs",
+    "rel_json_funcs",
+    "rel_array_funcs",
+    "rel_pivot",
+    "rel_percentiles",
+    "rel_histogram",
+    "rel_asof_join",
+    "rel_range_join",
+    "rel_subquery_scalar",
+    "rel_ansi_sql_verbatim",
+    "rel_sessionize_batch",
+    "dedup_exact_groups",
+    "dedup_exact_keep",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    # --- last driver-verified r4
+    "rel_window_rank_funcs",
+    "rel_unpivot",
+    "rel_null_semantics",
+    "rel_stats_agg",
+    "rel_map_funcs",
+    "rel_exists_subquery",
+    "rel_recursive_cte",
+    "rel_lateral_subquery",
+    "text_ngram_freq",
+    "text_repetition_ratio",
+    "text_normalize",
+    "kmeans_mllib_sizes",
+    "sim_ann_ivf",
+    "sim_ann_ivf_fixed",
+    "mm_decode_features",
+    "stream_sliding_counts",
+    "stream_static_join",
+    "dedup_semantic_clustered",
+    "text_contamination",
+    "stream_dedup",
+    "rel_salted_join",
+    "sim_int8_topk",
+    "dedup_components",
+    "pipe_doc_chunking",
+    "dedup_survivors",
+    "dedup_incremental",
+    "sim_ann_ivf_sq8",
+    "text_boilerplate_strip",
+    "text_pii_scrub",
+    "text_tfidf_topterms",
+    "pipe_vocab_build",
+    "pipe_quality_classifier",
+    "pipe_dataset_card",
+    "stream_session_windows_rocksdb",
+    "udaf_median_by_type",
+    "dedup_lsh_verified",
+    "stream_upsert_latest",
+    # --- last driver-verified r5
+    "o14_silhouette",
+    "o14_calinski",
+    "rel_hll_sketch_union",
+    "rel_bitmap_distinct",
+    "rel_retention",
+    "rel_constraints",
+    "rel_resample",
+    "rel_listagg",
+    "rel_try_arith",
+    "rel_merge_upsert",
+    "rel_scd2",
+    "rel_generators",
+    "rel_topk_salted",
+    "rel_xml_funcs",
+    "rel_approx_top_k",
+    "rel_theta_sketch_sets",
+    "rel_anomaly_zscore",
+    "rel_variant_explode",
+    "rel_topk_sketch_rollup",
+    "rel_pipe_syntax",
+    "rel_pagerank",
+    "rel_triangles",
+    "rel_graph_bfs",
+    "dedup_containment",
+    "dedup_fuzzy_blocked",
+    "dedup_cdc_chunks",
+    "dedup_minhash_mllib",
+    "sim_pq_adc",
+    "pipe_global_shuffle",
+    "text_char_entropy",
+    "rel_funnel",
+    "text_unigram_logprob",
+    "dedup_cross_corpus",
+    "text_gopher_rules",
+    "stream_topk_types",
+    "pipe_sft_format",
+    "udf_arrow_scalar",
+    "pipe_span_corruption",
+    "text_bigram_logprob",
+    "stream_distinct_users",
+    "mm_phash_near_dup",
+    "pipe_label_propagation",
+    "sim_sparse_cosine",
+    "pipe_pca_whiten",
+    # --- last driver-verified r6
     "pipe_tokenizer_apply",
-    # --- the 40 never-driver-verified, strict age order (NOTES.md)
     "rel_orc_roundtrip",
     "pipe_dpo_pairs",
     "sim_matryoshka_topk",
@@ -80,120 +242,10 @@ _PRIORITY = [
     "rel_interval_calendar",
     "rel_dpp_semijoin_filter",
     "stream_dedup_rocksdb_changelog",
-    # --- 4 of the 8 O-primitives rotated back in (o05-o08 spill to r7)
     "o01_scan_limit",
     "o02_seed_sample",
     "o03_distance_expr",
     "o04_assign_argmin",
-    # ------------------- 50-entry cut lands here -------------------
-    # the remaining 4 O-core primitives (lead r7's rotation)
-    "o05_multi_emit",
-    "o06_sort_by_key",
-    "o07_group_counts",
-    "o08_centroid_update",
-    # everything else: least-recently-verified first (r1/r2/r3 tails),
-    # four-rounds-green prefix veterans last
-    "o12_kmeans_five_steps",
-    "o14_sse_by_k",
-    "o02_seed_farthest",
-    "rel_join_outer",
-    "rel_window_lag",
-    "rel_cube",
-    "rel_grouping_sets",
-    "rel_count_distinct_multi",
-    "rel_correlated_scalar",
-    "rel_json_variant",
-    "rel_session_window",
-    "rel_conditional_agg_q14",
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_simhash",
-    "mm_payload_meta",
-    "mm_resize_meta",
-    "mm_frame_sample",
-    "sim_topk_bruteforce",
-    "pipe_stratified_sample",
-    "pipe_source_mixture",
-    "pipe_train_val_test",
-    "pipe_token_packing",
-    "udtf_shingles",
-    "stream_hourly_counts",
-    "udf_mapreduce_kmeans_step",
-    "rel_approx_distinct",
-    "rel_approx_percentile",
-    "rel_window_range_frame",
-    "rel_group_by_all",
-    "stream_session_windows",
-    "udf_group_normalize",
-    "text_bpe_token_stats",
-    "text_lang_id_ngram",
-    "sim_lsh_pairs",
-    "pipe_corpus_clean",
-    "rel_join_chain_q5",
-    "stream_stream_join",
-    "rel_filter_agg",
-    "rel_join_broadcast",
-    "rel_join_shuffle",
-    "rel_join_semi_anti",
-    "rel_window_topk",
-    "rel_rollup",
-    "rel_set_ops",
-    "rel_string_funcs",
-    "rel_date_funcs",
-    "rel_json_funcs",
-    "rel_array_funcs",
-    "rel_pivot",
-    "rel_percentiles",
-    "rel_histogram",
-    "rel_asof_join",
-    "rel_range_join",
-    "rel_subquery_scalar",
-    "rel_ansi_sql_verbatim",
-    "rel_sessionize_batch",
-    "dedup_exact_groups",
-    "dedup_exact_keep",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "rel_window_rank_funcs",
-    "rel_unpivot",
-    "rel_null_semantics",
-    "rel_stats_agg",
-    "rel_map_funcs",
-    "rel_exists_subquery",
-    "rel_recursive_cte",
-    "rel_lateral_subquery",
-    "text_ngram_freq",
-    "text_repetition_ratio",
-    "text_normalize",
-    "kmeans_mllib_sizes",
-    "sim_ann_ivf",
-    "sim_ann_ivf_fixed",
-    "mm_decode_features",
-    "stream_sliding_counts",
-    "stream_static_join",
-    "dedup_semantic_clustered",
-    "text_contamination",
-    "stream_dedup",
-    "rel_salted_join",
-    "sim_int8_topk",
-    "dedup_components",
-    "pipe_doc_chunking",
-    "dedup_survivors",
-    "dedup_incremental",
-    "sim_ann_ivf_sq8",
-    "text_boilerplate_strip",
-    "text_pii_scrub",
-    "text_tfidf_topterms",
-    "pipe_vocab_build",
-    "pipe_quality_classifier",
-    "pipe_dataset_card",
-    "stream_session_windows_rocksdb",
-    "udaf_median_by_type",
-    "dedup_lsh_verified",
-    "stream_upsert_latest",
 ]
 
 
