@@ -189,8 +189,16 @@ def within_cell_cosine_pairs(
     caller routes capped cells to the strategy that actually fits
     them: exact/MinHash dedup first (byte-duplicates are why a cell
     explodes), or a recursive sub-clustering pass within the cell.
-    ``None`` disables (the oracle-checked gate instance, where the
-    fixture's cells are bounded by construction).
+    ``None`` disables (the dedup_semantic_clustered gate instance,
+    where the fixture's cells are bounded by construction;
+    dedup_semantic_capped exercises the capped path oracle-checked).
+
+    Persistence contract: ``assigned`` is consumed THREE times when
+    ``max_cell`` is set (the cell-count groupBy plus both self-join
+    sides) and twice when unset -- the CALLER must persist it before
+    calling (and owns the unpersist; both gate queries do this via
+    ``_semantic_dedup_build`` + ``_eager``).  The operator does not
+    persist internally so lifetime stays with the caller.
 
     Two codegen stages on purpose -- see the gate query's comment: the
     64-term dot evaluates once as the join filter, survivors reshuffle

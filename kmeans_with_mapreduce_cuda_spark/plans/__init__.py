@@ -91,6 +91,7 @@ _PRIORITY = [
     # Past-cut: least-recently-verified first so r8 can rotate them in.
     # New r7 queries (no driver row yet) are inserted at the head of
     # this block as they are added -- they lead the r8 rotation.
+    "dedup_semantic_capped",
     # --- last driver-verified r3
     "stream_stream_join",
     "rel_filter_agg",

@@ -799,11 +799,20 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 8, seed: int = 42) -> str:
 
 def _minhash_verified_sql(threshold: float = 0.5) -> str:
     """Oracle for the filter-verify pattern: the LSH candidate pairs of
-    :func:`_minhash_sql`, rescored with EXACT distinct-shingle Jaccard
-    (computed by unnest + equi-join restricted to the candidate set),
+    :func:`_minhash_sql`, rescored with EXACT distinct-shingle Jaccard,
     kept at ``jaccard >= threshold``.  The exact jaccard is emitted
     UNROUNDED: one division of identical integers is bit-identical
-    across engines (registry float discipline)."""
+    across engines (registry float discipline).
+
+    The verify stage intersects the two distinct-shingle LISTS in-row
+    (``list_intersect``), mirroring the Spark plan's ``array_intersect``
+    -- cost O(candidates x shingles-per-doc), the query's own complexity
+    class.  The previous unnest + equi-join + GROUP BY formulation was
+    row-identical at gate scales but materialized |candidates| x
+    |shingles| intermediate rows (~5e9 at the 100x probe) and out-spilled
+    the disk -- the rel_asof_join oracle lesson (an oracle must share the
+    query's complexity class) applied here; verified row-identical to the
+    old oracle at sf0.01/sf0.1 before the swap."""
     inner = _minhash_sql()
     return f"""
     WITH est AS ({inner}),
@@ -811,24 +820,21 @@ def _minhash_verified_sql(threshold: float = 0.5) -> str:
         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
         FROM documents
     ),
-    sh2 AS (
+    sh2 AS MATERIALIZED (
         SELECT doc_id, {_SHINGLE_LIST_EXPR} AS shingles FROM toks2
     ),
-    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh2),
-    flat AS (SELECT doc_id, unnest(shingles) AS s FROM sh2),
-    inter AS (
-        SELECT e.doc_a, e.doc_b, e.est_jaccard, count(*) AS i
+    scored AS (
+        SELECT e.doc_a, e.doc_b, e.est_jaccard,
+               len(list_intersect(a.shingles, b.shingles)) AS i,
+               len(a.shingles) AS na, len(b.shingles) AS nb
         FROM est e
-        JOIN flat fa ON fa.doc_id = e.doc_a
-        JOIN flat fb ON fb.doc_id = e.doc_b AND fb.s = fa.s
-        GROUP BY e.doc_a, e.doc_b, e.est_jaccard
+        JOIN sh2 a ON a.doc_id = e.doc_a
+        JOIN sh2 b ON b.doc_id = e.doc_b
     )
     SELECT doc_a, doc_b, est_jaccard,
-           CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {threshold}
+           CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
+    FROM scored
+    WHERE CAST(i AS DOUBLE) / (na + nb - i) >= {threshold}
     """
 
 
@@ -2374,16 +2380,18 @@ def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "extensions: the coarse quantizer is the O4 assignment operator.",
 )
 def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out, assigned = _semantic_dedup_build(spark, sf_dir)
+    out, _, assigned = _semantic_dedup_build(spark, sf_dir)
     return _eager(spark, out, deps=[assigned])
 
 
 def _semantic_dedup_build(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
-    """Lazy semantic-dedup plan + its persisted dependency (exposed
-    separately so tests/test_plans.py can audit the join shape without
-    the _eager collect)."""
+    spark: SparkSession, sf_dir: str, max_cell: int | None = None
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Lazy semantic-dedup plan (pairs, capped_cells, persisted dep) --
+    exposed separately so tests/test_plans.py can audit the join shape
+    without the _eager collect.  ``max_cell`` forwards to the operator's
+    skew guard (None = uncapped, the dedup_semantic_clustered contract;
+    dedup_semantic_capped passes the uniform-share cap)."""
     from ..functions.distance import dot_product_sql
     from ..operators.kmeans import assign_nd
     from ..operators.similarity import within_cell_cosine_pairs
@@ -2411,13 +2419,93 @@ def _semantic_dedup_build(
         )
         .persist()
     )
-    # Uncapped here (the fixture's cells are bounded by construction,
-    # and the oracle states the uncapped contract); the OPERATOR
-    # carries the max_cell skew guard for corpus-scale use -- capped
-    # cells come back as data and are routed to exact/MinHash dedup
-    # first, which is the documented pipeline order anyway.
-    out, _ = within_cell_cosine_pairs(assigned, dim=64, threshold=0.35)
-    return out, assigned
+    # dedup_semantic_clustered passes max_cell=None (the fixture's
+    # cells are bounded by construction, and its oracle states the
+    # uncapped contract); dedup_semantic_capped exercises the guard
+    # end-to-end with the oracle-mirrored uniform-share cap.
+    out, capped = within_cell_cosine_pairs(
+        assigned, dim=64, threshold=0.35, max_cell=max_cell
+    )
+    return out, capped, assigned
+
+
+@query(
+    "dedup_semantic_capped",
+    oracle=f"""
+    WITH cents AS (
+        SELECT CAST(vec_id AS INTEGER) AS cell_id, embedding::DOUBLE[] AS cemb
+        FROM embeddings WHERE vec_id < 8
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    assigned AS MATERIALIZED (
+        SELECT vec_id, emb, cell_id FROM (
+            SELECT e.vec_id, e.emb, c.cell_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_IVF_DIST.format(a="e.emb", b="c.cemb")},
+                                c.cell_id
+                   ) AS rn
+            FROM e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    counts AS MATERIALIZED (
+        SELECT cell_id, count(*) AS n FROM assigned GROUP BY cell_id
+    ),
+    cap AS (SELECT count(*) // 8 AS c FROM assigned),
+    kept AS (
+        SELECT a.vec_id, a.emb, a.cell_id
+        FROM assigned a JOIN counts k ON k.cell_id = a.cell_id, cap
+        WHERE k.n <= cap.c
+    )
+    SELECT 'pair' AS kind, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.emb, b.emb)
+                 / (sqrt(list_dot_product(a.emb, a.emb))
+                    * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos_sim
+    FROM kept a JOIN kept b
+      ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.emb, b.emb)
+          / (sqrt(list_dot_product(a.emb, a.emb))
+             * sqrt(list_dot_product(b.emb, b.emb))) >= 0.35
+    UNION ALL
+    SELECT 'capped_cell' AS kind, CAST(k.cell_id AS BIGINT) AS vec_a,
+           k.n AS vec_b, CAST(NULL AS DOUBLE) AS cos_sim
+    FROM counts k, cap WHERE k.n > cap.c
+    """,
+    doc="dedup_semantic_clustered's skew guard exercised END-TO-END: the "
+    "within-cell join runs with max_cell = n_total // 8 (the uniform "
+    "share -- any cell larger than perfect balance is 'hot'), a cap "
+    "chosen so it genuinely FIRES on the fixture at every gate scale "
+    "(cell shares span 0.10-0.15).  Oversized cells are excluded from "
+    "the quadratic join via broadcast anti-join and emitted AS DATA "
+    "(kind='capped_cell', cell_id, n) alongside the surviving pairs "
+    "(kind='pair') -- never silently dropped; downstream routes them to "
+    "exact/MinHash dedup or a recursive sub-clustering pass.  The cap "
+    "is integer floor division in BOTH engines, so the kept/capped "
+    "split is bit-identical at any scale -- the minhash MAX_BAND_BUCKET "
+    "precedent (every Spark-side cap must be oracle-mirrored) applied "
+    "to the SemDeDup operator (operators/similarity.py:"
+    "within_cell_cosine_pairs).",
+)
+def dedup_semantic_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_total = load_table(spark, sf_dir, "embeddings").count()
+    out, capped, assigned = _semantic_dedup_build(
+        spark, sf_dir, max_cell=n_total // 8
+    )
+    vec_t = assigned.schema["vec_id"].dataType
+    both = out.select(
+        F.lit("pair").alias("kind"),
+        F.col("vec_a"),
+        F.col("vec_b"),
+        F.col("cos_sim"),
+    ).unionByName(
+        capped.select(
+            F.lit("capped_cell").alias("kind"),
+            F.col("cell_id").cast(vec_t).alias("vec_a"),
+            F.col("n").cast(vec_t).alias("vec_b"),
+            F.lit(None).cast("double").alias("cos_sim"),
+        )
+    )
+    return _eager(spark, both, deps=[assigned])
 
 
 @query(

@@ -474,12 +474,34 @@ def test_semantic_dedup_pairs_join_is_equi_on_cell(spark):
         _semantic_dedup_build,
     )
 
-    out, assigned = _semantic_dedup_build(spark, SF_DIR)
+    out, _, assigned = _semantic_dedup_build(spark, SF_DIR)
     try:
         plan = plan_of(out)
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert "cell_id" in plan, plan
+    finally:
+        assigned.unpersist()
+
+
+def test_semantic_dedup_capped_excludes_hot_cells_via_broadcast_anti(spark):
+    """dedup_semantic_capped's skew guard shape: oversized cells leave
+    the quadratic join through a BROADCAST anti-join (the hot-key list
+    is tiny at any scale), and the pair join stays equi on cell_id."""
+    from kmeans_with_mapreduce_cuda_spark.plans.pipeline import (
+        _semantic_dedup_build,
+    )
+
+    out, capped, assigned = _semantic_dedup_build(spark, SF_DIR, max_cell=62)
+    try:
+        plan = plan_of(out)
+        assert "LeftAnti" in plan, plan
+        # the anti join must be broadcast, never a shuffled SMJ
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        # capped cells come back as data, not silently dropped
+        assert capped.columns == ["cell_id", "n"]
     finally:
         assigned.unpersist()
 
