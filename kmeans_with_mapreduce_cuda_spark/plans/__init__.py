@@ -92,6 +92,7 @@ _PRIORITY = [
     # New r7 queries (no driver row yet) are inserted at the head of
     # this block as they are added -- they lead the r8 rotation.
     "dedup_semantic_capped",
+    "udf_cogroup_asof",
     # --- last driver-verified r3
     "stream_stream_join",
     "rel_filter_agg",

@@ -875,6 +875,12 @@ def o14_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KPP_L = 8           # oversampling factor per round (l in Bahmani et al.)
 _KPP_M = 1_000_000   # md5-coin modulus: coin = md5 % M, uniform on [0, M)
+#: structural bound on the per-round acceptance collect: expectation is
+#: ~l accepted rows (sum of l*d2/total over points = l), so 64x l means
+#: the acceptance probabilities are broken, not unlucky -- fail loudly
+#: instead of pulling an unbounded set to the driver (VERDICT r6 item 6:
+#: make the O(l) driver-traffic claim structural, not probabilistic).
+_KPP_ACCEPT_CAP = 64 * _KPP_L
 
 
 def _kpp_d2_sql(pts: str, cents: str, out: str) -> str:
@@ -993,7 +999,20 @@ def o02_seed_kmeanspp(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) < F.lit(_KPP_L * _KPP_M).cast("decimal(7,0)") * d2.cast(
                 "decimal(19,0)"
             )
-            acc = pts.where(accept).select("id", "xi", "yi").orderBy("id").collect()
+            acc = (
+                pts.where(accept)
+                .select("id", "xi", "yi")
+                .orderBy("id")
+                .limit(_KPP_ACCEPT_CAP + 1)
+                .collect()
+            )
+            if len(acc) > _KPP_ACCEPT_CAP:
+                raise RuntimeError(
+                    f"k-means|| round {rnd} accepted > {_KPP_ACCEPT_CAP} "
+                    f"candidates (l={_KPP_L}; expectation ~l per round): "
+                    "the Bernoulli acceptance is broken -- refusing to "
+                    "collect an unbounded set to the driver"
+                )
             centers += [(r["id"], r["xi"], r["yi"]) for r in acc]
 
         # weight step: nearest-candidate argmin (ties -> lowest cand id)

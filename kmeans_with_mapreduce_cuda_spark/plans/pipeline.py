@@ -1457,6 +1457,84 @@ def udf_group_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "udf_cogroup_asof",
+    oracle="""
+    WITH p AS (SELECT event_id AS pid, user_id,
+                      date_trunc('microseconds', ts) AS pts,
+                      ts IS NULL AS pts_null
+               FROM events WHERE event_type = 'purchase'),
+    c0 AS (SELECT user_id, date_trunc('microseconds', ts) AS cts,
+                  max(event_id) AS cid
+           FROM events
+           WHERE event_type = 'click' AND ts IS NOT NULL
+           GROUP BY 1, 2)
+    SELECT p.pid, p.user_id,
+           CASE WHEN p.pts_null THEN NULL ELSE c0.cid END AS cid
+    FROM p ASOF LEFT JOIN c0
+      ON p.user_id = c0.user_id AND p.pts >= c0.cts
+    """,
+    doc="The cogrouped-map pandas surface (groupBy.cogroup.applyInPandas, "
+    "plan node FlatMapCoGroupsInPandas): per-user reconciliation of the "
+    "purchase stream against the click stream via pandas.merge_asof -- "
+    "deliberately the SAME semantics and oracle as rel_asof_join, so the "
+    "two formulations cross-check each other (window-carry JVM plan vs "
+    "per-key two-sided pandas merge).  Clicks are pre-collapsed to "
+    "max(cid) per timestamp inside the group (the oracle's c0), "
+    "direction='backward' + allow_exact_matches gives pts >= cts with "
+    "the latest-ts/highest-id tie rule.  NULL classes handled even "
+    "though the fixture has none: NaT purchases keep their row with "
+    "NULL cid, NaT clicks are dropped, a NULL group key matches "
+    "nothing.  Scale shape: one shuffle per side on user_id, each "
+    "cogroup crosses Arrow once; when one user's history outgrows a "
+    "worker, the window formulation (rel_asof_join) is the fallback -- "
+    "which is why both exist.",
+)
+def udf_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"), F.col("ts").alias("pts")
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("cid"), F.col("ts").alias("cts")
+    )
+
+    def reconcile(key, purchases, clicks):
+        import pandas as pd
+
+        out_cols = ["pid", "user_id", "cid"]
+        if purchases.empty:
+            return pd.DataFrame(columns=out_cols)
+        if key[0] is None:
+            res = purchases[["pid", "user_id"]].copy()
+            res["cid"] = pd.array([None] * len(res), dtype="Int64")
+            return res[out_cols]
+        cc = clicks.dropna(subset=["cts"])
+        cc = (
+            cc.groupby("cts", as_index=False)["cid"]
+            .max()
+            .sort_values("cts")
+        )
+        nat = purchases[purchases["pts"].isna()][["pid", "user_id"]].copy()
+        nat["cid"] = pd.array([None] * len(nat), dtype="Int64")
+        pp = purchases.dropna(subset=["pts"]).sort_values("pts")
+        if cc.empty:
+            merged = pp[["pid", "user_id"]].copy()
+            merged["cid"] = pd.array([None] * len(merged), dtype="Int64")
+        else:
+            merged = pd.merge_asof(
+                pp, cc, left_on="pts", right_on="cts", direction="backward"
+            )[["pid", "user_id", "cid"]]
+            merged["cid"] = merged["cid"].astype("Int64")
+        return pd.concat([merged, nat])[out_cols]
+
+    return (
+        p.groupBy("user_id")
+        .cogroup(c.groupBy("user_id"))
+        .applyInPandas(reconcile, "pid bigint, user_id bigint, cid bigint")
+    )
+
+
 # --- Similarity search (brute-force oracle path) -----------------------------
 
 _QUERY_IDS = (0, 7, 42)

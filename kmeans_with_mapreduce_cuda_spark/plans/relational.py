@@ -3219,8 +3219,15 @@ def rel_collation_lcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     "count(DISTINCT v COLLATE UTF8_BINARY) still sees all three -- "
     "the contrast between collation-aware and binary equality in one "
     "row.  The oracle states the same semantics with explicit "
-    "lower() grouping (for ASCII names UNICODE_CI equality == lower() "
-    "equality).  Scale note: collation rides the column TYPE, so the "
+    "lower() grouping.  FIXTURE CONTRACT (ADVICE r6): the oracle "
+    "equivalence 'UNICODE_CI equality == lower() equality' -- and the "
+    "emitted lower(v) of Spark's nondeterministic group representative "
+    "matching the oracle's lower() key -- holds ONLY for ASCII input "
+    "like the TPC-H nation names; non-ASCII case pairs (Turkish "
+    "dotted/dotless I, sharp-s vs ss, precomposed vs combining "
+    "accents) diverge under full ICU case folding, so the fixture "
+    "must stay ASCII for this oracle to be valid.  Scale note: "
+    "collation rides the column TYPE, so the "
     "hash aggregate keys on the collation sort key and stays a plain "
     "one-exchange group-by -- no function-wrapped keys defeating "
     "statistics; ordering comparisons are deliberately excluded "

@@ -85,9 +85,12 @@ _CODEGEN_JVM_OPTS = "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m"
 
 
 def _merged_java_options() -> str:
-    """Prepend user-supplied JVM options (SPARK_GRAFT_JAVA_OPTS) ahead
-    of our codegen flags, so adopting this session factory never
-    silently drops a caller's -Xmx/-D flags.  Later -XX flags win in
-    HotSpot, so ours stay effective."""
+    """Append user-supplied JVM options (SPARK_GRAFT_JAVA_OPTS) AFTER
+    our codegen flags: later flags win in HotSpot, so a caller who
+    explicitly sets a colliding option (-XX:+DontCompileHugeMethods,
+    a different -XX:ReservedCodeCacheSize) overrides the repo default
+    instead of being silently overridden -- the env var is the
+    caller's escape hatch and must always be effective.  Non-colliding
+    flags (-Xmx, -D...) are unaffected by ordering."""
     user = os.environ.get("SPARK_GRAFT_JAVA_OPTS", "").strip()
-    return f"{user} {_CODEGEN_JVM_OPTS}".strip() if user else _CODEGEN_JVM_OPTS
+    return f"{_CODEGEN_JVM_OPTS} {user}".strip() if user else _CODEGEN_JVM_OPTS

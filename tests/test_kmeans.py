@@ -320,3 +320,16 @@ def test_kmeanspp_weights_partition_the_slice(spark):
     assert total_w <= n_slice
     if len(a) < 8:
         assert total_w == n_slice
+
+
+def test_kmeanspp_acceptance_collect_is_structurally_bounded(spark, monkeypatch):
+    """The per-round acceptance collect carries a structural cap (limit +
+    loud error), not just the probabilistic O(l) expectation: with the
+    cap patched below the real acceptance count the query must refuse
+    rather than silently truncate or pull the full set to the driver."""
+    from conftest import SF_DIR
+    import kmeans_with_mapreduce_cuda_spark.plans.kmeans_queries as kq
+
+    monkeypatch.setattr(kq, "_KPP_ACCEPT_CAP", 0)
+    with pytest.raises(RuntimeError, match="k-means\\|\\| round"):
+        kq.o02_seed_kmeanspp(spark, SF_DIR)

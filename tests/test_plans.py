@@ -506,6 +506,51 @@ def test_semantic_dedup_capped_excludes_hot_cells_via_broadcast_anti(spark):
         assigned.unpersist()
 
 
+def test_cogroup_asof_plan_is_flatmap_cogroups_in_pandas(spark):
+    """udf_cogroup_asof must exercise the cogrouped-map surface: the
+    physical plan carries FlatMapCoGroupsInPandas (both sides shuffled
+    on user_id, one Arrow crossing per cogroup) -- not a join that
+    Catalyst happened to pick."""
+    plan = plan_of(REGISTRY["udf_cogroup_asof"].fn(spark, SF_DIR))
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+
+
+def test_cogroup_asof_edge_cases(spark):
+    """NULL/empty classes the fixture lacks: a user with purchases but
+    no clicks gets NULL cid; a NaT purchase keeps its row with NULL
+    cid; a NaT click is invisible; click-only users emit nothing."""
+    from kmeans_with_mapreduce_cuda_spark.plans.pipeline import (
+        udf_cogroup_asof,
+    )
+    import datetime as dt
+    import tempfile
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: click before purchase + NaT click (ignored)
+        (1, t0, 1, "click", 0.0, None),
+        (2, None, 1, "click", 0.0, None),
+        (3, t0 + dt.timedelta(minutes=5), 1, "purchase", 1.0, None),
+        # user 2: purchases only -> NULL cid
+        (4, t0, 2, "purchase", 1.0, None),
+        # user 2: NaT purchase -> row kept, NULL cid
+        (5, None, 2, "purchase", 1.0, None),
+        # user 3: clicks only -> no output
+        (6, t0, 3, "click", 0.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(f"{d}/events.parquet")
+        got = {
+            (r.pid, r.user_id): r.cid
+            for r in udf_cogroup_asof(spark, d).collect()
+        }
+    assert got == {(3, 1): 1, (4, 2): None, (5, 2): None}
+
+
 def test_contamination_broadcasts_benchmark_shingles(spark):
     """text_contamination's 100 TB shape: the benchmark shingle set is
     the broadcast side; the corpus side must not shuffle for the
