@@ -93,6 +93,9 @@ _PRIORITY = [
     # this block as they are added -- they lead the r8 rotation.
     "dedup_semantic_capped",
     "udf_cogroup_asof",
+    "rel_stat_freq_items",
+    "rel_stat_crosstab",
+    "rel_stat_sampleby",
     # --- last driver-verified r3
     "stream_stream_join",
     "rel_filter_agg",

@@ -1476,6 +1476,114 @@ def rel_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: freqItems support for rel_stat_freq_items: chosen to SPLIT the 25
+#: p_brand values non-trivially at every gate scale (12/11/5 brands pass
+#: at sf0.001/0.01/0.1) -- a support that kept or dropped everything
+#: would make the containment check vacuous.
+_FREQ_SUPPORT = 0.041
+
+
+@query(
+    "rel_stat_freq_items",
+    oracle=f"""
+    SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts
+    FROM part GROUP BY p_brand
+    HAVING count(*) > {_FREQ_SUPPORT} * (SELECT count(*) FROM part)
+    """,
+    doc="df.stat.freqItems checked EXACTLY despite being an approximate "
+    "one-pass sketch: Karp-Papadimitriou-Shenker guarantees the result "
+    "is a SUPERSET of every item with frequency > support*n (false "
+    "positives allowed, false negatives never), so intersecting the "
+    "sketch output with the exact per-item counts and filtering at "
+    "count > support*n is deterministically equal to the plain "
+    "GROUP BY ... HAVING oracle -- if Spark's sketch ever dropped a "
+    "truly-frequent item the hash would catch it.  The threshold "
+    "multiply is the same double op in both engines.  Scale shape: the "
+    "sketch is one pass + a driver-sized summary (1/support counters); "
+    "the exact count is one hash agg; the candidate list (<= 25 rows) "
+    "broadcasts.",
+)
+def rel_stat_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    n_total = p.count()
+    cand = p.stat.freqItems(["p_brand"], support=_FREQ_SUPPORT).select(
+        F.explode("p_brand_freqItems").alias("p_brand")
+    )
+    exact = p.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_parts"))
+    return (
+        exact.join(F.broadcast(cand), "p_brand")
+        .where(F.col("n_parts") > F.lit(_FREQ_SUPPORT) * F.lit(float(n_total)))
+        .select("p_brand", "n_parts")
+    )
+
+
+_CT_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+@query(
+    "rel_stat_crosstab",
+    oracle=f"""
+    SELECT source AS source_lang,
+           {", ".join(
+               f"CAST(count(*) FILTER (lang = '{lg}') AS BIGINT) AS n_{lg}"
+               for lg in _CT_LANGS
+           )}
+    FROM documents GROUP BY source
+    """,
+    doc="df.stat.crosstab (pairwise contingency table): documents "
+    "source x lang counts, 20 rows x 5 language columns.  crosstab is "
+    "EXACT (one groupBy on the pair + a driver-side pivot of the "
+    "distinct column values), so unlike freqItems it hash-checks "
+    "directly; the oracle states it as FILTERed counts.  The language "
+    "column set is pinned (_CT_LANGS) rather than discovered so the "
+    "output schema is fixture-stable; crosstab's cell type is string "
+    "in Spark -- cast back to bigint.  Scale caveat in the doc is the "
+    "API's own: the pivoted column count is the DISTINCT cardinality "
+    "of the second column, so crosstab is for bounded-domain pairs "
+    "(use the plain groupBy for unbounded ones).",
+)
+def rel_stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ct = d.stat.crosstab("source", "lang")
+    return ct.select(
+        "source_lang",
+        *[F.col(f"`{lg}`").cast("bigint").alias(f"n_{lg}") for lg in _CT_LANGS],
+    )
+
+
+@query(
+    "rel_stat_sampleby",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM events WHERE event_type = 'click' GROUP BY event_type
+    """,
+    doc="df.sampleBy (stratified sampling) at its DETERMINISTIC boundary "
+    "fractions: fraction 1.0 keeps a stratum bit-exactly (rand in "
+    "[0,1) < 1.0 always), 0.0 and absent strata drop out -- so the "
+    "sampled frame with {click: 1.0, view: 0.0} equals WHERE "
+    "event_type = 'click' and hash-checks against an exact oracle, "
+    "seed-independent.  The INTERIOR fractions are Bernoulli draws "
+    "from Spark's seeded XORShift -- not reproducible in any other "
+    "engine by design -- so their contract (same-seed determinism, "
+    "binomial concentration per stratum) is pinned by "
+    "tests/test_plans.py::test_sampleby_fractional_contract instead; "
+    "integer cents keep the checked aggregate exact (the tpch_q1 "
+    "discipline).  Scale shape: sampleBy is a stateless per-row "
+    "filter -- no shuffle, fully pushdown-friendly.",
+)
+def rel_stat_sampleby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    s = e.sampleBy("event_type", {"click": 1.0, "view": 0.0}, seed=7)
+    return s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("total_cents"),
+    )
+
+
 # --- Map-typed columns -------------------------------------------------------
 
 @query(

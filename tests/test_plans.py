@@ -551,6 +551,32 @@ def test_cogroup_asof_edge_cases(spark):
     assert got == {(3, 1): 1, (4, 2): None, (5, 2): None}
 
 
+def test_sampleby_fractional_contract(spark):
+    """The interior-fraction path of df.sampleBy that the oracle-checked
+    boundary query cannot cover: same seed -> identical sample; the
+    per-stratum size concentrates around fraction*n (binomial, 6-sigma
+    band); absent strata never leak through."""
+    from conftest import SF_DIR
+    from kmeans_with_mapreduce_cuda_spark.sources.readers import load_table
+
+    e = load_table(spark, SF_DIR, "events")
+    frac = {"click": 0.5, "purchase": 0.25}
+    a = e.sampleBy("event_type", frac, seed=11).groupBy("event_type").count()
+    b = e.sampleBy("event_type", frac, seed=11).groupBy("event_type").count()
+    ra = {r["event_type"]: r["count"] for r in a.collect()}
+    rb = {r["event_type"]: r["count"] for r in b.collect()}
+    assert ra == rb  # same-seed determinism
+    assert set(ra) <= set(frac)  # absent strata dropped
+    n = {
+        r["event_type"]: r["count"]
+        for r in e.groupBy("event_type").count().collect()
+    }
+    for t, f in frac.items():
+        mu = f * n[t]
+        sigma = (n[t] * f * (1 - f)) ** 0.5
+        assert abs(ra.get(t, 0) - mu) <= 6 * sigma, (t, ra.get(t, 0), mu)
+
+
 def test_contamination_broadcasts_benchmark_shingles(spark):
     """text_contamination's 100 TB shape: the benchmark shingle set is
     the broadcast side; the corpus side must not shuffle for the
