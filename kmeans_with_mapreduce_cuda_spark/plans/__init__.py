@@ -96,6 +96,7 @@ _PRIORITY = [
     "rel_stat_freq_items",
     "rel_stat_crosstab",
     "rel_stat_sampleby",
+    "rel_asof_tolerance",
     # --- last driver-verified r3
     "stream_stream_join",
     "rel_filter_agg",

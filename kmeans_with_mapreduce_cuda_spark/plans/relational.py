@@ -370,6 +370,84 @@ def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rel_asof_tolerance",
+    oracle="""
+    WITH p AS (SELECT event_id AS pid, user_id,
+                      date_trunc('microseconds', ts) AS pts,
+                      ts IS NULL AS pts_null
+               FROM events WHERE event_type = 'purchase'),
+    c0 AS (SELECT user_id, date_trunc('microseconds', ts) AS cts,
+                  max(event_id) AS cid
+           FROM events
+           WHERE event_type = 'click' AND ts IS NOT NULL
+           GROUP BY 1, 2)
+    SELECT p.pid, p.user_id,
+           CASE WHEN p.pts_null OR c0.cts < p.pts - INTERVAL 30 MINUTE
+                THEN NULL ELSE c0.cid END AS cid,
+           CASE WHEN p.pts_null OR c0.cts < p.pts - INTERVAL 30 MINUTE
+                THEN NULL
+                ELSE CAST(date_diff('microsecond', c0.cts, p.pts) // 1000000
+                          AS BIGINT)
+           END AS gap_s
+    FROM p ASOF LEFT JOIN c0
+      ON p.user_id = c0.user_id AND p.pts >= c0.cts
+    """,
+    doc="ASOF with a TOLERANCE window (pandas merge_asof's `tolerance`, "
+    "kdb's wj bound): the most recent click at-or-before each purchase "
+    "counts only within 30 minutes -- staler attributions become NULL, "
+    "with the attribution gap in seconds emitted for matches.  The "
+    "tolerance NEEDS no second join or range expansion in either "
+    "engine: the unbounded as-of match is found first (Spark: the same "
+    "union + window-carry single pass as rel_asof_join, carrying the "
+    "click (ts, id) struct; oracle: native ASOF LEFT JOIN over the "
+    "max-id-per-ts pre-collapse), then one CASE nulls matches older "
+    "than the bound -- correct because if the LATEST prior click is "
+    "outside the window, every prior click is.  gap_s is an exact "
+    "integer microsecond difference floored to seconds in both engines "
+    "(no float).  NULL classes follow rel_asof_join (pre-join pts_null "
+    "flag; NULL-ts clicks filtered).",
+)
+def rel_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("eid"), F.lit(1).alias("side")
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("eid"), F.lit(0).alias("side")
+    )
+    u = p.unionAll(c)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "eid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = F.last(
+        F.when(F.col("side") == 0, F.struct("ts", "eid")), ignorenulls=True
+    ).over(w)
+    in_window = (
+        F.col("ts").isNotNull()
+        & F.col("_c.ts").isNotNull()
+        & (F.col("_c.ts") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES"))
+    )
+    # exact integer floor division of the microsecond gap in BOTH
+    # engines (date_diff('second') would count boundary CROSSINGS, which
+    # differs on sub-second components) -- no float enters the value.
+    gap = F.expr(
+        "CAST((unix_micros(ts) - unix_micros(_c.ts)) DIV 1000000 AS BIGINT)"
+    )
+    return (
+        u.withColumn("_c", carried)
+        .where(F.col("side") == 1)
+        .select(
+            F.col("eid").alias("pid"),
+            "user_id",
+            F.when(in_window, F.col("_c.eid")).alias("cid"),
+            F.when(in_window, gap).alias("gap_s"),
+        )
+    )
+
+
 # --- Range join (banded) --------------------------------------------------------
 
 @query(
