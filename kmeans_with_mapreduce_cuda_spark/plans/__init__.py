@@ -97,6 +97,7 @@ _PRIORITY = [
     "rel_stat_crosstab",
     "rel_stat_sampleby",
     "rel_asof_tolerance",
+    "udtf_polymorphic_topterms",
     # --- last driver-verified r3
     "stream_stream_join",
     "rel_filter_agg",

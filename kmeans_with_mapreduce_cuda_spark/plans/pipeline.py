@@ -1634,6 +1634,57 @@ def udtf_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "udtf_polymorphic_topterms",
+    oracle=r"""
+    WITH f AS (
+        SELECT doc_id, t AS term, count(*) AS c
+        FROM (SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                         AS t
+              FROM documents WHERE doc_id < 200)
+        GROUP BY doc_id, t
+    ),
+    r AS (
+        SELECT doc_id, term,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, term) AS rn,
+               count(*) OVER (PARTITION BY doc_id) AS nd
+        FROM f
+    )
+    SELECT doc_id,
+           max(CASE WHEN rn = 1 THEN term END) AS term_1,
+           max(CASE WHEN rn = 2 THEN term END) AS term_2,
+           max(CASE WHEN rn = 3 THEN term END) AS term_3,
+           CAST(max(nd) AS BIGINT) AS n_distinct_terms
+    FROM r GROUP BY doc_id
+    """,
+    doc="POLYMORPHIC Python UDTF (the analyze() static method computes "
+    "the output schema from the constant n argument at plan time): "
+    "top_terms(text, 3) emits term_1..term_3 + n_distinct_terms per "
+    "document -- the dynamic-schema half of the UDTF surface, "
+    "complementing udtf_shingles' fixed returnType.  Deterministic "
+    "despite being a ranking (ties break alphabetically in both "
+    "engines); the oracle states it as a per-doc frequency window + "
+    "conditional-max pivot.  doc_id < 200 keeps the row-at-a-time "
+    "Python path deliberate-surface-sized, same as udtf_shingles -- "
+    "the JVM window family remains the hot-path choice.",
+)
+def udtf_polymorphic_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.udtfs import register_udtfs
+    from ..sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    register_udtfs(spark)
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.term_1, t.term_2, t.term_3, t.n_distinct_terms
+        FROM documents d, LATERAL top_terms(d.text, 3) t
+        WHERE d.doc_id < 200
+        """
+    )
+
+
 # --- Dataset assembly: sampling, mixing, splitting, packing -------------------
 # The ops between "corpus" and "training run".  All deterministic (md5
 # keys, not RNG) so every one is hash-checked against the SQL oracle and

@@ -148,6 +148,44 @@ def test_udtf_shingles_matches_jvm_expression(spark):
     assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
 
 
+def test_udtf_polymorphic_analyze_contract(spark):
+    """The analyze() half of top_terms: the schema WIDENS with the
+    constant n (term_1..term_n), a non-constant n is rejected at plan
+    time, and NULL text drops the outer row through the LATERAL."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from kmeans_with_mapreduce_cuda_spark.functions.udtfs import (
+        register_udtfs,
+    )
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, "b a b"), (2, None)], "id bigint, txt string"
+    ).createOrReplaceTempView("_tt_docs")
+    five = spark.sql(
+        "SELECT t.* FROM _tt_docs d, LATERAL top_terms(d.txt, 5) t "
+        "WHERE d.id = 1"
+    )
+    assert five.columns == [f"term_{i}" for i in range(1, 6)] + [
+        "n_distinct_terms"
+    ]
+    row = five.collect()[0]
+    assert (row["term_1"], row["term_2"], row["term_3"]) == ("b", "a", None)
+    assert row["n_distinct_terms"] == 2
+    # NULL text: eval yields nothing -> the LATERAL drops the row
+    assert (
+        spark.sql(
+            "SELECT t.* FROM _tt_docs d, LATERAL top_terms(d.txt, 2) t"
+        ).count()
+        == 1
+    )
+    with pytest.raises(AnalysisException):
+        spark.sql(
+            "SELECT t.* FROM _tt_docs d, LATERAL top_terms(d.txt, d.id) t"
+        ).collect()
+
+
 def test_q5_join_chain_plan(spark):
     """Six-table chain: nation/region arrive via BroadcastExchange, the
     region filter pushes into its scan, and the fact side never
