@@ -3862,8 +3862,18 @@ def _minhash_cross_sql(
     """Oracle for :func:`dedup_cross_corpus`: the delta partition (rows
     matching ``new_pred``) banded-joined against the rest of the corpus.
     Same md5-derived signature pipeline as :func:`_minhash_sql`; the
-    join arms pair new x ref instead of the self-join's ``a < b``."""
+    join arms pair new x ref instead of the self-join's ``a < b``.
+
+    The REF-side band-bucket skew cap (minhash_cross_pairs excludes
+    band keys held by > MAX_BAND_BUCKET ref docs) is mirrored here
+    per band via ``count <= cap`` CTEs over refsig -- the bug-class-2
+    lesson (one-sided caps pass every fixture scale where the cap
+    never fires, then diverge exactly when the skew guard matters).
+    It has never fired at any probed scale (ref buckets stay far
+    below 1000 even at 100x), so this mirror changed no hashes --
+    verified row-identical at sf0.01/sf0.1 before the swap."""
     from ..functions.hashing import MINHASH_P, minhash_params
+    from ..operators.dedup import MAX_BAND_BUCKET
 
     r = num_hashes // bands
     params = minhash_params(num_hashes, seed)
@@ -3872,10 +3882,25 @@ def _minhash_cross_sql(
         f"list_min([ ({a} * {base} + {b}) % {MINHASH_P} FOR s IN shingles ]) AS h{j}"
         for j, (a, b) in enumerate(params)
     )
+
+    def band_key(alias: str, b: int) -> str:
+        return " AND ".join(
+            f"{alias}.h{b * r + j} = k{b}.h{b * r + j}" for j in range(r)
+        )
+
+    kept_ctes = ", ".join(
+        f"k{b} AS MATERIALIZED (SELECT "
+        + ", ".join(f"h{b * r + j}" for j in range(r))
+        + ", count(*) AS n FROM refsig GROUP BY "
+        + ", ".join(f"h{b * r + j}" for j in range(r))
+        + f" HAVING count(*) <= {MAX_BAND_BUCKET})"
+        for b in range(bands)
+    )
     band_arms = " UNION ALL ".join(
         "SELECT n.doc_id AS new_doc, x.doc_id AS ref_doc "
         "FROM newsig n JOIN refsig x ON "
         + " AND ".join(f"n.h{b * r + j} = x.h{b * r + j}" for j in range(r))
+        + f" JOIN k{b} ON {band_key('x', b)}"
         for b in range(bands)
     )
     agree = " + ".join(
@@ -3890,9 +3915,12 @@ def _minhash_cross_sql(
     sh AS (
         SELECT doc_id, source, {_SHINGLE_LIST_EXPR} AS shingles FROM toks
     ),
-    sig AS (SELECT doc_id, source, {h_cols} FROM sh WHERE len(shingles) > 0),
+    sig AS MATERIALIZED (
+        SELECT doc_id, source, {h_cols} FROM sh WHERE len(shingles) > 0
+    ),
     newsig AS (SELECT * FROM sig WHERE {new_pred}),
-    refsig AS (SELECT * FROM sig WHERE NOT ({new_pred})),
+    refsig AS MATERIALIZED (SELECT * FROM sig WHERE NOT ({new_pred})),
+    {kept_ctes},
     cand AS ({band_arms}),
     pairs AS (SELECT DISTINCT new_doc, ref_doc FROM cand)
     SELECT p.new_doc, p.ref_doc,

@@ -105,7 +105,53 @@ def test_minhash_lsh_bucket_cap_bounds_hot_band(spark):
     assert n_uncapped >= 1770
 
 
-def test_cosine_lsh_bucket_cap_bounds_hot_bucket(spark):
+def test_cross_corpus_cap_agrees_with_mirrored_oracle_when_firing(spark):
+    """The bug-class-2 regression test for dedup_cross_corpus: 1200
+    identical boilerplate REF docs push every boilerplate band key past
+    the gate cap (1000), so the delta boilerplate doc must pair with
+    NOTHING -- in BOTH engines, because the ref-side cap is mirrored in
+    the oracle's per-band count<=cap CTEs.  Before the mirror, the
+    oracle would emit 1200 boilerplate pairs here and the hash check
+    would (correctly) explode.  The distinct near-dup delta pair still
+    comes through."""
+    import tempfile
+
+    import duckdb
+
+    from canon_util import canon
+    from kmeans_with_mapreduce_cuda_spark.plans import REGISTRY
+
+    boiler = "all rights reserved footer text common to every page"
+    rows = (
+        [(i, boiler, "en", "srcR") for i in range(1200)]
+        + [
+            (1300, "the quick brown fox jumps over the lazy dog tonight",
+             "en", "srcR"),
+            (2000, boiler, "en", "src0"),
+            (2001, "the quick brown fox jumps over the lazy dog today",
+             "en", "src0"),
+        ]
+    )
+    d = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    )
+    q = REGISTRY["dedup_cross_corpus"]
+    with tempfile.TemporaryDirectory() as tmp:
+        d.coalesce(2).write.parquet(f"{tmp}/documents.parquet")
+        got = q.fn(spark, tmp)
+        cols, data = got.columns, [tuple(r) for r in got.collect()]
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{tmp}/documents.parquet/*.parquet'"
+        )
+        cur = con.execute(q.oracle)
+        ocols = [c[0] for c in cur.description]
+        odata = cur.fetchall()
+    assert canon(cols, data) == canon(ocols, odata)
+    pairs = {(a, b) for a, b, _ in data}
+    assert (2001, 1300) in pairs
+    assert not any(a == 2000 for a, _ in pairs), sorted(pairs)[:5]
     """Same guard on the hyperplane-sign buckets: many copies of one
     vector direction form a hot bucket; max_bucket excludes it while an
     isolated near-parallel pair in another bucket still emerges."""
