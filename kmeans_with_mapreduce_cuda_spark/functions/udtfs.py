@@ -83,7 +83,65 @@ class TopTermsUDTF:
         yield (*terms, len(counts))
 
 
+@udtf(
+    returnType="user_id: bigint, n_events: bigint, n_sessions: bigint, "
+    "span_s: bigint"
+)
+class GapSessionsUDTF:
+    """TABLE-argument UDTF consumed as ``gap_sessions(TABLE(...)
+    PARTITION BY user_id ORDER BY ts, event_id)`` -- the third UDTF
+    surface: scalar-arg LATERAL (ShingleUDTF), polymorphic analyze
+    (TopTermsUDTF), and now partitioned table input, where Spark feeds
+    whole ordered partitions through ``eval`` and the function keeps
+    running state across rows instead of per-row arguments.
+
+    Counts 30-min-gap sessions per user in one ordered pass (the gap
+    rule of streaming.sessionize_stream / rel_sessionize_batch): a row
+    strictly more than 30 minutes after its predecessor starts a new
+    session.  State is O(1) per partition -- no row buffering -- so one
+    user's history never accumulates in worker memory.  Key changes are
+    handled in ``eval`` (flush-and-reset) rather than assuming one
+    instance per key, so the logic is correct under any
+    partition-to-instance assignment as long as rows arrive grouped by
+    key and ordered within it, which PARTITION BY ... ORDER BY
+    guarantees.  All arithmetic is integer/timedelta-exact (no float
+    seconds): span_s is the floor of the first->last microsecond span.
+    """
+
+    def __init__(self):
+        from datetime import timedelta
+
+        self._gap = timedelta(minutes=30)
+        self._uid = None
+        self._n = 0
+        self._sessions = 0
+        self._first = None
+        self._prev = None
+
+    def _row(self):
+        td = self._prev - self._first
+        micros = (td.days * 86400 + td.seconds) * 1_000_000 + td.microseconds
+        return (self._uid, self._n, self._sessions, micros // 1_000_000)
+
+    def eval(self, row):  # noqa: D102 (driver contract)
+        uid, ts = row["user_id"], row["ts"]
+        if uid != self._uid:
+            if self._uid is not None:
+                yield self._row()
+            self._uid, self._n, self._sessions = uid, 0, 1
+            self._first, self._prev = ts, ts
+        self._n += 1
+        if ts - self._prev > self._gap:
+            self._sessions += 1
+        self._prev = ts
+
+    def terminate(self):  # noqa: D102 (driver contract)
+        if self._uid is not None:
+            yield self._row()
+
+
 def register_udtfs(spark) -> None:
     """Register all table functions on the session (idempotent)."""
     spark.udtf.register("shingles", ShingleUDTF)
     spark.udtf.register("top_terms", TopTermsUDTF)
+    spark.udtf.register("gap_sessions", GapSessionsUDTF)

@@ -98,6 +98,8 @@ _PRIORITY = [
     "rel_stat_sampleby",
     "rel_asof_tolerance",
     "udtf_polymorphic_topterms",
+    "udtf_table_arg_sessions",
+    "rel_window_count_distinct",
     # --- last driver-verified r3
     "stream_stream_join",
     "rel_filter_agg",

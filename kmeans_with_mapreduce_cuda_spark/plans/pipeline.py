@@ -1685,6 +1685,61 @@ def udtf_polymorphic_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "udtf_table_arg_sessions",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts
+        FROM events WHERE user_id < 100 AND ts IS NOT NULL
+    ),
+    g AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        FROM e
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(1 + sum(brk) AS BIGINT) AS n_sessions,
+           CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+                AS BIGINT) AS span_s
+    FROM g GROUP BY user_id
+    """,
+    doc="TABLE-argument UDTF (the third UDTF surface after LATERAL "
+    "scalar args and polymorphic analyze): gap_sessions(TABLE(...) "
+    "PARTITION BY user_id ORDER BY ts, event_id) counts 30-min-gap "
+    "sessions per user with O(1) running state per partition -- the "
+    "UDTF twin of rel_sessionize_batch's lag/running-sum window, same "
+    "gap rule, so the two formulations cross-check.  Session count, "
+    "event count and first->last span are all tie-order invariant "
+    "(equal timestamps are gap 0), and span_s is an exact integer "
+    "microsecond floor division in both engines.  The UTC pin wraps "
+    "DataFrame construction (timestamps cross into Python as naive "
+    "datetimes in session timezone; a DST-shifted zone would corrupt "
+    "naive diffs).  user_id < 100 keeps the row-at-a-time Python path "
+    "deliberate-surface-sized; the JVM window formulation is the "
+    "hot-path choice.",
+)
+def udtf_table_arg_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.udtfs import register_udtfs
+    from ..sources.readers import register_views
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    register_views(spark, sf_dir)
+    register_udtfs(spark)
+    return spark.sql(
+        """
+        SELECT s.user_id, s.n_events, s.n_sessions, s.span_s
+        FROM gap_sessions(
+            TABLE(SELECT user_id, event_id, ts FROM events
+                  WHERE user_id < 100 AND ts IS NOT NULL)
+            PARTITION BY user_id ORDER BY (ts, event_id)
+        ) s
+        """
+    )
+
+
 # --- Dataset assembly: sampling, mixing, splitting, packing -------------------
 # The ops between "corpus" and "training run".  All deterministic (md5
 # keys, not RNG) so every one is hash-checked against the SQL oracle and

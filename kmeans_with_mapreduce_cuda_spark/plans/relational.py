@@ -1414,6 +1414,58 @@ def rel_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rel_window_count_distinct",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               date_trunc('microseconds', ts) AS ts
+        FROM events WHERE user_id < 40 AND ts IS NOT NULL
+    ),
+    m AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN row_number() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id
+                    ) = 1 THEN 1 ELSE 0 END AS first_occ
+        FROM e
+    )
+    SELECT user_id, event_id,
+           CAST(sum(first_occ) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+           ) AS INTEGER) AS n_types_so_far
+    FROM m
+    """,
+    doc="Running COUNT(DISTINCT) over a window -- an aggregate Spark "
+    "does NOT support natively in window frames (DISTINCT_WINDOW_"
+    "FUNCTION_UNSUPPORTED) -- expressed as the standard composition "
+    "size(collect_set(x) OVER w): per user, how many distinct event "
+    "types have been seen up to each event.  The oracle states the "
+    "equivalent first-occurrence-marker running sum (rows <= r contain "
+    "k distinct types iff k first-occurrences precede r), which is "
+    "also the composition to REACH FOR when the distinct domain is "
+    "unbounded: collect_set holds the running set per frame "
+    "evaluation, fine for a 5-value type column, quadratic-memory for "
+    "high-cardinality ones.  (ts, event_id) is a total order so every "
+    "prefix is deterministic.",
+)
+def rel_window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").where(
+        (F.col("user_id") < 40) & F.col("ts").isNotNull()
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.size(F.collect_set("event_type").over(w)).alias("n_types_so_far"),
+    )
+
+
 # --- Window rank-function suite --------------------------------------------
 
 @query(

@@ -105,9 +105,18 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register all fixture tables as temp views for ``spark.sql``."""
+    """Register all fixture tables as temp views for ``spark.sql``.
+
+    Tables whose parquet file is absent are skipped — the scale-probe
+    contract (tests/oracle_probe.py) is that a fixture directory needs
+    only the tables the chosen queries actually read, and the DuckDB
+    side of the probe already skips missing files the same way.
+    """
+    import os
+
     for t in TABLES:
-        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
+            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
 def read_points_text(

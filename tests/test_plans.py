@@ -186,6 +186,83 @@ def test_udtf_polymorphic_analyze_contract(spark):
         ).collect()
 
 
+def test_udtf_table_arg_sessions_boundary_and_flush(spark):
+    """gap_sessions edge semantics: a gap of EXACTLY 30 minutes stays
+    in-session (the rule is strictly greater, matching
+    rel_sessionize_batch), one microsecond past it breaks, span_s is
+    the microsecond floor -- and the class handles key changes inside
+    one instance (flush-and-reset in eval), so correctness does not
+    depend on Spark's partition-to-instance assignment."""
+    from kmeans_with_mapreduce_cuda_spark.functions.udtfs import (
+        GapSessionsUDTF,
+        register_udtfs,
+    )
+
+    register_udtfs(spark)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01 00:00:00"),
+            (1, 11, "2024-01-01 00:30:00"),          # exactly 30m: same
+            (1, 12, "2024-01-01 01:00:00.000001"),   # 30m + 1us: breaks
+            (2, 20, "2024-01-01 05:00:00"),
+        ],
+        "user_id bigint, event_id bigint, ts string",
+    ).selectExpr(
+        "user_id", "event_id", "CAST(ts AS TIMESTAMP) AS ts"
+    ).createOrReplaceTempView("_gs_events")
+    got = {
+        r["user_id"]: r
+        for r in spark.sql(
+            """
+            SELECT s.* FROM gap_sessions(
+                TABLE(SELECT user_id, event_id, ts FROM _gs_events)
+                PARTITION BY user_id ORDER BY (ts, event_id)
+            ) s
+            """
+        ).collect()
+    }
+    assert (got[1]["n_events"], got[1]["n_sessions"]) == (3, 2)
+    assert got[1]["span_s"] == 3600  # floor(3600.000001 s)
+    assert (got[2]["n_events"], got[2]["n_sessions"], got[2]["span_s"]) == (
+        1,
+        1,
+        0,
+    )
+
+    # Direct-instance multi-key feed: two users through ONE instance.
+    from datetime import datetime
+
+    inst = GapSessionsUDTF.func()
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        {"user_id": 1, "ts": t0},
+        {"user_id": 1, "ts": datetime(2024, 1, 1, 2)},
+        {"user_id": 2, "ts": t0},
+    ]
+    out = [r for row in rows for r in (inst.eval(row) or [])]
+    out += list(inst.terminate())
+    assert out == [(1, 2, 2, 7200), (2, 1, 1, 0)]
+
+
+def test_window_count_distinct_stays_jvm_side(spark):
+    """The running-distinct composition must plan as a JVM Window over
+    collect_set -- no Python eval node -- and exist precisely because
+    Spark rejects a native DISTINCT aggregate in a window frame."""
+    import pytest
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import Window
+
+    plan = plan_of(REGISTRY["rel_window_count_distinct"].fn(spark, SF_DIR))
+    assert "Window" in plan, plan
+    assert "EvalPython" not in plan and "ArrowEval" not in plan, plan
+
+    e = load_table(spark, SF_DIR, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    with pytest.raises(AnalysisException):
+        e.select(F.count_distinct("event_type").over(w)).collect()
+
+
 def test_q5_join_chain_plan(spark):
     """Six-table chain: nation/region arrive via BroadcastExchange, the
     region filter pushes into its scan, and the fact side never
