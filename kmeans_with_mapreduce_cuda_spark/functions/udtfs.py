@@ -108,11 +108,15 @@ class GapSessionsUDTF:
     seconds): span_s is the floor of the first->last microsecond span.
     """
 
+    #: "no group open yet" sentinel -- distinct from None so a NULL
+    #: partition key is a real group, not a skipped initialization.
+    _UNSET = object()
+
     def __init__(self):
         from datetime import timedelta
 
         self._gap = timedelta(minutes=30)
-        self._uid = None
+        self._uid = self._UNSET
         self._n = 0
         self._sessions = 0
         self._first = None
@@ -126,7 +130,7 @@ class GapSessionsUDTF:
     def eval(self, row):  # noqa: D102 (driver contract)
         uid, ts = row["user_id"], row["ts"]
         if uid != self._uid:
-            if self._uid is not None:
+            if self._uid is not self._UNSET:
                 yield self._row()
             self._uid, self._n, self._sessions = uid, 0, 1
             self._first, self._prev = ts, ts
@@ -136,7 +140,7 @@ class GapSessionsUDTF:
         self._prev = ts
 
     def terminate(self):  # noqa: D102 (driver contract)
-        if self._uid is not None:
+        if self._uid is not self._UNSET:
             yield self._row()
 
 

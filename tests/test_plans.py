@@ -236,13 +236,15 @@ def test_udtf_table_arg_sessions_boundary_and_flush(spark):
     inst = GapSessionsUDTF.func()
     t0 = datetime(2024, 1, 1)
     rows = [
+        {"user_id": None, "ts": t0},  # NULL key is a real group
+        {"user_id": None, "ts": datetime(2024, 1, 1, 0, 5)},
         {"user_id": 1, "ts": t0},
         {"user_id": 1, "ts": datetime(2024, 1, 1, 2)},
         {"user_id": 2, "ts": t0},
     ]
     out = [r for row in rows for r in (inst.eval(row) or [])]
     out += list(inst.terminate())
-    assert out == [(1, 2, 2, 7200), (2, 1, 1, 0)]
+    assert out == [(None, 2, 1, 300), (1, 2, 2, 7200), (2, 1, 1, 0)]
 
 
 def test_window_count_distinct_stays_jvm_side(spark):
