@@ -100,6 +100,7 @@ _PRIORITY = [
     "udtf_polymorphic_topterms",
     "udtf_table_arg_sessions",
     "rel_window_count_distinct",
+    "stream_state_reader",
     # --- last driver-verified r3
     "stream_stream_join",
     "rel_filter_agg",

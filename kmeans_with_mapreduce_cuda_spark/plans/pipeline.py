@@ -4266,6 +4266,59 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_state_reader",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+    doc="The state-store READER (Spark 4 `statestore` data source): run "
+    "a real streaming per-user running count to a checkpoint, then "
+    "read the operator's state DIRECTLY from the checkpoint files -- "
+    "key.user_id / value.count -- and hash-check it against the batch "
+    "GROUP BY.  This is the ops/debugging surface for stateful "
+    "streaming ('what is in state right now?'): the reader parses the "
+    "HDFS-state-store snapshot+delta files partition-parallel, no "
+    "source replay, no running query -- at production scale it is how "
+    "state skew, leaks, and watermark bugs are diagnosed without "
+    "stopping the job.  A running count with availableNow over the "
+    "full fixture holds exactly one state row per user with the total "
+    "count, which is what the oracle states; the memory sink's rows "
+    "are deliberately ignored -- the CHECKPOINT is the artifact under "
+    "test.",
+)
+def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..streaming.streams import read_events_stream
+
+    root = tempfile.mkdtemp(prefix="_gate_statereader_")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        ev = read_events_stream(spark, sf_dir).select("user_id")
+        agg = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(f"_gate_statereader_{next(_STREAM_RUNS)}")
+            .outputMode("update")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_drain(q, "state-reader stream")
+        st = spark.read.format("statestore").load(f"{root}/ckpt")
+        out = st.select(
+            F.col("key.user_id").alias("user_id"),
+            F.col("value.count").alias("n_events"),
+        )
+        return _eager(spark, out)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "stream_tokenizer_encode",
     oracle=_TOKENIZER_ORACLE,
     doc="Streaming tokenizer application (VERDICT r5 item 7): the "
