@@ -101,6 +101,8 @@ _PRIORITY = [
     "udtf_table_arg_sessions",
     "rel_window_count_distinct",
     "stream_state_reader",
+    "rel_timezone_convert",
+    "rel_identifier_clause",
     # --- last driver-verified r3
     "stream_stream_join",
     "rel_filter_agg",

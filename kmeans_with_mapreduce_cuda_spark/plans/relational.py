@@ -907,6 +907,89 @@ def rel_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rel_timezone_convert",
+    oracle="""
+    SELECT event_id,
+           CAST(strftime(ts, '%Y-%m-%d %H:%M:%S') AS VARCHAR) AS utc_s,
+           CAST(strftime(ts AT TIME ZONE 'UTC'
+                            AT TIME ZONE 'America/New_York',
+                         '%Y-%m-%d %H:%M:%S') AS VARCHAR) AS nyc_s,
+           CAST((epoch(ts AT TIME ZONE 'UTC'
+                          AT TIME ZONE 'America/New_York')
+                 - epoch(ts)) // 60 AS BIGINT) AS offset_min
+    FROM events WHERE event_id < 2000
+    """,
+    doc="Timezone conversion (convert_timezone / AT TIME ZONE): events "
+    "stored as UTC instants rendered as America/New_York wall time, "
+    "plus the applied UTC offset in minutes -- the event-localization "
+    "surface every reporting pipeline needs.  Spark's convert_timezone "
+    "returns TIMESTAMP_NTZ (wall time), DuckDB's double AT TIME ZONE "
+    "does the identical instant->wall mapping through the same IANA "
+    "tzdata; the offset is derived by re-reading the wall time as a "
+    "UTC instant and differencing integer seconds (exact -- offsets "
+    "are whole minutes).  The fixture's January window pins EST (-300)"
+    "; the DST-crossing behavior (EDT -240, spring-forward gap) is "
+    "unit-pinned in tests/test_plans.py since no boundary falls inside "
+    "the fixture.  Scale shape: a per-row projection, no shuffle, "
+    "fuses with the scan.",
+)
+def rel_timezone_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # UTC pin BEFORE construction: date_format resolves the session zone
+    # at analysis time, and the NTZ->instant offset reading needs it.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    nyc = F.convert_timezone(
+        F.lit("UTC"), F.lit("America/New_York"), F.col("ts")
+    )
+    # NTZ read back as a UTC instant (session tz is pinned) so the
+    # offset is an integer-seconds difference of two instants.
+    off = (
+        F.unix_seconds(nyc.cast("timestamp"))
+        - F.unix_seconds(F.col("ts"))
+    )
+    return e.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("utc_s"),
+        F.date_format(nyc, "yyyy-MM-dd HH:mm:ss").alias("nyc_s"),
+        F.floor(off / 60).cast("bigint").alias("offset_min"),
+    )
+
+
+@query(
+    "rel_identifier_clause",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM events WHERE event_id < 5000 GROUP BY event_type
+    """,
+    doc="IDENTIFIER() clause (Spark 4): table and column names bound "
+    "from parameter markers -- the injection-safe templating surface "
+    "for dynamic object references (multi-tenant table fan-out, "
+    "metric-column selection), completing rel_parameterized_sql which "
+    "binds only VALUES.  IDENTIFIER(:t) resolves at analysis time to "
+    "a real catalog reference, so pushdown/pruning see the static "
+    "plan; the oracle is that resolved static query.  Integer-cents "
+    "money discipline as everywhere.",
+)
+def rel_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(IDENTIFIER(:val_col) * 100, 0)
+                             AS BIGINT)) AS BIGINT) AS total_cents
+        FROM IDENTIFIER(:tbl)
+        WHERE IDENTIFIER(:key_col) < 5000
+        GROUP BY event_type
+        """,
+        args={"tbl": "events", "val_col": "value", "key_col": "event_id"},
+    )
+
+
+@query(
     "rel_json_funcs",
     oracle="""
     SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,

@@ -247,6 +247,37 @@ def test_udtf_table_arg_sessions_boundary_and_flush(spark):
     assert out == [(None, 2, 1, 300), (1, 2, 2, 7200), (2, 1, 1, 0)]
 
 
+def test_timezone_convert_dst_boundary(spark):
+    """The DST cases the January fixture can't exercise: EST (-300) vs
+    EDT (-240), and the spring-forward instant pair around
+    2024-03-10 07:00 UTC where New York wall time jumps 01:59:59 ->
+    03:00:00 (02:xx does not exist)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-15 12:00:00"),
+            (2, "2024-07-15 12:00:00"),
+            (3, "2024-03-10 06:59:59"),
+            (4, "2024-03-10 07:00:00"),
+        ],
+        "id bigint, s string",
+    ).select("id", F.col("s").cast("timestamp").alias("ts"))
+    nyc = F.convert_timezone(F.lit("UTC"), F.lit("America/New_York"), "ts")
+    off = F.unix_seconds(nyc.cast("timestamp")) - F.unix_seconds("ts")
+    got = {
+        r["id"]: (r["nyc_s"], r["offset_min"])
+        for r in df.select(
+            "id",
+            F.date_format(nyc, "yyyy-MM-dd HH:mm:ss").alias("nyc_s"),
+            F.floor(off / 60).cast("bigint").alias("offset_min"),
+        ).collect()
+    }
+    assert got[1] == ("2024-01-15 07:00:00", -300)
+    assert got[2] == ("2024-07-15 08:00:00", -240)
+    assert got[3] == ("2024-03-10 01:59:59", -300)
+    assert got[4] == ("2024-03-10 03:00:00", -240)
+
+
 def test_window_count_distinct_stays_jvm_side(spark):
     """The running-distinct composition must plan as a JVM Window over
     collect_set -- no Python eval node -- and exist precisely because
