@@ -103,6 +103,7 @@ _PRIORITY = [
     "stream_state_reader",
     "rel_timezone_convert",
     "rel_identifier_clause",
+    "rel_nullsafe_join",
     # --- last driver-verified r3
     "stream_stream_join",
     "rel_filter_agg",

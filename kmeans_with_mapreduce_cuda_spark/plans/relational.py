@@ -247,6 +247,57 @@ def rel_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semi.unionAll(anti)
 
 
+@query(
+    "rel_nullsafe_join",
+    oracle="""
+    WITH l AS (
+        SELECT nullif(user_id % 10, 7) AS k,
+               CAST(count(*) AS BIGINT) AS n_clicks
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    r AS (
+        SELECT nullif(user_id % 10, 7) AS k,
+               CAST(count(*) AS BIGINT) AS n_views
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    )
+    SELECT coalesce(l.k, r.k) AS k, l.n_clicks, r.n_views
+    FROM l FULL JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    """,
+    doc="NULL-SAFE equality as a JOIN KEY (eqNullSafe / <=> == ANSI IS "
+    "NOT DISTINCT FROM): per-key click vs view counts full-outer "
+    "joined where one key bucket is deliberately NULLed (nullif(uid%10"
+    ", 7)) -- under plain `=` the NULL groups silently drop from the "
+    "inner match and surface as two dangling outer rows; under <=> "
+    "they MATCH, which is the semantics reconciliation joins on "
+    "nullable business keys need.  Completes rel_null_semantics, "
+    "which checks <=> only as a scalar predicate.  Plan matters as "
+    "much as the result: EqualNullSafe is still an equi-join key, so "
+    "Catalyst keeps a hash/sort-merge join (plan-asserted no "
+    "nested-loop) -- naively rewriting <=> as `(a = b OR (a IS NULL "
+    "AND b IS NULL))` would degrade to BroadcastNestedLoopJoin.",
+)
+def rel_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    key = F.nullif(F.col("user_id") % 10, F.lit(7))
+    left = (
+        e.where(F.col("event_type") == "click")
+        .groupBy(key.alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    right = (
+        e.where(F.col("event_type") == "view")
+        .groupBy(key.alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_views"))
+    )
+    return left.join(
+        right, left["k"].eqNullSafe(right["k"]), "full"
+    ).select(
+        F.coalesce(left["k"], right["k"]).alias("k"),
+        "n_clicks",
+        "n_views",
+    )
+
+
 # --- Window functions --------------------------------------------------------
 
 @query(

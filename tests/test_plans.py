@@ -247,6 +247,18 @@ def test_udtf_table_arg_sessions_boundary_and_flush(spark):
     assert out == [(None, 2, 1, 300), (1, 2, 2, 7200), (2, 1, 1, 0)]
 
 
+def test_nullsafe_join_keeps_equi_join_plan(spark):
+    """EqualNullSafe must plan as a hash/sort-merge equi join -- the
+    `(a = b OR both NULL)` rewrite would fall to nested-loop, which is
+    exactly the degradation this query documents against."""
+    plan = plan_of(REGISTRY["rel_nullsafe_join"].fn(spark, SF_DIR))
+    assert "NestedLoop" not in plan, plan
+    assert any(
+        j in plan
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    ), plan
+
+
 def test_timezone_convert_dst_boundary(spark):
     """The DST cases the January fixture can't exercise: EST (-300) vs
     EDT (-240), and the spring-forward instant pair around
