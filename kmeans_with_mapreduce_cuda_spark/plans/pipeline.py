@@ -2583,6 +2583,25 @@ def _semantic_dedup_build(
 
     e = load_table(spark, sf_dir, "embeddings")
     cents = _cents_nd(spark, sf_dir, k=8)
+    if not cents:
+        # Empty corpus: no seed vectors exist, so there is no quantizer
+        # to assign against -- return typed empty frames instead of
+        # handing assign_nd a zero-centroid list (array_min over an
+        # empty literal array is a NULL-type analysis error).
+        empty_pairs = e.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("vec_id").alias("vec_b"),
+            F.lit(0.0).alias("cos_sim"),
+        ).where(F.lit(False))
+        empty_capped = spark.range(0).select(
+            F.col("id").cast("int").alias("cell_id"), F.col("id").alias("n")
+        )
+        empty_assigned = e.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("emb"),
+            F.lit(0).cast("int").alias("cell_id"),
+        ).where(F.lit(False))
+        return empty_pairs, empty_capped, empty_assigned
     # Persist the assignment: both self-join sides consume it.  The
     # per-VECTOR work (k x 64-dim assignment distances AND the l2 norm)
     # is computed once here, so the per-PAIR work inside the join is a
@@ -4307,7 +4326,20 @@ def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         _await_drain(q, "state-reader stream")
-        st = spark.read.format("statestore").load(f"{root}/ckpt")
+        try:
+            st = spark.read.format("statestore").load(f"{root}/ckpt")
+        except Exception as exc:
+            # An empty source commits no micro-batch, so the checkpoint
+            # has no state version to read -- that's an empty state,
+            # not an error.  Anything else propagates.
+            if "STDS_COMMITTED_BATCH_UNAVAILABLE" not in str(exc):
+                raise
+            # lit(NULL) casts: nullable bigints, matching the schema the
+            # statestore read yields (struct-field access is nullable).
+            return spark.range(0).select(
+                F.lit(None).cast("bigint").alias("user_id"),
+                F.lit(None).cast("bigint").alias("n_events"),
+            )
         out = st.select(
             F.col("key.user_id").alias("user_id"),
             F.col("value.count").alias("n_events"),

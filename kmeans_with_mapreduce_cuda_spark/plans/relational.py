@@ -1809,9 +1809,18 @@ _CT_LANGS = ("de", "en", "es", "fr", "zh")
 def rel_stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     ct = d.stat.crosstab("source", "lang")
+    # crosstab only emits columns for lang values PRESENT in the data;
+    # a pinned-domain contract means an absent value is a zero count
+    # (and on an empty corpus, every domain column is absent).
+    present = set(ct.columns)
     return ct.select(
         "source_lang",
-        *[F.col(f"`{lg}`").cast("bigint").alias(f"n_{lg}") for lg in _CT_LANGS],
+        *[
+            (F.col(f"`{lg}`") if lg in present else F.lit(0))
+            .cast("bigint")
+            .alias(f"n_{lg}")
+            for lg in _CT_LANGS
+        ],
     )
 
 

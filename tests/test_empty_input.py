@@ -67,6 +67,19 @@ QUERIES = [
     "stream_dedup_rocksdb_changelog",
     "pipe_pca_whiten",
     "pipe_pareto_frontier",
+    # r7 additions: cogrouped/table-arg pandas+UDTF surfaces, stat,
+    # tolerance asof, null-safe join, tz projection, window distinct,
+    # capped SemDeDup, state-store reader (empty-source checkpoint)
+    "udf_cogroup_asof",
+    "rel_asof_tolerance",
+    "udtf_table_arg_sessions",
+    "rel_window_count_distinct",
+    "rel_nullsafe_join",
+    "rel_timezone_convert",
+    "rel_identifier_clause",
+    "rel_stat_crosstab",
+    "dedup_semantic_capped",
+    "stream_state_reader",
 ]
 
 
