@@ -17,80 +17,28 @@ from . import pipeline  # noqa: F401,E402
 # follow in registration order (hash-checked before rows-only).
 # ---------------------------------------------------------------------------
 
-# Round-7 ROTATION (VERDICT r6 item 1): CORRECTNESS_r06 came back 50/50
-# green, union coverage 199/199 of the r5-era registry.  This prefix is
-# the NOTES.md "r7 prefix" verbatim: it leads with the 5 O-core
-# composites, then the 2 r6 additions (rel_collation_unicode_ci,
-# stream_tokenizer_encode -- the only queries with no driver row), then
-# the 4 O-primitives rotated out at r6 (o05-o08), then the 39
-# least-recently-verified (r2-green tail first, then r3).  The 4
-# displaced age-3 entries (rel_filter_agg, rel_join_broadcast,
-# rel_join_shuffle, rel_join_semi_anti) lead the r8 rotation.
-# A green r7 = union coverage 201/201, no green row older than r3.
-# Re-derive from CORRECTNESS_r07.
+# Round-8 ROTATION (VERDICT r7 item 1): CORRECTNESS_r07 came back 50/50
+# green, union coverage 201/201 of the r6-era registry.  This prefix is
+# the NOTES.md "r8 prefix" verbatim, submitted unchanged per the
+# verdict: the 4 oldest O-core rows (r6-verified primitives o01-o04),
+# then the 13 r7 additions (the only queries with no driver row;
+# judge-verified green r7), then the 33 least-recently-verified in
+# strict age order (the r3-green tail incl. stream_stream_join --
+# heaviest drain, seconds at sf0.01 -- then the oldest r4 rows).
+# A green r8 = union coverage 214/214, no green row older than r4.
+# The displaced r4 entries (pipe_doc_chunking, pipe_quality_classifier,
+# pipe_vocab_build, rel_exists_subquery, ...) lead r9, after any new
+# r8 queries (inserted at the head of the past-cut block as added).
+# Re-derive from CORRECTNESS_r08.
 _PRIORITY = [
-    # ---- r7 PREFIX (50): pre-computed at r6 close (NOTES.md), submitted
-    # verbatim per VERDICT r6 item 1.  5 O-core composites, then the 2
-    # r6 additions (only queries with no driver row; judge-verified green
-    # r6), then o05-o08 (the rotated-out primitives owed from r6), then
-    # the 39 least-recently-verified in strict age order (r2 tail, r3).
-    "o12_kmeans_two_steps",
-    "o13_sink_format",
-    "o14_sse",
-    "o04_assign_argmin_nd",
-    "o09_centroid_update_nd",
-    # --- the 2 r6 additions: never driver-verified
-    "rel_collation_unicode_ci",
-    "stream_tokenizer_encode",
-    # --- the 4 O-primitives owed from the r6 cut
-    "o05_multi_emit",
-    "o06_sort_by_key",
-    "o07_group_counts",
-    "o08_centroid_update",
-    # --- 39 least-recently-verified, strict age order (r2 first)
-    "o12_kmeans_five_steps",
-    "o14_sse_by_k",
-    "o02_seed_farthest",
-    "rel_join_outer",
-    "rel_window_lag",
-    "rel_cube",
-    "rel_grouping_sets",
-    "rel_count_distinct_multi",
-    "rel_correlated_scalar",
-    "rel_json_variant",
-    "rel_session_window",
-    "rel_conditional_agg_q14",
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_simhash",
-    "mm_payload_meta",
-    "mm_resize_meta",
-    "mm_frame_sample",
-    "sim_topk_bruteforce",
-    "pipe_stratified_sample",
-    "pipe_source_mixture",
-    "pipe_train_val_test",
-    "pipe_token_packing",
-    "udtf_shingles",
-    "stream_hourly_counts",
-    "udf_mapreduce_kmeans_step",
-    "rel_approx_distinct",
-    "rel_approx_percentile",
-    "rel_window_range_frame",
-    "rel_group_by_all",
-    "stream_session_windows",
-    "udf_group_normalize",
-    "text_bpe_token_stats",
-    "text_lang_id_ngram",
-    "sim_lsh_pairs",
-    "pipe_corpus_clean",
-    "rel_join_chain_q5",
-    # ------------------- 50-entry cut lands here -------------------
-    # Past-cut: least-recently-verified first so r8 can rotate them in.
-    # New r7 queries (no driver row yet) are inserted at the head of
-    # this block as they are added -- they lead the r8 rotation.
+    # ---- r8 PREFIX (50): pre-computed at r7 close (NOTES.md), submitted
+    # verbatim per VERDICT r7 item 1.
+    # --- the 4 oldest O-core rows (r6-verified primitives)
+    "o01_scan_limit",
+    "o02_seed_sample",
+    "o03_distance_expr",
+    "o04_assign_argmin",
+    # --- the 13 r7 additions: never driver-verified
     "dedup_semantic_capped",
     "udf_cogroup_asof",
     "rel_stat_freq_items",
@@ -104,33 +52,45 @@ _PRIORITY = [
     "rel_timezone_convert",
     "rel_identifier_clause",
     "rel_nullsafe_join",
-    # --- last driver-verified r3
-    "stream_stream_join",
-    "rel_filter_agg",
-    "rel_join_broadcast",
-    "rel_join_shuffle",
-    "rel_join_semi_anti",
-    "rel_window_topk",
-    "rel_rollup",
-    "rel_set_ops",
-    "rel_string_funcs",
-    "rel_date_funcs",
-    "rel_json_funcs",
-    "rel_array_funcs",
-    "rel_pivot",
-    "rel_percentiles",
-    "rel_histogram",
-    "rel_asof_join",
-    "rel_range_join",
-    "rel_subquery_scalar",
-    "rel_ansi_sql_verbatim",
-    "rel_sessionize_batch",
+    # --- 33 least-recently-verified, strict age order (r3 tail first)
+    "dedup_embedding_cosine",
     "dedup_exact_groups",
     "dedup_exact_keep",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    # --- last driver-verified r4
+    "dedup_ngram_jaccard",
+    "rel_ansi_sql_verbatim",
+    "rel_array_funcs",
+    "rel_asof_join",
+    "rel_date_funcs",
+    "rel_filter_agg",
+    "rel_histogram",
+    "rel_join_broadcast",
+    "rel_join_semi_anti",
+    "rel_join_shuffle",
+    "rel_json_funcs",
+    "rel_percentiles",
+    "rel_pivot",
+    "rel_range_join",
+    "rel_rollup",
+    "rel_sessionize_batch",
+    "rel_set_ops",
+    "rel_string_funcs",
+    "rel_subquery_scalar",
+    "rel_window_topk",
+    "stream_stream_join",
+    "dedup_components",
+    "dedup_incremental",
+    "dedup_lsh_verified",
+    "dedup_semantic_clustered",
+    "dedup_survivors",
+    "kmeans_mllib_sizes",
+    "mm_decode_features",
+    "pipe_dataset_card",
+    # ------------------- 50-entry cut lands here -------------------
+    # Past-cut: least-recently-verified first so r9 can rotate them in.
+    # New r8 queries (no driver row yet) are inserted at the head of
+    # this block as they are added -- they lead the r9 rotation.
+    # --- last driver-verified r4 (displaced from the r8 prefix)
     "rel_window_rank_funcs",
     "rel_unpivot",
     "rel_null_semantics",
@@ -142,33 +102,24 @@ _PRIORITY = [
     "text_ngram_freq",
     "text_repetition_ratio",
     "text_normalize",
-    "kmeans_mllib_sizes",
     "sim_ann_ivf",
     "sim_ann_ivf_fixed",
-    "mm_decode_features",
     "stream_sliding_counts",
     "stream_static_join",
-    "dedup_semantic_clustered",
     "text_contamination",
     "stream_dedup",
     "rel_salted_join",
     "sim_int8_topk",
-    "dedup_components",
     "pipe_doc_chunking",
-    "dedup_survivors",
-    "dedup_incremental",
     "sim_ann_ivf_sq8",
     "text_boilerplate_strip",
     "text_pii_scrub",
     "text_tfidf_topterms",
     "pipe_vocab_build",
     "pipe_quality_classifier",
-    "pipe_dataset_card",
     "stream_session_windows_rocksdb",
     "udaf_median_by_type",
-    "dedup_lsh_verified",
     "stream_upsert_latest",
-    # --- last driver-verified r5
     "o14_silhouette",
     "o14_calinski",
     "rel_hll_sketch_union",
@@ -213,7 +164,6 @@ _PRIORITY = [
     "pipe_label_propagation",
     "sim_sparse_cosine",
     "pipe_pca_whiten",
-    # --- last driver-verified r6
     "pipe_tokenizer_apply",
     "rel_orc_roundtrip",
     "pipe_dpo_pairs",
@@ -255,10 +205,57 @@ _PRIORITY = [
     "rel_interval_calendar",
     "rel_dpp_semijoin_filter",
     "stream_dedup_rocksdb_changelog",
-    "o01_scan_limit",
-    "o02_seed_sample",
-    "o03_distance_expr",
-    "o04_assign_argmin",
+    # --- driver-verified r7 (CORRECTNESS_r07, youngest rows)
+    "o12_kmeans_two_steps",
+    "o13_sink_format",
+    "o14_sse",
+    "o04_assign_argmin_nd",
+    "o09_centroid_update_nd",
+    "rel_collation_unicode_ci",
+    "stream_tokenizer_encode",
+    "o05_multi_emit",
+    "o06_sort_by_key",
+    "o07_group_counts",
+    "o08_centroid_update",
+    "o12_kmeans_five_steps",
+    "o14_sse_by_k",
+    "o02_seed_farthest",
+    "rel_join_outer",
+    "rel_window_lag",
+    "rel_cube",
+    "rel_grouping_sets",
+    "rel_count_distinct_multi",
+    "rel_correlated_scalar",
+    "rel_json_variant",
+    "rel_session_window",
+    "rel_conditional_agg_q14",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_simhash",
+    "mm_payload_meta",
+    "mm_resize_meta",
+    "mm_frame_sample",
+    "sim_topk_bruteforce",
+    "pipe_stratified_sample",
+    "pipe_source_mixture",
+    "pipe_train_val_test",
+    "pipe_token_packing",
+    "udtf_shingles",
+    "stream_hourly_counts",
+    "udf_mapreduce_kmeans_step",
+    "rel_approx_distinct",
+    "rel_approx_percentile",
+    "rel_window_range_frame",
+    "rel_group_by_all",
+    "stream_session_windows",
+    "udf_group_normalize",
+    "text_bpe_token_stats",
+    "text_lang_id_ngram",
+    "sim_lsh_pairs",
+    "pipe_corpus_clean",
+    "rel_join_chain_q5",
 ]
 
 
