@@ -140,8 +140,15 @@ class GapSessionsUDTF:
         self._prev = ts
 
     def terminate(self):  # noqa: D102 (driver contract)
+        # Reset after flushing so the flush is idempotent: a runtime
+        # that calls terminate() per partition and reuses the instance
+        # must not re-emit the last group (round-7 advisor finding;
+        # current Spark recreates the instance, so this is belt-and-
+        # braces for the documented "any assignment" claim).
         if self._uid is not self._UNSET:
-            yield self._row()
+            row = self._row()
+            self._uid = self._UNSET
+            yield row
 
 
 def register_udtfs(spark) -> None:

@@ -1558,7 +1558,8 @@ def rel_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     m AS (
         SELECT user_id, event_id, ts,
-               CASE WHEN row_number() OVER (
+               CASE WHEN event_type IS NOT NULL
+                     AND row_number() OVER (
                         PARTITION BY user_id, event_type
                         ORDER BY ts, event_id
                     ) = 1 THEN 1 ELSE 0 END AS first_occ
@@ -1582,7 +1583,11 @@ def rel_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unbounded: collect_set holds the running set per frame "
     "evaluation, fine for a 5-value type column, quadratic-memory for "
     "high-cardinality ones.  (ts, event_id) is a total order so every "
-    "prefix is deterministic.",
+    "prefix is deterministic.  NULL rule pinned explicitly (round-7 "
+    "advisor): collect_set DROPS a NULL event_type, so the oracle's "
+    "first-occurrence marker requires event_type IS NOT NULL -- a "
+    "NULL-typed row still appears as an output row but contributes "
+    "nothing to the running distinct count, in BOTH engines.",
 )
 def rel_window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").where(

@@ -111,12 +111,19 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     contract (tests/oracle_probe.py) is that a fixture directory needs
     only the tables the chosen queries actually read, and the DuckDB
     side of the probe already skips missing files the same way.
+    Skipping must also DROP any same-named temp view left by an earlier
+    call with a different sf_dir: otherwise a query against the absent
+    table silently reads the previous fixture's rows instead of failing
+    with TABLE_OR_VIEW_NOT_FOUND — silent wrong data inside the
+    correctness gate (round-7 advisor finding).
     """
     import os
 
     for t in TABLES:
         if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
             load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        else:
+            spark.catalog.dropTempView(t)  # no-op when absent
 
 
 def read_points_text(

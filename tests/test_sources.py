@@ -537,3 +537,37 @@ def test_points_text_stream_writer_roundtrip(spark, tmp_path):
         )
         got.update((r["x"], r["y"]) for r in rows)
     assert got == {(i, i * 7 % 500) for i in range(300)}
+
+
+def test_register_views_drops_stale_view_for_missing_table(spark, tmp_path):
+    """register_views against a fixture dir MISSING a table must drop any
+    same-named temp view left by an earlier call with a different sf_dir
+    -- otherwise spark.sql silently reads the previous fixture's rows
+    inside the correctness gate (round-7 advisor finding)."""
+    import shutil
+
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from kmeans_with_mapreduce_cuda_spark.sources.readers import (
+        register_views,
+    )
+
+    partial = tmp_path / "partial_sf"
+    partial.mkdir()
+    # Keep only region in the partial fixture; nation is absent.
+    shutil.copy(
+        os.path.join(SF_DIR, "region.parquet"),
+        str(partial / "region.parquet"),
+    )
+
+    register_views(spark, SF_DIR)  # full fixture: nation view exists
+    assert spark.sql("SELECT count(*) AS n FROM nation").first()["n"] > 0
+
+    register_views(spark, str(partial))
+    assert spark.sql("SELECT count(*) AS n FROM region").first()["n"] > 0
+    with pytest.raises(AnalysisException, match="TABLE_OR_VIEW_NOT_FOUND"):
+        spark.sql("SELECT count(*) FROM nation").collect()
+
+    # Restore the full fixture for any later spark.sql-based test.
+    register_views(spark, SF_DIR)

@@ -635,12 +635,27 @@ def test_state_metadata_reader_describes_the_operator(spark, tmp_path):
 
     # Route the query's mkdtemp into tmp_path and defer its rmtree so
     # the checkpoint survives long enough to read the metadata (pytest
-    # cleans tmp_path up afterwards).
+    # cleans tmp_path up afterwards).  Both patches are SCOPED to the
+    # query's own calls (round-7 advisor finding): only the
+    # _gate_statereader_ mkdtemp is redirected and only the redirected
+    # root's rmtree is deferred, so any unrelated tempdir created
+    # inside the block keeps its real, collision-free behavior.
     root = str(tmp_path / "sr")
     (tmp_path / "sr").mkdir()
+    real_mkdtemp, real_rmtree = tempfile.mkdtemp, shutil.rmtree
+
+    def scoped_mkdtemp(*a, prefix=None, **kw):
+        if prefix == "_gate_statereader_":
+            return root
+        return real_mkdtemp(*a, prefix=prefix, **kw)
+
+    def scoped_rmtree(path, *a, **kw):
+        if str(path) != root:
+            real_rmtree(path, *a, **kw)
+
     with (
-        mock.patch.object(tempfile, "mkdtemp", return_value=root),
-        mock.patch.object(shutil, "rmtree"),
+        mock.patch.object(tempfile, "mkdtemp", side_effect=scoped_mkdtemp),
+        mock.patch.object(shutil, "rmtree", side_effect=scoped_rmtree),
     ):
         REGISTRY["stream_state_reader"].fn(spark, SF_DIR).collect()
         md = (
