@@ -90,6 +90,7 @@ _PRIORITY = [
     # Past-cut: least-recently-verified first so r9 can rotate them in.
     # New r8 queries (no driver row yet) are inserted at the head of
     # this block as they are added -- they lead the r9 rotation.
+    "dedup_semantic_recursive",
     # --- last driver-verified r4 (displaced from the r8 prefix)
     "rel_window_rank_funcs",
     "rel_unpivot",

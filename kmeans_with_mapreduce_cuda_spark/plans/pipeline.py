@@ -2711,6 +2711,237 @@ def dedup_semantic_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _eager(spark, both, deps=[assigned])
 
 
+def _semantic_recursive_build(
+    spark: SparkSession, sf_dir: str, sub_k: int = 4
+) -> tuple[DataFrame, list[DataFrame]]:
+    """The recursive SemDeDup pass (round-7 verdict item 2): consume
+    dedup_semantic_capped's routed cells instead of ending in a TODO.
+
+    Stage 1 is exactly the capped query: assign to k=8 cells, cap at
+    the uniform share n_total // 8, pair-join only KEPT cells.  Stage 2
+    then actually processes every hot cell: re-cluster its members
+    against ``sub_k`` sub-centroids (the cell's lowest-vec_id members
+    -- deterministic, oracle-expressible seeding) and pair-join within
+    (cell, sub-cell) blocks, with the SAME uniform-share rule one level
+    down (sub-cell n > cell_n // sub_k -> residual, emitted AS DATA).
+    This is the closed pipeline a 100 TB SemDeDup runs: the quadratic
+    join is bounded at BOTH levels, and what still overflows after a
+    re-cluster is, with overwhelming probability, a byte-duplicate pile
+    -- exactly what exact/MinHash dedup (dedup_exact_groups,
+    dedup_minhash_lsh) is for, so the residual rows are its worklist.
+
+    Scale shape of stage 2: sub-centroids are <= k * sub_k rows BY
+    CONSTRUCTION (collected like every other k-row centroid table),
+    so sub-assignment is a centroid-LITERAL projection per hot cell --
+    the O4 zero-join, zero-shuffle discipline (operators/kmeans.py:
+    assign_nd) behind a CASE on cell_id -- never a fan-out join plus
+    per-vector argmin shuffle.  The sub-cap exclusion reuses the
+    broadcast anti-join shape (the hot-key list is tiny at any scale).
+    """
+    from ..operators.kmeans import _dists_sql_nd
+    from ..operators.similarity import within_cell_cosine_pairs
+
+    n_total = load_table(spark, sf_dir, "embeddings").count()
+    pairs, capped, assigned = _semantic_dedup_build(
+        spark, sf_dir, max_cell=n_total // 8
+    )
+    top = pairs.select(
+        F.lit("pair").alias("kind"), "vec_a", "vec_b", "cos_sim"
+    )
+    # Hot-cell members: semi-join against the (tiny) capped-cell list.
+    hot = assigned.join(
+        F.broadcast(capped.select("cell_id")), "cell_id", "semi"
+    )
+    wseed = Window.partitionBy("cell_id").orderBy("vec_id")
+    seed_rows = (
+        hot.withColumn("rn", F.row_number().over(wseed))
+        .where(F.col("rn") <= sub_k)
+        .select("cell_id", "rn", "emb")
+        .collect()
+    )  # <= k * sub_k rows: driver-small by construction
+    if not seed_rows:
+        # No hot cells (or empty corpus): stage 2 vanishes; the result
+        # is the pair rows alone.  cos_sim must stay NULLABLE (the full
+        # path unions a lit(NULL) branch), and Spark folds
+        # when(true, c) back to non-null c -- so union a ZERO-ROW
+        # branch carrying the same NULL literal the full path has.
+        return top.unionByName(
+            top.limit(0).select(
+                "kind",
+                "vec_a",
+                "vec_b",
+                F.lit(None).cast("double").alias("cos_sim"),
+            )
+        ), [assigned]
+
+    cells: dict[int, list[list[float]]] = {}
+    for r in sorted(seed_rows, key=lambda r: (r["cell_id"], r["rn"])):
+        cells.setdefault(r["cell_id"], []).append(list(r["emb"]))
+    dists_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN cell_id = {c} THEN {_dists_sql_nd(cs, 'emb')}"
+            for c, cs in sorted(cells.items())
+        )
+        + " END"
+    )
+    subassigned = (
+        hot.withColumn("_sd", F.expr(dists_case))
+        .withColumn(
+            "sub_id",
+            (F.array_position("_sd", F.array_min("_sd")) - 1).cast("int"),
+        )
+        .drop("_sd")
+        .withColumn(
+            "blk", (F.col("cell_id") * sub_k + F.col("sub_id")).cast("int")
+        )
+        .persist()  # consumed by subcounts + both pair-join sides
+    )
+    subcounts = subassigned.groupBy("cell_id", "sub_id", "blk").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # Per-cell uniform-share cap one level down: integer floor division
+    # in BOTH engines (the minhash MAX_BAND_BUCKET / capped precedent).
+    capped_sub = subcounts.join(
+        F.broadcast(capped.withColumnRenamed("n", "cell_n")), "cell_id"
+    ).where(F.col("n") > F.floor(F.col("cell_n") / sub_k))
+    sub_kept = subassigned.join(
+        F.broadcast(capped_sub.select("blk")), "blk", "left_anti"
+    )
+    sub_pairs, _ = within_cell_cosine_pairs(
+        sub_kept, dim=64, threshold=0.35, cell_col="blk", max_cell=None
+    )
+    vec_t = assigned.schema["vec_id"].dataType
+    out = top.unionByName(
+        sub_pairs.select(
+            F.lit("subpair").alias("kind"), "vec_a", "vec_b", "cos_sim"
+        )
+    ).unionByName(
+        capped_sub.select(
+            F.lit("capped_subcell").alias("kind"),
+            F.col("blk").cast(vec_t).alias("vec_a"),
+            F.col("n").cast(vec_t).alias("vec_b"),
+            F.lit(None).cast("double").alias("cos_sim"),
+        )
+    )
+    return out, [assigned, subassigned]
+
+
+@query(
+    "dedup_semantic_recursive",
+    oracle=f"""
+    WITH cents AS (
+        SELECT CAST(vec_id AS INTEGER) AS cell_id, embedding::DOUBLE[] AS cemb
+        FROM embeddings WHERE vec_id < 8
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    assigned AS MATERIALIZED (
+        SELECT vec_id, emb, cell_id FROM (
+            SELECT e.vec_id, e.emb, c.cell_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_IVF_DIST.format(a="e.emb", b="c.cemb")},
+                                c.cell_id
+                   ) AS rn
+            FROM e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    counts AS MATERIALIZED (
+        SELECT cell_id, count(*) AS n FROM assigned GROUP BY cell_id
+    ),
+    cap AS (SELECT count(*) // 8 AS c FROM assigned),
+    kept AS (
+        SELECT a.vec_id, a.emb, a.cell_id
+        FROM assigned a JOIN counts k ON k.cell_id = a.cell_id, cap
+        WHERE k.n <= cap.c
+    ),
+    hot AS MATERIALIZED (
+        SELECT a.vec_id, a.emb, a.cell_id, k.n AS cell_n
+        FROM assigned a JOIN counts k ON k.cell_id = a.cell_id, cap
+        WHERE k.n > cap.c
+    ),
+    seeds AS MATERIALIZED (
+        SELECT cell_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY cell_id ORDER BY vec_id) - 1 AS INTEGER)
+                   AS sub_id,
+               emb AS semb
+        FROM hot
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY cell_id ORDER BY vec_id)
+                <= 4
+    ),
+    subassigned AS MATERIALIZED (
+        SELECT vec_id, emb, cell_id, cell_n, sub_id FROM (
+            SELECT h.vec_id, h.emb, h.cell_id, h.cell_n, s.sub_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY h.vec_id
+                       ORDER BY {_IVF_DIST.format(a="h.emb", b="s.semb")},
+                                s.sub_id
+                   ) AS rn
+            FROM hot h JOIN seeds s ON s.cell_id = h.cell_id
+        ) WHERE rn = 1
+    ),
+    subcounts AS MATERIALIZED (
+        SELECT cell_id, sub_id, any_value(cell_n) AS cell_n,
+               count(*) AS n
+        FROM subassigned GROUP BY cell_id, sub_id
+    ),
+    sub_kept AS (
+        SELECT sa.vec_id, sa.emb, sa.cell_id, sa.sub_id
+        FROM subassigned sa
+        JOIN subcounts sc
+          ON sc.cell_id = sa.cell_id AND sc.sub_id = sa.sub_id
+        WHERE sc.n <= sc.cell_n // 4
+    )
+    SELECT 'pair' AS kind, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.emb, b.emb)
+                 / (sqrt(list_dot_product(a.emb, a.emb))
+                    * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos_sim
+    FROM kept a JOIN kept b
+      ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.emb, b.emb)
+          / (sqrt(list_dot_product(a.emb, a.emb))
+             * sqrt(list_dot_product(b.emb, b.emb))) >= 0.35
+    UNION ALL
+    SELECT 'subpair' AS kind, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.emb, b.emb)
+                 / (sqrt(list_dot_product(a.emb, a.emb))
+                    * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos_sim
+    FROM sub_kept a JOIN sub_kept b
+      ON a.cell_id = b.cell_id AND a.sub_id = b.sub_id
+         AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.emb, b.emb)
+          / (sqrt(list_dot_product(a.emb, a.emb))
+             * sqrt(list_dot_product(b.emb, b.emb))) >= 0.35
+    UNION ALL
+    SELECT 'capped_subcell' AS kind,
+           CAST(sc.cell_id * 4 + sc.sub_id AS BIGINT) AS vec_a,
+           sc.n AS vec_b, CAST(NULL AS DOUBLE) AS cos_sim
+    FROM subcounts sc WHERE sc.n > sc.cell_n // 4
+    """,
+    doc="The recursive sub-clustering pass over dedup_semantic_capped's "
+    "routed cells (round-7 verdict item 2) -- the capped query ends "
+    "with oversized cells 'returned for routing'; this query IS the "
+    "route.  Hot cells (n > n_total // 8) are re-clustered against 4 "
+    "sub-centroids (the cell's lowest-vec_id members: deterministic "
+    "seeding both engines can state), members pair-join within "
+    "(cell, sub-cell) blocks, and the uniform-share rule applies "
+    "again one level down: a sub-cell with n > cell_n // 4 is emitted "
+    "as kind='capped_subcell' (blk, n) -- after a re-cluster, what "
+    "still overflows is a near-identical pile, which is exact/MinHash "
+    "dedup's job, not a cosine join's.  Sub-assignment is a "
+    "centroid-LITERAL projection behind a CASE on cell_id (the O4 "
+    "zero-shuffle discipline; seeds are <= k*4 rows by construction), "
+    "sub-cap exclusion is a broadcast anti-join, and every cap is "
+    "integer floor division in BOTH engines.  kinds: 'pair' (kept "
+    "top-level cells), 'subpair' (kept sub-cells), 'capped_subcell' "
+    "(residual routed to exact dedup).",
+)
+def dedup_semantic_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, deps = _semantic_recursive_build(spark, sf_dir)
+    return _eager(spark, out, deps=deps)
+
+
 @query(
     "text_contamination",
     oracle="""

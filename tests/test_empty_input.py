@@ -80,6 +80,8 @@ QUERIES = [
     "rel_stat_crosstab",
     "dedup_semantic_capped",
     "stream_state_reader",
+    # r8 additions
+    "dedup_semantic_recursive",
 ]
 
 

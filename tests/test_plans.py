@@ -666,6 +666,34 @@ def test_semantic_dedup_capped_excludes_hot_cells_via_broadcast_anti(spark):
         assigned.unpersist()
 
 
+def test_semantic_recursive_subassign_is_literal_projection(spark):
+    """dedup_semantic_recursive's stage-2 shape: sub-centroids are
+    COLLECTED (<= k*sub_k rows by construction) and baked into a CASE
+    of literal distance arrays, so the sub-assignment is a projection
+    -- the final plan must carry NO Window operator (a fan-out join +
+    per-vector argmin window would) and no cartesian anywhere; the two
+    cap exclusions (top cells, sub-cells) are broadcast anti-joins."""
+    from kmeans_with_mapreduce_cuda_spark.plans.pipeline import (
+        _semantic_recursive_build,
+    )
+
+    out, deps = _semantic_recursive_build(spark, SF_DIR)
+    try:
+        plan = plan_of(out)
+        assert "Window" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "LeftAnti" in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+        # all three kinds present at gate scale: the sub-cap genuinely
+        # fires (capped_subcell) and kept sub-cells still pair (subpair)
+        kinds = {r["kind"] for r in out.select("kind").distinct().collect()}
+        assert kinds == {"pair", "subpair", "capped_subcell"}, kinds
+    finally:
+        for d in deps:
+            d.unpersist()
+
+
 def test_cogroup_asof_plan_is_flatmap_cogroups_in_pandas(spark):
     """udf_cogroup_asof must exercise the cogrouped-map surface: the
     physical plan carries FlatMapCoGroupsInPandas (both sides shuffled
