@@ -400,7 +400,15 @@ def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = e.where(F.col("event_type") == "purchase").select(
         "user_id", "ts", F.col("event_id").alias("eid"), F.lit(1).alias("side")
     )
-    c = e.where(F.col("event_type") == "click").select(
+    # NULL-ts clicks are dropped BEFORE the union (the oracle's
+    # c0 filter, the cogroup twin's dropna): NULLS FIRST ordering would
+    # otherwise carry a NULL-ts click's eid into any purchase with no
+    # real prior click.  A NULL-pts purchase then needs no special
+    # case -- it sorts before every real-ts click, so its prefix holds
+    # no click and the carry is NULL, matching the oracle's CASE.
+    c = e.where(
+        (F.col("event_type") == "click") & F.col("ts").isNotNull()
+    ).select(
         "user_id", "ts", F.col("event_id").alias("eid"), F.lit(0).alias("side")
     )
     u = p.unionAll(c)

@@ -338,3 +338,84 @@ def test_skyline_2d_fractional_axes(spark):
     )
     assert got == _brute_skyline(pts)
     assert (0, 0.5, 1.0) not in got
+
+
+def test_asof_twins_row_identical_on_hot_keyed_fixture(spark):
+    """rel_asof_join (JVM union + window-carry) and udf_cogroup_asof
+    (pandas merge_asof per cogroup) share one oracle at gate scale; this
+    pins the documented 'window formulation is the fallback' claim on a
+    fixture the gate cannot produce: one user holding ~50% of all events
+    (the skew class where the cogroup path's per-group memory becomes
+    the difference), plus every NULL/tie class -- NaT clicks, NaT
+    purchases, same-ts click ties, click-only and purchase-only users.
+    The two formulations must stay row-identical; the plans must differ
+    exactly as documented (window vs FlatMapCoGroupsInPandas)."""
+    import datetime as dt
+    import random
+    import tempfile
+
+    from kmeans_with_mapreduce_cuda_spark.plans.pipeline import (
+        udf_cogroup_asof,
+    )
+    from kmeans_with_mapreduce_cuda_spark.plans.relational import (
+        rel_asof_join,
+    )
+
+    rng = random.Random(808)
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+
+    def emit(uid, ts, etype):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, ts, uid, etype, 0.0, None))
+
+    # user 1: ~50% of all events, dense ties (offsets drawn from a
+    # small grid so many clicks/purchases collide on the same second)
+    for _ in range(1000):
+        ts = t0 + dt.timedelta(seconds=rng.randrange(0, 500))
+        emit(1, ts, "click" if rng.random() < 0.7 else "purchase")
+    # the cold tail: 49 users with ~20 events each
+    for uid in range(2, 51):
+        for _ in range(rng.randrange(10, 30)):
+            ts = t0 + dt.timedelta(seconds=rng.randrange(0, 5000))
+            emit(uid, ts, "click" if rng.random() < 0.5 else "purchase")
+    # NULL/edge classes: NaT clicks (invisible), NaT purchases (row
+    # kept, NULL cid), a click-only user, a purchase-only user, and a
+    # user whose ONLY click is NaT (purchases must get NULL, not the
+    # NaT click's id)
+    emit(1, None, "click")
+    emit(1, None, "purchase")
+    emit(60, t0, "click")
+    emit(61, t0, "purchase")
+    emit(62, None, "click")
+    emit(62, t0 + dt.timedelta(seconds=10), "purchase")
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.repartition(8).write.parquet(f"{d}/events.parquet")
+        win = rel_asof_join(spark, d)
+        cog = udf_cogroup_asof(spark, d)
+        win_rows = sorted(
+            (r.pid, r.user_id, r.cid) for r in win.collect()
+        )
+        cog_rows = sorted(
+            (r.pid, r.user_id, r.cid) for r in cog.collect()
+        )
+        win_plan = win._jdf.queryExecution().executedPlan().toString()
+        cog_plan = cog._jdf.queryExecution().executedPlan().toString()
+
+    assert win_rows == cog_rows
+    n_purch = sum(1 for r in rows if r[3] == "purchase")
+    assert len(win_rows) == n_purch  # left join: every purchase kept
+    # the NaT-only-click user resolves to NULL in both formulations
+    assert [c for (p, u, c) in win_rows if u == 62] == [None]
+    # per-group memory is the only difference: same rows, different
+    # physical strategy
+    assert "Window" in win_plan and "FlatMapCoGroupsInPandas" not in win_plan
+    assert "FlatMapCoGroupsInPandas" in cog_plan
