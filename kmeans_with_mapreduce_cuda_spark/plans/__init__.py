@@ -91,6 +91,9 @@ _PRIORITY = [
     # New r8 queries (no driver row yet) are inserted at the head of
     # this block as they are added -- they lead the r9 rotation.
     "dedup_semantic_recursive",
+    "rel_observe_metrics",
+    "rel_bloom_filter_join",
+    "dedup_semantic_residual_exact",
     # --- last driver-verified r4 (displaced from the r8 prefix)
     "rel_window_rank_funcs",
     "rel_unpivot",

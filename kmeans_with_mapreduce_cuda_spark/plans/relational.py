@@ -4425,3 +4425,128 @@ def rel_interval_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("days_to_anchor"),
     ).orderBy("o_orderkey")
+
+
+# --- Observed metrics (the O14 ops surface generalized) ---------------------
+
+@query(
+    "rel_observe_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_price_cents,
+           CAST(max(l_orderkey) AS BIGINT) AS max_orderkey
+    FROM lineitem WHERE l_quantity < 25
+    """,
+    doc="DataFrame.observe / CollectMetrics (round-7 verdict optional "
+    "item): named aggregates computed as a SIDE CHANNEL of the same "
+    "pass that executes the query -- the O14 timing/quality "
+    "instrumentation generalized to per-query row/value accounting.  "
+    "At 100 TB this is how a production write gets its row counts and "
+    "money totals audited for FREE: CollectMetrics folds into the scan "
+    "stage (zero extra jobs, zero extra shuffles -- plan-asserted in "
+    "tests/test_plans.py), where a separate count()+sum() pass would "
+    "re-read the input.  The action here is a noop-format write (the "
+    "bench sink); Observation.get blocks until the action's metrics "
+    "arrive.  Money stays integer cents, the registry discipline.",
+)
+def rel_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") < 25)
+    obs = Observation()
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.sum(pos_cents("l_extendedprice")).alias("sum_price_cents"),
+        F.max("l_orderkey").alias("max_orderkey"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["sum_qty"],
+                m["sum_price_cents"],
+                m["max_orderkey"],
+            )
+        ],
+        "n_rows bigint, sum_qty bigint, sum_price_cents bigint, "
+        "max_orderkey bigint",
+    )
+
+
+# --- Runtime bloom-filter join pruning --------------------------------------
+
+@query(
+    "rel_bloom_filter_join",
+    oracle="""
+    SELECT l.l_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_orderkey
+    """,
+    doc="Runtime bloom-filter join pruning (Spark's InjectRuntimeFilter, "
+    "the row-level sibling of dynamic partition pruning): the selective "
+    "dim side (urgent orders) builds a bloom_filter_agg, and a "
+    "might_contain(xxhash64(l_orderkey)) filter is injected into the "
+    "FACT-side scan, so most lineitem rows die at the scan instead of "
+    "crossing the shuffle -- at 100 TB the shuffle traffic saved is the "
+    "difference between a join that runs and one that doesn't.  "
+    "Semantically transparent (the bloom only false-positives, the "
+    "equi-join rechecks), so the oracle is the plain join; the "
+    "injected shape is plan-asserted in tests/test_plans.py.  Local "
+    "fixture sizes sit under the application-side scan threshold "
+    "(default 10 GB -- the conf models the 100 TB fact side), so the "
+    "query pins applicationSideScanSizeThreshold=0 and disables "
+    "broadcast for the build (injection targets shuffle joins), "
+    "restoring both after eager materialization -- confs are restored "
+    "in a finally, which REQUIRES the collect-before-return.",
+)
+def rel_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _bloom_join_plan(spark, sf_dir)
+    conf_keys = _BLOOM_CONFS
+    old = {k: spark.conf.get(k, None) for k in conf_keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold",
+            "0",
+        )
+        rows = out.collect()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(rows, out.schema)
+
+
+_BLOOM_CONFS = (
+    "spark.sql.autoBroadcastJoinThreshold",
+    "spark.sql.optimizer.runtime.bloomFilter"
+    ".applicationSideScanSizeThreshold",
+)
+
+
+def _bloom_join_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazy join plan (exposed so tests can assert the injected
+    bloom shape under the same confs the query pins)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        )
+    )

@@ -80,8 +80,12 @@ QUERIES = [
     "rel_stat_crosstab",
     "dedup_semantic_capped",
     "stream_state_reader",
-    # r8 additions
+    # r8 additions (rel_observe_metrics is NOT here: a global aggregate
+    # returns exactly ONE row on empty input -- see
+    # test_observe_metrics_empty_input_is_one_null_row)
     "dedup_semantic_recursive",
+    "dedup_semantic_residual_exact",
+    "rel_bloom_filter_join",
 ]
 
 
@@ -149,3 +153,17 @@ def test_pq_codebooks_empty_input_raises_readably(spark):
     empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
     with pytest.raises(AssertionError, match="seed vectors"):
         pq_codebooks(empty)
+
+
+def test_observe_metrics_empty_input_is_one_null_row(spark, empty_sf_dir):
+    """rel_observe_metrics is a GLOBAL aggregate: on a zero-row table
+    the contract is exactly one row -- count 0, sums/max NULL (ANSI
+    aggregate semantics, and what the DuckDB oracle emits) -- not an
+    empty relation."""
+    rows = REGISTRY["rel_observe_metrics"].fn(spark, empty_sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_rows"] == 0
+    assert r["sum_qty"] is None
+    assert r["sum_price_cents"] is None
+    assert r["max_orderkey"] is None

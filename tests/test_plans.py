@@ -677,7 +677,7 @@ def test_semantic_recursive_subassign_is_literal_projection(spark):
         _semantic_recursive_build,
     )
 
-    out, deps = _semantic_recursive_build(spark, SF_DIR)
+    out, deps, _ = _semantic_recursive_build(spark, SF_DIR)
     try:
         plan = plan_of(out)
         assert "Window" not in plan, plan
@@ -1306,3 +1306,64 @@ def test_registry_schema_policy_no_complex_output_columns():
         "queries emitting driver-unhashable top-level columns: "
         f"{offenders}"
     )
+
+
+def test_bloom_filter_join_injects_might_contain(spark):
+    """rel_bloom_filter_join's point is the INJECTED shape: under the
+    confs the query pins, the fact-side scan must carry a
+    might_contain(xxhash64(l_orderkey)) filter fed by a
+    bloom_filter_agg on the selective side -- row-level runtime
+    pruning, not just a plain shuffle join."""
+    from kmeans_with_mapreduce_cuda_spark.plans.relational import (
+        _BLOOM_CONFS,
+        _bloom_join_plan,
+    )
+
+    old = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold",
+            "0",
+        )
+        plan = plan_of(_bloom_join_plan(spark, SF_DIR))
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "might_contain" in plan, plan
+    assert "bloom_filter_agg" in plan, plan
+    # transparent semantics: with defaults (no injection), same rows
+    baseline = _bloom_join_plan(spark, SF_DIR)
+    assert "might_contain" not in plan_of(baseline)
+
+
+def test_observe_metrics_is_a_side_channel_not_a_second_pass(spark):
+    """rel_observe_metrics must compute its accounting inside the same
+    pass as the query: the observed plan carries CollectMetrics and NO
+    aggregate Exchange beyond what the query itself has (here: none --
+    a filtered scan), and the returned metrics equal a direct
+    aggregation of the same slice."""
+    from pyspark.sql import Observation
+
+    from kmeans_with_mapreduce_cuda_spark.sources.readers import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem").where(F.col("l_quantity") < 25)
+    obs = Observation()
+    observed = li.observe(obs, F.count(F.lit(1)).alias("n_rows"))
+    plan = plan_of(observed)
+    assert "CollectMetrics" in plan, plan
+    assert "Exchange" not in plan, plan
+
+    got = REGISTRY["rel_observe_metrics"].fn(spark, SF_DIR).first()
+    direct = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("q"),
+        F.max("l_orderkey").alias("m"),
+    ).first()
+    assert got["n_rows"] == direct["n"]
+    assert got["sum_qty"] == direct["q"]
+    assert got["max_orderkey"] == direct["m"]
