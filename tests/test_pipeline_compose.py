@@ -331,3 +331,83 @@ def test_cdc_chunks_dedup_and_insertion_robustness(spark):
     r4 = rows[4]
     assert r4["n_chunks"] >= 4  # the fixture is long enough to chunk
     assert r4["dup_chunks"] >= r4["n_chunks"] - 2
+
+
+def test_semantic_routing_chain_catches_injected_clone_pile(spark):
+    """The full SemDeDup routing chain on a corpus BUILT to need it: one
+    cell holds ~200 of 243 vectors including 60 exact clones.  The
+    recursive pass must (a) sub-assign every hot member exactly once,
+    (b) route the clone pile's sub-cell out as capped_subcell (60 > the
+    ~50 sub-cap), and (c) the residual exact-dedup report must then
+    expose the pile: max_clone_group == 60 on a LINEAR pass -- the
+    unit-scale replay of why the chain ends in exact dedup."""
+    import tempfile
+
+    from kmeans_with_mapreduce_cuda_spark.plans.pipeline import (
+        _semantic_recursive_build,
+        dedup_semantic_residual_exact,
+    )
+
+    def vec(hot, bump=0.0, jit=0):
+        v = [0.0] * 64
+        v[hot] = 10.0
+        v[(hot + 1) % 64] = bump + jit * 0.001
+        return v
+
+    rows = []
+    # vec_id 0..7: the centroid seeds, one per cell
+    for j in range(8):
+        rows.append((j, vec(j)))
+    nid = 8
+    # 60 exact clones near centroid 0
+    for _ in range(60):
+        rows.append((nid, vec(0, bump=0.5)))
+        nid += 1
+    # 140 jittered singles near centroid 0 -> cell 0 is hot (~201 of
+    # 243 >> cap 243//8 = 30); sub-cap = 201//4 = 50 < 60 clones
+    for i in range(140):
+        rows.append((nid, vec(0, bump=2.0, jit=i + 1)))
+        nid += 1
+    # ~5 singles per other cell: all kept at top level
+    for j in range(1, 8):
+        for i in range(5):
+            rows.append((nid, vec(j, bump=1.0, jit=i)))
+            nid += 1
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<float>",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.repartition(4).write.parquet(f"{d}/embeddings.parquet")
+        out, deps, parts = _semantic_recursive_build(spark, d)
+        try:
+            kinds = {
+                r["kind"]: r["cnt"]
+                for r in out.groupBy("kind")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            }
+            n_hot = parts["subassigned"].count()
+            n_sub_rows = (
+                parts["subassigned"].select("vec_id").distinct().count()
+            )
+            capped = parts["capped_sub"].collect()
+        finally:
+            for dep in deps:
+                dep.unpersist()
+        report = {
+            r["blk"]: r
+            for r in dedup_semantic_residual_exact(spark, d).collect()
+        }
+
+    # (a) every hot member sub-assigned exactly once
+    assert n_hot == n_sub_rows and n_hot >= 200
+    # (b) the clone sub-cell routed out as residual
+    assert kinds.get("capped_subcell", 0) >= 1
+    assert any(r["n"] >= 60 for r in capped)
+    # (c) exact dedup exposes the pile, linearly
+    assert max(r["max_clone_group"] for r in report.values()) == 60
+    pile = max(report.values(), key=lambda r: r["max_clone_group"])
+    assert pile["n_dupes"] >= 59
+    assert pile["n_members"] - pile["n_distinct"] == pile["n_dupes"]
