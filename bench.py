@@ -161,20 +161,20 @@ def main() -> None:
                 timings[name] = round(min(timings.get(name, dt), dt), 3)
     load_end = os.getloadavg()[0]
 
-    def _median(xs: list[float]) -> float:
-        s = sorted(xs)
-        n = len(s)
-        return round((s[n // 2] + s[(n - 1) // 2]) / 2, 3)
+    from statistics import median
 
     total = round(sum(timings.values()), 3)
     # noise_ratio: median warm sample / min sample, averaged over keys.
     # ~1.0 = quiet host; >1.2 = the minima are rescuing real contention.
+    # Sub-millisecond keys (rounded min 0.0) are excluded rather than
+    # dividing by zero; if every key were that fast the ratio is moot.
     warm = {k: v[1:] if len(v) > 1 else v for k, v in samples_by_key.items()}
-    noise = round(
-        sum(_median(w) / min(min(w), timings[k]) for k, w in warm.items())
-        / len(warm),
-        3,
-    )
+    ratios = [
+        median(w) / m
+        for k, w in warm.items()
+        if (m := min(min(w), timings[k])) > 0
+    ]
+    noise = round(sum(ratios) / len(ratios), 3) if ratios else 1.0
     print(
         json.dumps(
             {

@@ -2831,9 +2831,14 @@ def _semantic_recursive_build(
     return out, [assigned, subassigned], parts
 
 
-@query(
-    "dedup_semantic_recursive",
-    oracle=f"""
+# The shared oracle CTE chain of the SemDeDup stage-2 split (top-level
+# assignment -> uniform-share cap -> hot cells -> seeds -> sub-assignment
+# -> sub-cell counts).  ONE definition consumed by BOTH
+# dedup_semantic_recursive and dedup_semantic_residual_exact, mirroring
+# how the Spark side shares _semantic_recursive_build -- so neither the
+# engine NOR the oracle halves of the two queries can drift (the
+# _IVF_DIST precedent applied to a whole CTE block).
+_SEMANTIC_SUB_CTES = f"""
     WITH cents AS (
         SELECT CAST(vec_id AS INTEGER) AS cell_id, embedding::DOUBLE[] AS cemb
         FROM embeddings WHERE vec_id < 8
@@ -2854,11 +2859,6 @@ def _semantic_recursive_build(
         SELECT cell_id, count(*) AS n FROM assigned GROUP BY cell_id
     ),
     cap AS (SELECT count(*) // 8 AS c FROM assigned),
-    kept AS (
-        SELECT a.vec_id, a.emb, a.cell_id
-        FROM assigned a JOIN counts k ON k.cell_id = a.cell_id, cap
-        WHERE k.n <= cap.c
-    ),
     hot AS MATERIALIZED (
         SELECT a.vec_id, a.emb, a.cell_id, k.n AS cell_n
         FROM assigned a JOIN counts k ON k.cell_id = a.cell_id, cap
@@ -2889,6 +2889,17 @@ def _semantic_recursive_build(
         SELECT cell_id, sub_id, any_value(cell_n) AS cell_n,
                count(*) AS n
         FROM subassigned GROUP BY cell_id, sub_id
+    )"""
+
+
+@query(
+    "dedup_semantic_recursive",
+    oracle=f"""
+    {_SEMANTIC_SUB_CTES},
+    kept AS (
+        SELECT a.vec_id, a.emb, a.cell_id
+        FROM assigned a JOIN counts k ON k.cell_id = a.cell_id, cap
+        WHERE k.n <= cap.c
     ),
     sub_kept AS (
         SELECT sa.vec_id, sa.emb, sa.cell_id, sa.sub_id
@@ -2955,57 +2966,7 @@ _RESIDUAL_SCHEMA = (
 @query(
     "dedup_semantic_residual_exact",
     oracle=f"""
-    WITH cents AS (
-        SELECT CAST(vec_id AS INTEGER) AS cell_id, embedding::DOUBLE[] AS cemb
-        FROM embeddings WHERE vec_id < 8
-    ),
-    e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-    assigned AS MATERIALIZED (
-        SELECT vec_id, emb, cell_id FROM (
-            SELECT e.vec_id, e.emb, c.cell_id,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY {_IVF_DIST.format(a="e.emb", b="c.cemb")},
-                                c.cell_id
-                   ) AS rn
-            FROM e CROSS JOIN cents c
-        ) WHERE rn = 1
-    ),
-    counts AS MATERIALIZED (
-        SELECT cell_id, count(*) AS n FROM assigned GROUP BY cell_id
-    ),
-    cap AS (SELECT count(*) // 8 AS c FROM assigned),
-    hot AS MATERIALIZED (
-        SELECT a.vec_id, a.emb, a.cell_id, k.n AS cell_n
-        FROM assigned a JOIN counts k ON k.cell_id = a.cell_id, cap
-        WHERE k.n > cap.c
-    ),
-    seeds AS MATERIALIZED (
-        SELECT cell_id,
-               CAST(ROW_NUMBER() OVER (
-                   PARTITION BY cell_id ORDER BY vec_id) - 1 AS INTEGER)
-                   AS sub_id,
-               emb AS semb
-        FROM hot
-        QUALIFY ROW_NUMBER() OVER (PARTITION BY cell_id ORDER BY vec_id)
-                <= 4
-    ),
-    subassigned AS MATERIALIZED (
-        SELECT vec_id, emb, cell_id, cell_n, sub_id FROM (
-            SELECT h.vec_id, h.emb, h.cell_id, h.cell_n, s.sub_id,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY h.vec_id
-                       ORDER BY {_IVF_DIST.format(a="h.emb", b="s.semb")},
-                                s.sub_id
-                   ) AS rn
-            FROM hot h JOIN seeds s ON s.cell_id = h.cell_id
-        ) WHERE rn = 1
-    ),
-    subcounts AS MATERIALIZED (
-        SELECT cell_id, sub_id, any_value(cell_n) AS cell_n,
-               count(*) AS n
-        FROM subassigned GROUP BY cell_id, sub_id
-    ),
+    {_SEMANTIC_SUB_CTES},
     residual AS (
         SELECT sa.vec_id, sa.emb,
                CAST(sa.cell_id * 4 + sa.sub_id AS INTEGER) AS blk

@@ -6,6 +6,8 @@ DuckDB oracle.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -4509,30 +4511,35 @@ def rel_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rel_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _bloom_join_plan(spark, sf_dir)
-    conf_keys = _BLOOM_CONFS
-    old = {k: spark.conf.get(k, None) for k in conf_keys}
-    try:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        spark.conf.set(
-            "spark.sql.optimizer.runtime.bloomFilter"
-            ".applicationSideScanSizeThreshold",
-            "0",
-        )
+    with bloom_confs_pinned(spark):
         rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
+_BLOOM_CONFS = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.optimizer.runtime.bloomFilter"
+    ".applicationSideScanSizeThreshold": "0",
+}
+
+
+@contextmanager
+def bloom_confs_pinned(spark: SparkSession):
+    """Pin the confs under which InjectRuntimeFilter fires locally --
+    ONE definition shared by the gate query and its plan-assertion test,
+    so the test always asserts the exact optimizer state the query runs
+    under."""
+    old = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    try:
+        for k, v in _BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        yield
     finally:
         for k, v in old.items():
             if v is None:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
-    return spark.createDataFrame(rows, out.schema)
-
-
-_BLOOM_CONFS = (
-    "spark.sql.autoBroadcastJoinThreshold",
-    "spark.sql.optimizer.runtime.bloomFilter"
-    ".applicationSideScanSizeThreshold",
-)
 
 
 def _bloom_join_plan(spark: SparkSession, sf_dir: str) -> DataFrame:

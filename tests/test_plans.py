@@ -1315,25 +1315,12 @@ def test_bloom_filter_join_injects_might_contain(spark):
     bloom_filter_agg on the selective side -- row-level runtime
     pruning, not just a plain shuffle join."""
     from kmeans_with_mapreduce_cuda_spark.plans.relational import (
-        _BLOOM_CONFS,
         _bloom_join_plan,
+        bloom_confs_pinned,
     )
 
-    old = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
-    try:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        spark.conf.set(
-            "spark.sql.optimizer.runtime.bloomFilter"
-            ".applicationSideScanSizeThreshold",
-            "0",
-        )
+    with bloom_confs_pinned(spark):
         plan = plan_of(_bloom_join_plan(spark, SF_DIR))
-    finally:
-        for k, v in old.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
     assert "might_contain" in plan, plan
     assert "bloom_filter_agg" in plan, plan
     # transparent semantics: with defaults (no injection), same rows

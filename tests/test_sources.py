@@ -561,13 +561,15 @@ def test_register_views_drops_stale_view_for_missing_table(spark, tmp_path):
         str(partial / "region.parquet"),
     )
 
-    register_views(spark, SF_DIR)  # full fixture: nation view exists
-    assert spark.sql("SELECT count(*) AS n FROM nation").first()["n"] > 0
+    try:
+        register_views(spark, SF_DIR)  # full fixture: nation view exists
+        assert spark.sql("SELECT count(*) AS n FROM nation").first()["n"] > 0
 
-    register_views(spark, str(partial))
-    assert spark.sql("SELECT count(*) AS n FROM region").first()["n"] > 0
-    with pytest.raises(AnalysisException, match="TABLE_OR_VIEW_NOT_FOUND"):
-        spark.sql("SELECT count(*) FROM nation").collect()
-
-    # Restore the full fixture for any later spark.sql-based test.
-    register_views(spark, SF_DIR)
+        register_views(spark, str(partial))
+        assert spark.sql("SELECT count(*) AS n FROM region").first()["n"] > 0
+        with pytest.raises(AnalysisException, match="TABLE_OR_VIEW_NOT_FOUND"):
+            spark.sql("SELECT count(*) FROM nation").collect()
+    finally:
+        # Restore the full fixture even on failure -- later spark.sql
+        # tests in this session-scoped fixture depend on the views.
+        register_views(spark, SF_DIR)
