@@ -94,6 +94,7 @@ _PRIORITY = [
     "rel_observe_metrics",
     "rel_bloom_filter_join",
     "dedup_semantic_residual_exact",
+    "dedup_semantic_survivors",
     # --- last driver-verified r4 (displaced from the r8 prefix)
     "rel_window_rank_funcs",
     "rel_unpivot",

@@ -2838,8 +2838,7 @@ def _semantic_recursive_build(
 # how the Spark side shares _semantic_recursive_build -- so neither the
 # engine NOR the oracle halves of the two queries can drift (the
 # _IVF_DIST precedent applied to a whole CTE block).
-_SEMANTIC_SUB_CTES = f"""
-    WITH cents AS (
+_SEMANTIC_SUB_CTES = f"""cents AS (
         SELECT CAST(vec_id AS INTEGER) AS cell_id, embedding::DOUBLE[] AS cemb
         FROM embeddings WHERE vec_id < 8
     ),
@@ -2891,12 +2890,12 @@ _SEMANTIC_SUB_CTES = f"""
         FROM subassigned GROUP BY cell_id, sub_id
     )"""
 
-
-@query(
-    "dedup_semantic_recursive",
-    oracle=f"""
-    {_SEMANTIC_SUB_CTES},
-    kept AS (
+# The shared pair CTEs one level up: kept top-level cells + kept
+# sub-cells + the tagged pair union (cos kept UNROUNDED here so the
+# survivor chain can consume the edges while the recursive query
+# rounds only at emission).  Consumed by dedup_semantic_recursive and
+# dedup_semantic_survivors.
+_SEMANTIC_PAIR_CTES = """kept AS (
         SELECT a.vec_id, a.emb, a.cell_id
         FROM assigned a JOIN counts k ON k.cell_id = a.cell_id, cap
         WHERE k.n <= cap.c
@@ -2907,27 +2906,38 @@ _SEMANTIC_SUB_CTES = f"""
         JOIN subcounts sc
           ON sc.cell_id = sa.cell_id AND sc.sub_id = sa.sub_id
         WHERE sc.n <= sc.cell_n // 4
-    )
-    SELECT 'pair' AS kind, a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(list_dot_product(a.emb, b.emb)
-                 / (sqrt(list_dot_product(a.emb, a.emb))
-                    * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos_sim
-    FROM kept a JOIN kept b
-      ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
-    WHERE list_dot_product(a.emb, b.emb)
-          / (sqrt(list_dot_product(a.emb, a.emb))
-             * sqrt(list_dot_product(b.emb, b.emb))) >= 0.35
-    UNION ALL
-    SELECT 'subpair' AS kind, a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(list_dot_product(a.emb, b.emb)
-                 / (sqrt(list_dot_product(a.emb, a.emb))
-                    * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos_sim
-    FROM sub_kept a JOIN sub_kept b
-      ON a.cell_id = b.cell_id AND a.sub_id = b.sub_id
-         AND a.vec_id < b.vec_id
-    WHERE list_dot_product(a.emb, b.emb)
-          / (sqrt(list_dot_product(a.emb, a.emb))
-             * sqrt(list_dot_product(b.emb, b.emb))) >= 0.35
+    ),
+    sem_pairs AS (
+        SELECT 'pair' AS kind, a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_dot_product(a.emb, b.emb)
+                   / (sqrt(list_dot_product(a.emb, a.emb))
+                      * sqrt(list_dot_product(b.emb, b.emb))) AS cos_raw
+        FROM kept a JOIN kept b
+          ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.emb, b.emb)
+              / (sqrt(list_dot_product(a.emb, a.emb))
+                 * sqrt(list_dot_product(b.emb, b.emb))) >= 0.35
+        UNION ALL
+        SELECT 'subpair' AS kind, a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_dot_product(a.emb, b.emb)
+                   / (sqrt(list_dot_product(a.emb, a.emb))
+                      * sqrt(list_dot_product(b.emb, b.emb))) AS cos_raw
+        FROM sub_kept a JOIN sub_kept b
+          ON a.cell_id = b.cell_id AND a.sub_id = b.sub_id
+             AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.emb, b.emb)
+              / (sqrt(list_dot_product(a.emb, a.emb))
+                 * sqrt(list_dot_product(b.emb, b.emb))) >= 0.35
+    )"""
+
+
+@query(
+    "dedup_semantic_recursive",
+    oracle=f"""
+    WITH {_SEMANTIC_SUB_CTES},
+    {_SEMANTIC_PAIR_CTES}
+    SELECT kind, vec_a, vec_b, round(cos_raw, 6) AS cos_sim
+    FROM sem_pairs
     UNION ALL
     SELECT 'capped_subcell' AS kind,
            CAST(sc.cell_id * 4 + sc.sub_id AS BIGINT) AS vec_a,
@@ -2957,6 +2967,101 @@ def dedup_semantic_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _eager(spark, out, deps=deps)
 
 
+@query(
+    "dedup_semantic_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_SEMANTIC_SUB_CTES},
+    {_SEMANTIC_PAIR_CTES},
+    residual AS (
+        SELECT sa.vec_id, sa.emb,
+               CAST(sa.cell_id * 4 + sa.sub_id AS INTEGER) AS blk
+        FROM subassigned sa
+        JOIN subcounts sc
+          ON sc.cell_id = sa.cell_id AND sc.sub_id = sa.sub_id
+        WHERE sc.n > sc.cell_n // 4
+    ),
+    keepers AS (
+        SELECT blk, emb, min(vec_id) AS keeper
+        FROM residual GROUP BY blk, emb
+    ),
+    clone_edges AS (
+        SELECT r.vec_id AS va, k.keeper AS vb
+        FROM residual r
+        JOIN keepers k ON k.blk = r.blk AND k.emb = r.emb
+        WHERE r.vec_id <> k.keeper
+    ),
+    edges AS (
+        SELECT vec_a AS a, vec_b AS b FROM sem_pairs
+        UNION ALL SELECT vec_b, vec_a FROM sem_pairs
+        UNION ALL SELECT va, vb FROM clone_edges
+        UNION ALL SELECT vb, va FROM clone_edges
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach AS (
+        SELECT node, node AS comp FROM nodes
+        UNION
+        SELECT e.b AS node, r.comp FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    labels AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node)
+    SELECT CAST(emb.vec_id AS BIGINT) AS vec_id
+    FROM embeddings emb
+    WHERE NOT EXISTS (
+        SELECT 1 FROM labels l
+        WHERE l.node = emb.vec_id AND l.comp <> emb.vec_id
+    )
+    """,
+    doc="The semantic chain's DELETE step -- what a user actually wants "
+    "from SemDeDup: the cleaned corpus.  Edges = the recursive pass's "
+    "cosine pairs ('pair' + 'subpair') PLUS keeper edges from the "
+    "residual exact pass (each clone -> its group's min-vec_id "
+    "keeper), resolved into duplicate clusters by the SAME "
+    "min-label-propagation operator as dedup_components (pointer "
+    "jumping, O(log diameter) rounds), then survivors = corpus minus "
+    "non-canonical members via broadcast anti-join -- the corpus side "
+    "never shuffles.  Composing both edge sources closes the "
+    "capped-path recall hole: members of a routed sub-cell ARE "
+    "deduped (exactly) rather than merely reported.  The oracle is "
+    "the transitive closure over the SAME shared pair/residual CTEs "
+    "(one definition, zero drift) as a recursive CTE, so the hash "
+    "check verifies the propagation fixpoint, not just plumbing.",
+)
+def dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    out, deps, parts = _semantic_recursive_build(spark, sf_dir)
+    pair_edges = out.where(F.col("kind") != "capped_subcell").select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    edges = pair_edges
+    if parts is not None:
+        residual = parts["subassigned"].join(
+            F.broadcast(parts["capped_sub"].select("blk")), "blk", "semi"
+        )
+        wk = Window.partitionBy("blk", "emb")
+        clone_edges = (
+            residual.withColumn("keeper", F.min("vec_id").over(wk))
+            .where(F.col("vec_id") != F.col("keeper"))
+            .select(
+                F.col("vec_id").alias("doc_a"),
+                F.col("keeper").alias("doc_b"),
+            )
+        )
+        edges = edges.unionByName(clone_edges)
+    # Candidate edges are pair-scale small; materialize them and
+    # release the build's persisted intermediates before iterating.
+    edges = _eager(spark, edges, deps=deps)
+    comp = connected_components(edges)
+    losers = comp.labels.where(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("vec_id")
+    )
+    surv = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(F.col("vec_id").cast("bigint").alias("vec_id"))
+        .join(F.broadcast(losers), "vec_id", "left_anti")
+    )
+    return _eager(spark, surv, deps=comp.deps)
+
+
 _RESIDUAL_SCHEMA = (
     "blk int, n_members bigint, n_distinct bigint, n_dupes bigint, "
     "max_clone_group bigint"
@@ -2966,7 +3071,7 @@ _RESIDUAL_SCHEMA = (
 @query(
     "dedup_semantic_residual_exact",
     oracle=f"""
-    {_SEMANTIC_SUB_CTES},
+    WITH {_SEMANTIC_SUB_CTES},
     residual AS (
         SELECT sa.vec_id, sa.emb,
                CAST(sa.cell_id * 4 + sa.sub_id AS INTEGER) AS blk

@@ -86,6 +86,7 @@ QUERIES = [
     "dedup_semantic_recursive",
     "dedup_semantic_residual_exact",
     "rel_bloom_filter_join",
+    "dedup_semantic_survivors",
 ]
 
 

@@ -346,6 +346,7 @@ def test_semantic_routing_chain_catches_injected_clone_pile(spark):
     from kmeans_with_mapreduce_cuda_spark.plans.pipeline import (
         _semantic_recursive_build,
         dedup_semantic_residual_exact,
+        dedup_semantic_survivors,
     )
 
     def vec(hot, bump=0.0, jit=0):
@@ -400,6 +401,9 @@ def test_semantic_routing_chain_catches_injected_clone_pile(spark):
             r["blk"]: r
             for r in dedup_semantic_residual_exact(spark, d).collect()
         }
+        survivors = {
+            r["vec_id"] for r in dedup_semantic_survivors(spark, d).collect()
+        }
 
     # (a) every hot member sub-assigned exactly once
     assert n_hot == n_sub_rows and n_hot >= 200
@@ -411,3 +415,9 @@ def test_semantic_routing_chain_catches_injected_clone_pile(spark):
     pile = max(report.values(), key=lambda r: r["max_clone_group"])
     assert pile["n_dupes"] >= 59
     assert pile["n_members"] - pile["n_distinct"] == pile["n_dupes"]
+    # (d) the DELETE step: exactly ONE of the 60 clones survives -- the
+    # lowest id -- even though the clone pile never entered the cosine
+    # join (its edges come from the residual exact pass)
+    clone_ids = set(range(8, 68))
+    assert survivors & clone_ids == {8}
+    assert len(survivors) <= 243 - 59
