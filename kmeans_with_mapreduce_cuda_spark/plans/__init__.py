@@ -95,6 +95,7 @@ _PRIORITY = [
     "rel_bloom_filter_join",
     "dedup_semantic_residual_exact",
     "dedup_semantic_survivors",
+    "rel_stat_count_min",
     # --- last driver-verified r4 (displaced from the r8 prefix)
     "rel_window_rank_funcs",
     "rel_unpivot",

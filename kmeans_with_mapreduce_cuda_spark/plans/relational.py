@@ -4557,3 +4557,68 @@ def _bloom_join_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
         )
     )
+
+
+# --- Count-min sketch frequency estimation ----------------------------------
+
+_CMS_UIDS = (1, 2, 3, 5, 8, 13, 21, 34)
+
+
+@query(
+    "rel_stat_count_min",
+    oracle=f"""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n,
+           TRUE AS never_undercounts, TRUE AS within_eps_bound
+    FROM events WHERE user_id IN {_CMS_UIDS}
+    GROUP BY user_id
+    """,
+    doc="Count-min sketch frequency estimation -- the third sketch "
+    "family after HLL/theta (distinct) and KPS (heavy hitters): the "
+    "count_min_sketch SQL AGGREGATE builds the mergeable binary "
+    "distributedly (map-side partial sketches, counter-sum merge is "
+    "order-independent so the result is deterministic for a fixed "
+    "seed), only the KB-sized sketch crosses to the driver, and "
+    "estimates are read back through the public "
+    "org.apache.spark.util.sketch.CountMinSketch reader.  Checked via "
+    "the CLAIM pattern (rel_approx_distinct precedent -- DuckDB "
+    "cannot rebuild Spark's sketch): per pinned user, the estimate "
+    "never undercounts (structural CMS guarantee) and lands within "
+    "eps*N of the exact count (verified to hold for this seed at "
+    "every probe scale).  Items are hashed by RUNTIME type, so the "
+    "sketch column and the probe values must agree on int -- the "
+    "int-vs-long hash mismatch is the documented footgun here.  At "
+    "100 TB this is the bounded-memory answer to 'how often does key "
+    "X occur' without a groupBy over the corpus.",
+)
+def rel_stat_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    n_total = e.count()
+    raw = e.agg(
+        F.expr(
+            "count_min_sketch(CAST(user_id AS INT), 0.001d, 0.99d, 42)"
+        ).alias("s")
+    ).first()["s"]
+    exact = {
+        r["user_id"]: r["n"]
+        for r in e.where(F.col("user_id").isin(*_CMS_UIDS))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rows = []
+    if exact:
+        jvm = spark._jvm
+        cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            jvm.java.io.ByteArrayInputStream(bytes(raw))
+        )
+        eps_bound = 0.001 * n_total
+        for uid, n in sorted(exact.items()):
+            est = cms.estimateCount(int(uid))  # Python int -> Integer
+            rows.append(
+                (uid, n, est >= n, (est - n) <= eps_bound)
+            )
+    return spark.createDataFrame(
+        rows,
+        "user_id bigint, exact_n bigint, never_undercounts boolean, "
+        "within_eps_bound boolean",
+    )

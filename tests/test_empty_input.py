@@ -87,6 +87,7 @@ QUERIES = [
     "dedup_semantic_residual_exact",
     "rel_bloom_filter_join",
     "dedup_semantic_survivors",
+    "rel_stat_count_min",
 ]
 
 
