@@ -96,6 +96,8 @@ _PRIORITY = [
     "dedup_semantic_residual_exact",
     "dedup_semantic_survivors",
     "rel_stat_count_min",
+    "rel_filter_clause_agg",
+    "rel_null_ordering",
     # --- last driver-verified r4 (displaced from the r8 prefix)
     "rel_window_rank_funcs",
     "rel_unpivot",

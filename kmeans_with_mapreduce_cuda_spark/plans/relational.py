@@ -4622,3 +4622,85 @@ def rel_stat_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id bigint, exact_n bigint, never_undercounts boolean, "
         "within_eps_bound boolean",
     )
+
+
+# --- ANSI FILTER-clause aggregates ------------------------------------------
+
+_FILTER_AGG_SQL = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_all,
+           CAST(count(*) FILTER (WHERE value > 0.5) AS BIGINT) AS n_high,
+           CAST(sum(CAST(round(value * 1000) AS BIGINT))
+                FILTER (WHERE value > 0.5) AS BIGINT) AS sum_high_mills,
+           CAST(count(*) FILTER (WHERE value IS NULL) AS BIGINT) AS n_null
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@query(
+    "rel_filter_clause_agg",
+    oracle=_FILTER_AGG_SQL,
+    doc="ANSI FILTER-clause aggregates -- count/sum FILTER (WHERE ...) "
+    "per group, the standard syntax for conditional aggregation that "
+    "the CASE-WHEN formulation (rel_conditional_agg_q14) predates.  "
+    "ONE verbatim SQL string runs on BOTH engines (the "
+    "rel_ansi_sql_verbatim discipline), so the check pins that "
+    "Spark's FILTER clause and DuckDB's agree on every class "
+    "including the empty-filter group (sum over no rows -> NULL, "
+    "count -> 0).  Money-adjacent values aggregate as exact integer "
+    "mills; no float sum crosses engines.  Catalyst compiles the "
+    "FILTER clause to the same map-side-combined conditional "
+    "aggregate as the CASE form -- no second scan.",
+)
+def rel_filter_clause_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_FILTER_AGG_SQL)
+
+
+# --- Explicit NULLS FIRST / NULLS LAST ordering ------------------------------
+
+_NULL_ORDER_SQL = """
+    WITH e AS (
+        SELECT event_id, user_id,
+               CASE WHEN event_id % 97 = 0 THEN NULL
+                    ELSE CAST(value AS DOUBLE) END AS v
+        FROM events WHERE event_id < 2000
+    )
+    SELECT event_id, user_id, v,
+           CAST(row_number() OVER (
+               ORDER BY v ASC NULLS FIRST, event_id) AS BIGINT)
+               AS rn_nulls_first,
+           CAST(row_number() OVER (
+               ORDER BY v ASC NULLS LAST, event_id) AS BIGINT)
+               AS rn_nulls_last,
+           CAST(row_number() OVER (
+               ORDER BY v DESC NULLS LAST, event_id) AS BIGINT)
+               AS rn_desc_nulls_last
+    FROM e
+"""
+
+
+@query(
+    "rel_null_ordering",
+    oracle=_NULL_ORDER_SQL,
+    doc="Explicit NULLS FIRST / NULLS LAST ordering -- a REAL "
+    "cross-engine divergence corner: Spark's default is NULLS FIRST "
+    "for ASC / NULLS LAST for DESC, while DuckDB defaults to NULLS "
+    "LAST everywhere, so any ORDER BY over a nullable key that omits "
+    "the clause silently ranks differently across engines.  The "
+    "query pins all three explicit spellings on a deterministically "
+    "NULLed value column (event_id % 97 -> NULL, injected identically "
+    "in both engines since the fixture's ts/value carry no NULLs), "
+    "ONE verbatim SQL string on both engines; (v, event_id) is a "
+    "total order so every rank hash-checks exactly.  The lesson is "
+    "the discipline: portable ORDER BY over nullable keys ALWAYS "
+    "states its NULL placement.",
+)
+def rel_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_NULL_ORDER_SQL)

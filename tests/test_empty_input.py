@@ -88,6 +88,8 @@ QUERIES = [
     "rel_bloom_filter_join",
     "dedup_semantic_survivors",
     "rel_stat_count_min",
+    "rel_filter_clause_agg",
+    "rel_null_ordering",
 ]
 
 
