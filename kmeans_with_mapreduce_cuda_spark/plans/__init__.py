@@ -98,6 +98,7 @@ _PRIORITY = [
     "rel_stat_count_min",
     "rel_filter_clause_agg",
     "rel_null_ordering",
+    "rel_asof_nearest",
     # --- last driver-verified r4 (displaced from the r8 prefix)
     "rel_window_rank_funcs",
     "rel_unpivot",

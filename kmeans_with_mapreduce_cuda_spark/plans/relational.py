@@ -4704,3 +4704,102 @@ def rel_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_NULL_ORDER_SQL)
+
+
+# --- As-of join, nearest direction ------------------------------------------
+
+@query(
+    "rel_asof_nearest",
+    oracle="""
+    WITH p AS (SELECT event_id AS pid, user_id,
+                      date_trunc('microseconds', ts) AS pts,
+                      ts IS NULL AS pts_null
+               FROM events
+               WHERE event_type = 'purchase' AND user_id < 40),
+    c0 AS (SELECT user_id, date_trunc('microseconds', ts) AS cts,
+                  max(event_id) AS cid
+           FROM events
+           WHERE event_type = 'click' AND ts IS NOT NULL AND user_id < 40
+           GROUP BY 1, 2),
+    cand AS (
+        SELECT p.pid, c0.cid, c0.cts,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.pid
+                   ORDER BY abs(date_diff('microsecond', c0.cts, p.pts)),
+                            c0.cts
+               ) AS rn
+        FROM p JOIN c0 ON c0.user_id = p.user_id
+        WHERE NOT p.pts_null
+    )
+    SELECT p.pid, p.user_id,
+           CASE WHEN p.pts_null THEN NULL ELSE c.cid END AS cid,
+           CASE WHEN p.pts_null THEN NULL
+                ELSE date_diff('microsecond', p.pts, c.cts)
+           END AS gap_us
+    FROM p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c ON c.pid = p.pid
+    """,
+    doc="As-of join, NEAREST direction (pandas merge_asof "
+    "direction='nearest', the sensor-fusion alignment mode): each "
+    "purchase matches the click minimally distant in time in EITHER "
+    "direction, ties to the EARLIER click.  The backward/forward "
+    "halves ride ONE union + ONE sorted window pass each way (carry "
+    "the last prior click forward, the first later click backward -- "
+    "clicks pre-collapsed to max-id per (user, ts) so both window "
+    "directions agree on the per-instant winner), then a pure "
+    "projection picks the closer side: abs-gap is monotone away from "
+    "the probe on each side, so min(best-prev, best-next) IS the "
+    "global nearest -- never a per-purchase candidate expansion.  "
+    "gap_us is the SIGNED exact microsecond offset (negative = click "
+    "before purchase); no division, so no truncation-vs-floor "
+    "divergence can enter.  The oracle is an INDEPENDENT bounded "
+    "quadratic (user_id < 40 slice) ranked by (abs gap, cts).  NULL "
+    "classes per the asof family: NULL-ts clicks dropped, NULL-pts "
+    "purchases keep their row with NULL match.",
+)
+def rel_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("eid"), F.lit(1).alias("side")
+    )
+    c = (
+        e.where((F.col("event_type") == "click") & F.col("ts").isNotNull())
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("eid"))
+        .withColumn("side", F.lit(0))
+    )
+    u = p.unionByName(c)
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    click = F.when(F.col("side") == 0, F.struct("ts", "eid"))
+    prev = F.last(click, ignorenulls=True).over(w_prev)
+    nxt = F.first(click, ignorenulls=True).over(w_next)
+    gp = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("_p.ts"))
+    gn = F.unix_micros(F.col("_n.ts")) - F.unix_micros(F.col("ts"))
+    take_prev = F.col("_p").isNotNull() & (
+        F.col("_n").isNull() | (gp <= gn)
+    )
+    chosen = F.when(take_prev, F.col("_p")).otherwise(F.col("_n"))
+    valid = F.col("ts").isNotNull() & chosen.isNotNull()
+    return (
+        u.withColumn("_p", prev)
+        .withColumn("_n", nxt)
+        .where(F.col("side") == 1)
+        .withColumn("_c", chosen)
+        .select(
+            F.col("eid").alias("pid"),
+            "user_id",
+            F.when(valid, F.col("_c.eid")).alias("cid"),
+            F.when(
+                valid,
+                F.unix_micros(F.col("_c.ts")) - F.unix_micros(F.col("ts")),
+            ).alias("gap_us"),
+        )
+    )

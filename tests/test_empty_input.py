@@ -90,6 +90,7 @@ QUERIES = [
     "rel_stat_count_min",
     "rel_filter_clause_agg",
     "rel_null_ordering",
+    "rel_asof_nearest",
 ]
 
 

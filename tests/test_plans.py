@@ -1354,3 +1354,57 @@ def test_observe_metrics_is_a_side_channel_not_a_second_pass(spark):
     assert got["n_rows"] == direct["n"]
     assert got["sum_qty"] == direct["q"]
     assert got["max_orderkey"] == direct["m"]
+
+
+def test_asof_nearest_edge_cases(spark):
+    """NULL/tie classes for the nearest-direction asof: equidistant
+    clicks tie to the EARLIER one; a same-ts click wins at gap 0; a
+    NaT purchase keeps its row with NULL match even when later clicks
+    exist; a click-after-only purchase matches FORWARD (positive gap);
+    a click-only user emits nothing; a no-click user gets NULL."""
+    import datetime as dt
+    import tempfile
+
+    from kmeans_with_mapreduce_cuda_spark.plans.relational import (
+        rel_asof_nearest,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)  # noqa: E731
+    rows = [
+        # user 1: clicks at +-10s of the purchase -> tie -> earlier (id 1)
+        (1, s(0), 1, "click", 0.0, None),
+        (2, s(20), 1, "click", 0.0, None),
+        (3, s(10), 1, "purchase", 1.0, None),
+        # user 2: same-ts click wins at gap 0 over a closer-after click
+        (4, s(0), 2, "click", 0.0, None),
+        (5, s(1), 2, "click", 0.0, None),
+        (6, s(0), 2, "purchase", 1.0, None),
+        # user 3: only a LATER click -> forward match, positive gap
+        (7, s(100), 3, "click", 0.0, None),
+        (8, s(0), 3, "purchase", 1.0, None),
+        # user 4: NaT purchase, real clicks exist -> NULL match
+        (9, s(0), 4, "click", 0.0, None),
+        (10, None, 4, "purchase", 1.0, None),
+        # user 5: purchases only -> NULL; user 6: clicks only -> no row
+        (11, s(0), 5, "purchase", 1.0, None),
+        (12, s(0), 6, "click", 0.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(f"{d}/events.parquet")
+        got = {
+            r["pid"]: (r["cid"], r["gap_us"])
+            for r in rel_asof_nearest(spark, d).collect()
+        }
+    assert got == {
+        3: (1, -10_000_000),
+        6: (4, 0),
+        8: (7, 100_000_000),
+        10: (None, None),
+        11: (None, None),
+    }
