@@ -99,6 +99,7 @@ _PRIORITY = [
     "rel_filter_clause_agg",
     "rel_null_ordering",
     "rel_asof_nearest",
+    "kmeans_bisecting_sizes",
     # --- last driver-verified r4 (displaced from the r8 prefix)
     "rel_window_rank_funcs",
     "rel_unpivot",

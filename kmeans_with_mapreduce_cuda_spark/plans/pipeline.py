@@ -628,6 +628,70 @@ def kmeans_mllib_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kmeans_bisecting_sizes",
+    oracle="""
+    SELECT CAST(8 AS BIGINT) AS n_clusters,
+           TRUE AS all_positive,
+           (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS total_n,
+           TRUE AS cost_below_global_sse
+    """,
+    doc="Library layer #2: MLlib BisectingKMeans (hierarchical DIVISIVE "
+    "clustering -- recursively split the worst cluster, the algorithm "
+    "family the SemDeDup recursive pass hand-rolls one level of) over "
+    "the embeddings table, seeded.  Engine-internal splitting order "
+    "makes raw sizes non-oracle-expressible, so the gate checks the "
+    "kmeans_mllib_sizes CLAIM set -- exactly k non-empty clusters "
+    "partitioning all N rows -- plus a quality floor: the model's "
+    "training cost (sum of squared distances to assigned centers) "
+    "must beat the 1-cluster solution (exact SSE around the global "
+    "mean, computed from the data Spark-side), i.e. splitting must "
+    "actually help.  One row out; any fixture regeneration that "
+    "breaks a claim surfaces as a readable value diff.",
+)
+def kmeans_bisecting_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.clustering import BisectingKMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings")
+    feats = e.select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias(
+            "features"
+        ),
+    )
+    model = BisectingKMeans(k=8, maxIter=2, seed=42).fit(feats)
+    cost = model.summary.trainingCost
+    pred = model.transform(feats).select(
+        F.col("prediction").alias("cluster_id")
+    )
+    # Exact 1-cluster SSE via expanded moments: sum(|x|^2) - |sum x|^2/n
+    # per dimension, all from the data -- no model involved.
+    dim = 64
+    proj = e.selectExpr(
+        *[
+            f"CAST(embedding[{i}] AS DOUBLE) AS _f{i}"
+            for i in range(dim)
+        ]
+    )
+    agg = proj.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f"_f{i}").alias(f"s{i}") for i in range(dim)],
+        *[F.sum(F.col(f"_f{i}") * F.col(f"_f{i}")).alias(f"q{i}") for i in range(dim)],
+    ).first()
+    n = agg["n"]
+    global_sse = sum(
+        agg[f"q{i}"] - (agg[f"s{i}"] ** 2) / n for i in range(dim)
+    )
+    sizes = pred.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.min("n") > 0).alias("all_positive"),
+        F.sum("n").alias("total_n"),
+        F.lit(bool(cost <= global_sse)).alias("cost_below_global_sse"),
+    )
+
+
+@query(
     "dedup_minhash_mllib",
     oracle=f"""
     WITH shingles AS ({_SHINGLE_SQL}),
