@@ -1408,3 +1408,67 @@ def test_asof_nearest_edge_cases(spark):
         10: (None, None),
         11: (None, None),
     }
+
+
+def test_asof_nearest_matches_brute_force_on_random_fixture(spark):
+    """Randomized (seeded) cross-check of the window formulation
+    against an independent per-purchase brute force: 600 events over
+    12 users with dense second-grid ties, NaT rows, click-only and
+    purchase-only users.  Covers orders of prev/next interleaving the
+    curated edge-case test cannot enumerate."""
+    import datetime as dt
+    import random
+    import tempfile
+
+    from kmeans_with_mapreduce_cuda_spark.plans.relational import (
+        rel_asof_nearest,
+    )
+
+    rng = random.Random(4242)
+    t0 = dt.datetime(2024, 6, 1)
+    rows = []
+    for eid in range(1, 601):
+        uid = rng.randrange(1, 13)
+        ts = (
+            None
+            if rng.random() < 0.03
+            else t0 + dt.timedelta(seconds=rng.randrange(0, 120))
+        )
+        et = "click" if rng.random() < 0.55 else "purchase"
+        rows.append((eid, ts, uid, et, 0.0, None))
+
+    # brute force: collapse clicks per (user, ts) to max id, then per
+    # purchase pick min (abs gap, cts)
+    clicks = {}
+    for eid, ts, uid, et, _, _ in rows:
+        if et == "click" and ts is not None:
+            key = (uid, ts)
+            clicks[key] = max(clicks.get(key, 0), eid)
+    by_user = {}
+    for (uid, ts), cid in clicks.items():
+        by_user.setdefault(uid, []).append((ts, cid))
+    expect = {}
+    for eid, ts, uid, et, _, _ in rows:
+        if et != "purchase":
+            continue
+        if ts is None or uid not in by_user:
+            expect[eid] = (None, None)
+            continue
+        best = min(
+            by_user[uid], key=lambda c: (abs((c[0] - ts).total_seconds()), c[0])
+        )
+        gap = int((best[0] - ts).total_seconds() * 1_000_000)
+        expect[eid] = (best[1], gap)
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.repartition(6).write.parquet(f"{d}/events.parquet")
+        got = {
+            r["pid"]: (r["cid"], r["gap_us"])
+            for r in rel_asof_nearest(spark, d).collect()
+        }
+    assert got == expect
