@@ -3087,7 +3087,14 @@ def dedup_semantic_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     "deduped (exactly) rather than merely reported.  The oracle is "
     "the transitive closure over the SAME shared pair/residual CTEs "
     "(one definition, zero drift) as a recursive CTE, so the hash "
-    "check verifies the propagation fixpoint, not just plumbing.",
+    "check verifies the propagation fixpoint, not just plumbing.  "
+    "Scale bound is 10x (1473 survivors of 20k, hash-equal): at 100x "
+    "duplication the 0.35-cosine graph coalesces into components "
+    "large enough that the ORACLE's reach table (sum of |C|^2) blows "
+    "up -- the engine side's label propagation is O(E log diameter) "
+    "and completed the same graph in minutes; the same oracle-side "
+    "wall class as dedup_semantic_clustered, documented rather than "
+    "ground through.",
 )
 def dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components
