@@ -3031,19 +3031,26 @@ def dedup_semantic_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _eager(spark, out, deps=deps)
 
 
-@query(
-    "dedup_semantic_survivors",
-    oracle=f"""
-    WITH RECURSIVE {_SEMANTIC_SUB_CTES},
-    {_SEMANTIC_PAIR_CTES},
-    residual AS (
+# The residual relation (members of sub-cells that exceeded the
+# per-cell uniform share), shared verbatim by the residual-exact and
+# survivors oracles -- same zero-drift discipline as the other two
+# constants.
+_SEMANTIC_RESIDUAL_CTE = """residual AS (
         SELECT sa.vec_id, sa.emb,
                CAST(sa.cell_id * 4 + sa.sub_id AS INTEGER) AS blk
         FROM subassigned sa
         JOIN subcounts sc
           ON sc.cell_id = sa.cell_id AND sc.sub_id = sa.sub_id
         WHERE sc.n > sc.cell_n // 4
-    ),
+    )"""
+
+
+@query(
+    "dedup_semantic_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_SEMANTIC_SUB_CTES},
+    {_SEMANTIC_PAIR_CTES},
+    {_SEMANTIC_RESIDUAL_CTE},
     keepers AS (
         SELECT blk, emb, min(vec_id) AS keeper
         FROM residual GROUP BY blk, emb
@@ -3122,15 +3129,24 @@ def dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # release the build's persisted intermediates before iterating.
     edges = _eager(spark, edges, deps=deps)
     comp = connected_components(edges)
-    losers = comp.labels.where(F.col("node") != F.col("comp")).select(
-        F.col("node").alias("vec_id")
+    # Materialize only the LOSERS (bounded by the pair graph's node
+    # count -- never corpus-scale) and release the CC checkpoints;
+    # the corpus-scale survivor relation stays LAZY as a broadcast
+    # anti-join, honoring _eager's small-results-only contract
+    # (review finding: eagering the cleaned corpus itself would
+    # double-materialize the data-scale side through the driver).
+    losers = _eager(
+        spark,
+        comp.labels.where(F.col("node") != F.col("comp")).select(
+            F.col("node").alias("vec_id")
+        ),
+        deps=comp.deps,
     )
-    surv = (
+    return (
         load_table(spark, sf_dir, "embeddings")
         .select(F.col("vec_id").cast("bigint").alias("vec_id"))
         .join(F.broadcast(losers), "vec_id", "left_anti")
     )
-    return _eager(spark, surv, deps=comp.deps)
 
 
 _RESIDUAL_SCHEMA = (
@@ -3143,14 +3159,7 @@ _RESIDUAL_SCHEMA = (
     "dedup_semantic_residual_exact",
     oracle=f"""
     WITH {_SEMANTIC_SUB_CTES},
-    residual AS (
-        SELECT sa.vec_id, sa.emb,
-               CAST(sa.cell_id * 4 + sa.sub_id AS INTEGER) AS blk
-        FROM subassigned sa
-        JOIN subcounts sc
-          ON sc.cell_id = sa.cell_id AND sc.sub_id = sa.sub_id
-        WHERE sc.n > sc.cell_n // 4
-    ),
+    {_SEMANTIC_RESIDUAL_CTE},
     clone_groups AS (
         SELECT blk, emb, CAST(count(*) AS BIGINT) AS n
         FROM residual GROUP BY blk, emb

@@ -4584,20 +4584,25 @@ _CMS_UIDS = (1, 2, 3, 5, 8, 13, 21, 34)
     "cannot rebuild Spark's sketch): per pinned user, the estimate "
     "never undercounts (structural CMS guarantee) and lands within "
     "eps*N of the exact count (verified to hold for this seed at "
-    "every probe scale).  Items are hashed by RUNTIME type, so the "
-    "sketch column and the probe values must agree on int -- the "
-    "int-vs-long hash mismatch is the documented footgun here.  At "
-    "100 TB this is the bounded-memory answer to 'how often does key "
-    "X occur' without a groupBy over the corpus.",
+    "every probe scale).  Type discipline: Spark's sketch widens ALL "
+    "integral types to long before hashing (int and long probes of "
+    "the same sketch agree -- verified empirically), so the only real "
+    "type sensitivity is numeric vs string/binary items; probing with "
+    "a stringified key would silently miss.  At 100 TB this is the "
+    "bounded-memory answer to 'how often does key X occur' without a "
+    "groupBy over the corpus.",
 )
 def rel_stat_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    n_total = e.count()
-    raw = e.agg(
+    # One job builds the sketch AND the row count (review finding: a
+    # separate count() was a third full scan of the fact table).
+    agg0 = e.agg(
         F.expr(
             "count_min_sketch(CAST(user_id AS INT), 0.001d, 0.99d, 42)"
-        ).alias("s")
-    ).first()["s"]
+        ).alias("s"),
+        F.count(F.lit(1)).alias("n_total"),
+    ).first()
+    raw, n_total = agg0["s"], agg0["n_total"]
     exact = {
         r["user_id"]: r["n"]
         for r in e.where(F.col("user_id").isin(*_CMS_UIDS))
