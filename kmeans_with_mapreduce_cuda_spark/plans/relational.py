@@ -4808,3 +4808,34 @@ def rel_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gap_us"),
         )
     )
+
+
+# --- ORDER BY ALL -----------------------------------------------------------
+
+_ORDER_ALL_SQL = """
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS BIGINT) AS qty
+    FROM lineitem WHERE l_orderkey < 200
+    ORDER BY ALL
+    LIMIT 20
+"""
+
+
+@query(
+    "rel_order_by_all",
+    oracle=_ORDER_ALL_SQL,
+    doc="ORDER BY ALL -- the companion surface to GROUP BY ALL "
+    "(rel_group_by_all): sort by every select-list column "
+    "left-to-right without restating them.  ONE verbatim SQL string "
+    "on both engines; the ordering is made LOAD-BEARING by the LIMIT "
+    "(the canon compare is row-order-insensitive, so without a cut "
+    "the clause would be decorative) -- (l_orderkey, l_linenumber) "
+    "is a primary key, so the top-20 cut is a total order and "
+    "hash-checks exactly.  Compiles to the TakeOrderedAndProject "
+    "merge-heap, never a global sort.",
+)
+def rel_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_ORDER_ALL_SQL)

@@ -91,6 +91,7 @@ QUERIES = [
     "rel_filter_clause_agg",
     "rel_null_ordering",
     "rel_asof_nearest",
+    "rel_order_by_all",
 ]
 
 

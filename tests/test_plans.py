@@ -1472,3 +1472,11 @@ def test_asof_nearest_matches_brute_force_on_random_fixture(spark):
             for r in rel_asof_nearest(spark, d).collect()
         }
     assert got == expect
+
+
+def test_order_by_all_is_a_merge_heap_not_a_global_sort(spark):
+    """rel_order_by_all's doc claims the plan shape: the ORDER BY ALL +
+    LIMIT must compile to TakeOrderedAndProject (per-partition heaps
+    merged on the driver), never a full Sort + Exchange."""
+    plan = plan_of(REGISTRY["rel_order_by_all"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
