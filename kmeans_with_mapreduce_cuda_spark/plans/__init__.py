@@ -17,79 +17,29 @@ from . import pipeline  # noqa: F401,E402
 # follow in registration order (hash-checked before rows-only).
 # ---------------------------------------------------------------------------
 
-# Round-8 ROTATION (VERDICT r7 item 1): CORRECTNESS_r07 came back 50/50
-# green, union coverage 201/201 of the r6-era registry.  This prefix is
-# the NOTES.md "r8 prefix" verbatim, submitted unchanged per the
-# verdict: the 4 oldest O-core rows (r6-verified primitives o01-o04),
-# then the 13 r7 additions (the only queries with no driver row;
-# judge-verified green r7), then the 33 least-recently-verified in
-# strict age order (the r3-green tail incl. stream_stream_join --
-# heaviest drain, seconds at sf0.01 -- then the oldest r4 rows).
-# A green r8 = union coverage 214/214, no green row older than r4.
-# The displaced r4 entries (pipe_doc_chunking, pipe_quality_classifier,
-# pipe_vocab_build, rel_exists_subquery, ...) lead r9, after any new
-# r8 queries (inserted at the head of the past-cut block as added).
-# Re-derive from CORRECTNESS_r08.
+# Round-9 ROTATION (VERDICT r8 item 1): CORRECTNESS_r08 came back 50/50
+# green, union coverage 214/214 of the r7-era registry, no green row
+# older than r4.  This prefix is the NOTES.md "r9 prefix" verbatim,
+# submitted unchanged per the verdict: the 11 r8 additions first (the
+# only queries with no driver row; judge-verified green r8 and
+# 10x/100x-probed), then the 9 O-core rows last verified r7, then the
+# 30 least-recently-verified in strict age order (r4 tail first, then
+# the r5 rows incl. o14_silhouette -- the stalest O-core evidence).
+# A green r9 = union coverage 225/225 (every registry query driver-
+# verified at least once), no green row older than r5.
+# o14_calinski (r5, displaced past this cut -- VERDICT r8 item 5)
+# LEADS the past-cut block so it is guaranteed to head the r10
+# rotation; the other displaced r5 rows (rel_hll_sketch_union,
+# rel_bitmap_distinct, rel_retention, rel_constraints, ...) follow in
+# strict age order, with the 50 rows just verified in r8 at the very
+# back as the youngest.  New r9 queries (no driver row yet) are
+# inserted at the head of the past-cut block, before o14_calinski, as
+# they are added -- they lead the r10 rotation together with it.
+# Re-derive from CORRECTNESS_r09.
 _PRIORITY = [
-    # ---- r8 PREFIX (50): pre-computed at r7 close (NOTES.md), submitted
-    # verbatim per VERDICT r7 item 1.
-    # --- the 4 oldest O-core rows (r6-verified primitives)
-    "o01_scan_limit",
-    "o02_seed_sample",
-    "o03_distance_expr",
-    "o04_assign_argmin",
-    # --- the 13 r7 additions: never driver-verified
-    "dedup_semantic_capped",
-    "udf_cogroup_asof",
-    "rel_stat_freq_items",
-    "rel_stat_crosstab",
-    "rel_stat_sampleby",
-    "rel_asof_tolerance",
-    "udtf_polymorphic_topterms",
-    "udtf_table_arg_sessions",
-    "rel_window_count_distinct",
-    "stream_state_reader",
-    "rel_timezone_convert",
-    "rel_identifier_clause",
-    "rel_nullsafe_join",
-    # --- 33 least-recently-verified, strict age order (r3 tail first)
-    "dedup_embedding_cosine",
-    "dedup_exact_groups",
-    "dedup_exact_keep",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "rel_ansi_sql_verbatim",
-    "rel_array_funcs",
-    "rel_asof_join",
-    "rel_date_funcs",
-    "rel_filter_agg",
-    "rel_histogram",
-    "rel_join_broadcast",
-    "rel_join_semi_anti",
-    "rel_join_shuffle",
-    "rel_json_funcs",
-    "rel_percentiles",
-    "rel_pivot",
-    "rel_range_join",
-    "rel_rollup",
-    "rel_sessionize_batch",
-    "rel_set_ops",
-    "rel_string_funcs",
-    "rel_subquery_scalar",
-    "rel_window_topk",
-    "stream_stream_join",
-    "dedup_components",
-    "dedup_incremental",
-    "dedup_lsh_verified",
-    "dedup_semantic_clustered",
-    "dedup_survivors",
-    "kmeans_mllib_sizes",
-    "mm_decode_features",
-    "pipe_dataset_card",
-    # ------------------- 50-entry cut lands here -------------------
-    # Past-cut: least-recently-verified first so r9 can rotate them in.
-    # New r8 queries (no driver row yet) are inserted at the head of
-    # this block as they are added -- they lead the r9 rotation.
+    # ---- r9 PREFIX (50): pre-computed at r8 close (NOTES.md), submitted
+    # verbatim per VERDICT r8 item 1.
+    # --- the 11 r8 additions: never driver-verified
     "dedup_semantic_recursive",
     "rel_observe_metrics",
     "rel_bloom_filter_join",
@@ -101,7 +51,17 @@ _PRIORITY = [
     "rel_asof_nearest",
     "kmeans_bisecting_sizes",
     "rel_order_by_all",
-    # --- last driver-verified r4 (displaced from the r8 prefix)
+    # --- the 9 O-core rows last verified r7 (oldest O rows)
+    "o05_multi_emit",
+    "o06_sort_by_key",
+    "o07_group_counts",
+    "o08_centroid_update",
+    "o12_kmeans_two_steps",
+    "o13_sink_format",
+    "o14_sse",
+    "o04_assign_argmin_nd",
+    "o09_centroid_update_nd",
+    # --- 30 least-recently-verified, strict age order (r4 tail, then r5)
     "rel_window_rank_funcs",
     "rel_unpivot",
     "rel_null_semantics",
@@ -132,6 +92,9 @@ _PRIORITY = [
     "udaf_median_by_type",
     "stream_upsert_latest",
     "o14_silhouette",
+    # ------------------- 50-entry cut lands here -------------------
+    # Past-cut, least-recently-verified first.  o14_calinski leads
+    # (VERDICT r8 item 5 guarantee); new r9 queries insert ABOVE it.
     "o14_calinski",
     "rel_hll_sketch_union",
     "rel_bitmap_distinct",
@@ -216,18 +179,8 @@ _PRIORITY = [
     "rel_interval_calendar",
     "rel_dpp_semijoin_filter",
     "stream_dedup_rocksdb_changelog",
-    # --- driver-verified r7 (CORRECTNESS_r07, youngest rows)
-    "o12_kmeans_two_steps",
-    "o13_sink_format",
-    "o14_sse",
-    "o04_assign_argmin_nd",
-    "o09_centroid_update_nd",
     "rel_collation_unicode_ci",
     "stream_tokenizer_encode",
-    "o05_multi_emit",
-    "o06_sort_by_key",
-    "o07_group_counts",
-    "o08_centroid_update",
     "o12_kmeans_five_steps",
     "o14_sse_by_k",
     "o02_seed_farthest",
@@ -267,6 +220,57 @@ _PRIORITY = [
     "sim_lsh_pairs",
     "pipe_corpus_clean",
     "rel_join_chain_q5",
+    # --- driver-verified r8 (CORRECTNESS_r08, youngest rows)
+    "o01_scan_limit",
+    "o02_seed_sample",
+    "o03_distance_expr",
+    "o04_assign_argmin",
+    "dedup_semantic_capped",
+    "udf_cogroup_asof",
+    "rel_stat_freq_items",
+    "rel_stat_crosstab",
+    "rel_stat_sampleby",
+    "rel_asof_tolerance",
+    "udtf_polymorphic_topterms",
+    "udtf_table_arg_sessions",
+    "rel_window_count_distinct",
+    "stream_state_reader",
+    "rel_timezone_convert",
+    "rel_identifier_clause",
+    "rel_nullsafe_join",
+    "dedup_embedding_cosine",
+    "dedup_exact_groups",
+    "dedup_exact_keep",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "rel_ansi_sql_verbatim",
+    "rel_array_funcs",
+    "rel_asof_join",
+    "rel_date_funcs",
+    "rel_filter_agg",
+    "rel_histogram",
+    "rel_join_broadcast",
+    "rel_join_semi_anti",
+    "rel_join_shuffle",
+    "rel_json_funcs",
+    "rel_percentiles",
+    "rel_pivot",
+    "rel_range_join",
+    "rel_rollup",
+    "rel_sessionize_batch",
+    "rel_set_ops",
+    "rel_string_funcs",
+    "rel_subquery_scalar",
+    "rel_window_topk",
+    "stream_stream_join",
+    "dedup_components",
+    "dedup_incremental",
+    "dedup_lsh_verified",
+    "dedup_semantic_clustered",
+    "dedup_survivors",
+    "kmeans_mllib_sizes",
+    "mm_decode_features",
+    "pipe_dataset_card",
 ]
 
 
