@@ -1327,6 +1327,22 @@ def test_bloom_filter_join_injects_might_contain(spark):
     baseline = _bloom_join_plan(spark, SF_DIR)
     assert "might_contain" not in plan_of(baseline)
 
+    # The gate query bounds its driver materialization (r8 verdict):
+    # top-100 via orderBy+limit must plan as TakeOrderedAndProject
+    # (per-partition heaps merged on the driver, never a global sort),
+    # and the bloom must still be injected underneath the top-k.
+    with bloom_confs_pinned(spark):
+        bounded = plan_of(
+            _bloom_join_plan(spark, SF_DIR)
+            .orderBy(F.desc("sum_qty"), F.asc("l_orderkey"))
+            .limit(100)
+        )
+    assert "TakeOrderedAndProject" in bounded, bounded
+    assert "might_contain" in bounded, bounded
+    # no GLOBAL sort: a plain orderBy would plan a range-partitioning
+    # exchange; the SMJ's own within-partition Sorts are fine.
+    assert "rangepartitioning" not in bounded, bounded
+
 
 def test_observe_metrics_is_a_side_channel_not_a_second_pass(spark):
     """rel_observe_metrics must compute its accounting inside the same
