@@ -149,30 +149,39 @@ def main() -> None:
     # and a cold flag for repetition 1 (codegen/JIT/file-cache warmup --
     # never comparable round-over-round).
     load_start = os.getloadavg()[0]
-    timings: dict[str, float] = {}
-    samples_by_key: dict[str, list[float]] = {}
+    # Raw (unrounded) samples drive the min/median math; rounding
+    # happens only at JSON emission.  The first REPETITION's samples
+    # (all `samples` draws of it, not just the first draw) are the
+    # cold set -- codegen/JIT/file-cache warmup, never comparable
+    # round-over-round.
+    raw_by_key: dict[str, list[float]] = {}
+    cold_n: dict[str, int] = {}
     for _rep in range(REPS):
         for name, fn, samples in entries:
+            cold_n[name] = samples
             for _ in range(samples):
                 t0 = time.perf_counter()
                 fn()
-                dt = time.perf_counter() - t0
-                samples_by_key.setdefault(name, []).append(round(dt, 3))
-                timings[name] = round(min(timings.get(name, dt), dt), 3)
+                raw_by_key.setdefault(name, []).append(
+                    time.perf_counter() - t0
+                )
     load_end = os.getloadavg()[0]
 
     from statistics import median
 
-    total = round(sum(timings.values()), 3)
-    # noise_ratio: median warm sample / min sample, averaged over keys.
-    # ~1.0 = quiet host; >1.2 = the minima are rescuing real contention.
-    # Sub-millisecond keys (rounded min 0.0) are excluded rather than
-    # dividing by zero; if every key were that fast the ratio is moot.
-    warm = {k: v[1:] if len(v) > 1 else v for k, v in samples_by_key.items()}
+    timings = {k: round(min(v), 3) for k, v in raw_by_key.items()}
+    total = round(sum(min(v) for v in raw_by_key.values()), 3)
+    # noise_ratio: median warm sample / min sample, averaged over keys,
+    # both UNROUNDED (an advice finding: a 3-decimal denominator
+    # overstates the ratio for fast keys).  ~1.0 = quiet host; >1.2 =
+    # the minima are rescuing real contention.  Sub-millisecond keys
+    # are excluded rather than amplifying scheduler jitter; if every
+    # key were that fast the ratio is moot.
+    warm = {k: v[cold_n[k]:] or v for k, v in raw_by_key.items()}
     ratios = [
         median(w) / m
         for k, w in warm.items()
-        if (m := min(min(w), timings[k])) > 0
+        if (m := min(raw_by_key[k])) > 1e-3
     ]
     noise = round(sum(ratios) / len(ratios), 3) if ratios else 1.0
     print(
@@ -189,8 +198,11 @@ def main() -> None:
                 "load_avg_end": round(load_end, 2),
                 "noise_ratio": noise,
                 "samples": {
-                    k: {"cold": v[0], "warm": v[1:]}
-                    for k, v in samples_by_key.items()
+                    k: {
+                        "cold": [round(x, 3) for x in v[: cold_n[k]]],
+                        "warm": [round(x, 3) for x in v[cold_n[k]:]],
+                    }
+                    for k, v in raw_by_key.items()
                 },
             }
         )

@@ -630,7 +630,7 @@ def kmeans_mllib_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "kmeans_bisecting_sizes",
     oracle="""
-    SELECT CAST(8 AS BIGINT) AS n_clusters,
+    SELECT TRUE AS k_in_range,
            TRUE AS all_positive,
            (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS total_n,
            TRUE AS cost_below_global_sse
@@ -640,32 +640,28 @@ def kmeans_mllib_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "family the SemDeDup recursive pass hand-rolls one level of) over "
     "the embeddings table, seeded.  Engine-internal splitting order "
     "makes raw sizes non-oracle-expressible, so the gate checks the "
-    "kmeans_mllib_sizes CLAIM set -- exactly k non-empty clusters "
-    "partitioning all N rows -- plus a quality floor: the model's "
-    "training cost (sum of squared distances to assigned centers) "
-    "must beat the 1-cluster solution (exact SSE around the global "
-    "mean, computed from the data Spark-side), i.e. splitting must "
-    "actually help.  One row out; any fixture regeneration that "
-    "breaks a claim surfaces as a readable value diff.",
+    "kmeans_mllib_sizes CLAIM set -- adapted to bisecting semantics: "
+    "BisectingKMeans treats k as a MAXIMUM (an unsplittable leaf "
+    "yields fewer clusters, r8 advice), so the claim is 1 < "
+    "n_clusters <= 8 (splitting happened, never over-split), all "
+    "non-empty, partitioning all N rows -- plus a quality floor: the "
+    "model's training cost (sum of squared distances to assigned "
+    "centers) must beat the 1-cluster solution (exact SSE around the "
+    "global mean, computed from the data Spark-side), i.e. splitting "
+    "must actually help.  One row out; a claim break surfaces as a "
+    "readable boolean diff.  An EMPTY embeddings table raises the "
+    "documented readable error (the sim_pq_adc model-fit precedent) "
+    "instead of a TypeError from None moment sums.",
 )
 def kmeans_bisecting_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import BisectingKMeans
     from pyspark.ml.functions import array_to_vector
 
     e = load_table(spark, sf_dir, "embeddings")
-    feats = e.select(
-        "vec_id",
-        array_to_vector(F.col("embedding").cast("array<double>")).alias(
-            "features"
-        ),
-    )
-    model = BisectingKMeans(k=8, maxIter=2, seed=42).fit(feats)
-    cost = model.summary.trainingCost
-    pred = model.transform(feats).select(
-        F.col("prediction").alias("cluster_id")
-    )
     # Exact 1-cluster SSE via expanded moments: sum(|x|^2) - |sum x|^2/n
-    # per dimension, all from the data -- no model involved.
+    # per dimension, all from the data -- no model involved.  Computed
+    # BEFORE the fit so an empty table fails the readable guard below
+    # rather than inside MLlib.
     dim = 64
     proj = e.selectExpr(
         *[
@@ -679,12 +675,32 @@ def kmeans_bisecting_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.sum(F.col(f"_f{i}") * F.col(f"_f{i}")).alias(f"q{i}") for i in range(dim)],
     ).first()
     n = agg["n"]
+    if not n:
+        raise RuntimeError(
+            "kmeans_bisecting_sizes: embeddings table at "
+            f"{sf_dir!r} is empty -- a divisive clustering fit and the "
+            "1-cluster SSE are both undefined on zero rows"
+        )
     global_sse = sum(
         agg[f"q{i}"] - (agg[f"s{i}"] ** 2) / n for i in range(dim)
     )
+    feats = e.select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias(
+            "features"
+        ),
+    )
+    model = BisectingKMeans(k=8, maxIter=2, seed=42).fit(feats)
+    cost = model.summary.trainingCost
+    pred = model.transform(feats).select(
+        F.col("prediction").alias("cluster_id")
+    )
     sizes = pred.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"))
     return sizes.agg(
-        F.count(F.lit(1)).alias("n_clusters"),
+        # k is a MAX for bisecting: claim (1, 8] rather than pinning 8
+        ((F.count(F.lit(1)) > 1) & (F.count(F.lit(1)) <= 8)).alias(
+            "k_in_range"
+        ),
         (F.min("n") > 0).alias("all_positive"),
         F.sum("n").alias("total_n"),
         F.lit(bool(cost <= global_sse)).alias("cost_below_global_sse"),
@@ -3045,10 +3061,66 @@ _SEMANTIC_RESIDUAL_CTE = """residual AS (
     )"""
 
 
+# Rounds for the survivors oracle's UNROLLED min-label closure.  Each
+# round applies lab := least(lab, min-over-neighbors(lab), lab[lab])
+# -- the same operator as operators.dedup.connected_components
+# (neighbor-min propagation + pointer jumping), so the reach DOUBLES
+# per round.  Measured fixpoint: 3 rounds at sf0.001/0.01, 10 at
+# sf0.1 (the cosine graph carries ~500-long chains); 16 covers
+# diameter ~2^15 with margin, and the error() guard below turns an
+# insufficient bound into a LOUD failure instead of silently wrong
+# labels.  Cost is linear in rounds (one edge join + one label
+# self-join each), which is the whole point: the old recursive-CTE
+# closure materialized full reachability (sum |C|^2) and blew up at
+# 100x duplication while the engine finished in minutes (r8 verdict
+# item 3) -- this keeps the oracle in the query's complexity class,
+# the rel_asof_join / dedup_lsh_verified lesson applied to CC.
+_SURVIVOR_CLOSURE_ROUNDS = 16
+
+
+def _minlabel_closure_sql(rounds: int) -> str:
+    """The unrolled min-label closure CTE chain: lab0..lab{rounds},
+    final ``labels``, and a ``notconv`` guard relation that is
+    non-empty iff some edge still crosses two labels (the fixpoint
+    test: at fixpoint labels are constant per component, and the
+    min-id member keeps its own id, so constant-per-component =
+    component min).  Every lab level is MATERIALIZED: each is read
+    three times by the next round, and an inlined CTE would recompute
+    its whole ancestry per reference."""
+    parts = ["lab0 AS MATERIALIZED (SELECT node, node AS comp FROM nodes)"]
+    for i in range(rounds):
+        p = f"lab{i}"
+        parts.append(
+            f"""lab{i + 1} AS MATERIALIZED (
+        SELECT p.node,
+               least(p.comp, coalesce(n.comp, p.comp),
+                     coalesce(j.comp, p.comp)) AS comp
+        FROM {p} p
+        LEFT JOIN (SELECT e.a AS node, min(x.comp) AS comp
+                   FROM edges e JOIN {p} x ON x.node = e.b
+                   GROUP BY e.a) n ON n.node = p.node
+        LEFT JOIN (SELECT y.node, z.comp FROM {p} y
+                   JOIN {p} z ON z.node = y.comp) j ON j.node = p.node
+    )"""
+        )
+    parts.append(
+        f"labels AS MATERIALIZED (SELECT node, comp FROM lab{rounds})"
+    )
+    parts.append(
+        """notconv AS (
+        SELECT 1 AS one FROM edges e
+        JOIN labels la ON la.node = e.a
+        JOIN labels lb ON lb.node = e.b
+        WHERE la.comp <> lb.comp LIMIT 1
+    )"""
+    )
+    return ",\n    ".join(parts)
+
+
 @query(
     "dedup_semantic_survivors",
     oracle=f"""
-    WITH RECURSIVE {_SEMANTIC_SUB_CTES},
+    WITH {_SEMANTIC_SUB_CTES},
     {_SEMANTIC_PAIR_CTES},
     {_SEMANTIC_RESIDUAL_CTE},
     keepers AS (
@@ -3061,25 +3133,24 @@ _SEMANTIC_RESIDUAL_CTE = """residual AS (
         JOIN keepers k ON k.blk = r.blk AND k.emb = r.emb
         WHERE r.vec_id <> k.keeper
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT vec_a AS a, vec_b AS b FROM sem_pairs
         UNION ALL SELECT vec_b, vec_a FROM sem_pairs
         UNION ALL SELECT va, vb FROM clone_edges
         UNION ALL SELECT vb, va FROM clone_edges
     ),
     nodes AS (SELECT DISTINCT a AS node FROM edges),
-    reach AS (
-        SELECT node, node AS comp FROM nodes
-        UNION
-        SELECT e.b AS node, r.comp FROM reach r JOIN edges e ON e.a = r.node
-    ),
-    labels AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node)
+    {_minlabel_closure_sql(_SURVIVOR_CLOSURE_ROUNDS)}
     SELECT CAST(emb.vec_id AS BIGINT) AS vec_id
     FROM embeddings emb
     WHERE NOT EXISTS (
         SELECT 1 FROM labels l
         WHERE l.node = emb.vec_id AND l.comp <> emb.vec_id
     )
+    UNION ALL
+    SELECT CAST(error('dedup_semantic_survivors oracle: min-label '
+        'closure not converged within {_SURVIVOR_CLOSURE_ROUNDS} '
+        'unrolled rounds') AS BIGINT) FROM notconv
     """,
     doc="The semantic chain's DELETE step -- what a user actually wants "
     "from SemDeDup: the cleaned corpus.  Edges = the recursive pass's "

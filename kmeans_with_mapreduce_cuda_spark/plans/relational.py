@@ -4581,7 +4581,7 @@ _CMS_UIDS = (1, 2, 3, 5, 8, 13, 21, 34)
     "rel_stat_count_min",
     oracle=f"""
     SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n,
-           TRUE AS never_undercounts, TRUE AS within_eps_bound
+           TRUE AS never_undercounts, TRUE AS within_3eps_bound
     FROM events WHERE user_id IN {_CMS_UIDS}
     GROUP BY user_id
     """,
@@ -4596,8 +4596,14 @@ _CMS_UIDS = (1, 2, 3, 5, 8, 13, 21, 34)
     "the CLAIM pattern (rel_approx_distinct precedent -- DuckDB "
     "cannot rebuild Spark's sketch): per pinned user, the estimate "
     "never undercounts (structural CMS guarantee) and lands within "
-    "eps*N of the exact count (verified to hold for this seed at "
-    "every probe scale).  Type discipline: Spark's sketch widens ALL "
+    "3*eps*N of the exact count.  The 3x slack makes the claim "
+    "CONFIDENCE-AWARE (r8 advice) instead of 'verified for this "
+    "seed': the 1x bound only holds with probability 0.99 per key, "
+    "so a fixture regeneration could legitimately flake it, while "
+    "per sketch row E[overcount] <= eps*N/2 (width 2/eps), so by "
+    "Markov P(row overcount >= 3*eps*N) <= 1/6 and the depth-7 "
+    "row-minimum misses with probability <= (1/6)^7 ~ 4e-6 per key "
+    "-- a failure is a regression, not a flake.  Type discipline: Spark's sketch widens ALL "
     "integral types to long before hashing (int and long probes of "
     "the same sketch agree -- verified empirically), so the only real "
     "type sensitivity is numeric vs string/binary items; probing with "
@@ -4629,7 +4635,8 @@ def rel_stat_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
             jvm.java.io.ByteArrayInputStream(bytes(raw))
         )
-        eps_bound = 0.001 * n_total
+        # confidence-aware bound: 3x the nominal eps*N (see doc)
+        eps_bound = 3 * 0.001 * n_total
         for uid, n in sorted(exact.items()):
             est = cms.estimateCount(int(uid))  # Python int -> Integer
             rows.append(
@@ -4638,7 +4645,7 @@ def rel_stat_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows,
         "user_id bigint, exact_n bigint, never_undercounts boolean, "
-        "within_eps_bound boolean",
+        "within_3eps_bound boolean",
     )
 
 

@@ -161,6 +161,15 @@ def test_pq_codebooks_empty_input_raises_readably(spark):
         pq_codebooks(empty)
 
 
+def test_bisecting_sizes_empty_input_raises_readably(spark, empty_sf_dir):
+    """kmeans_bisecting_sizes is a model-fit query: on zero rows the
+    contract is a READABLE RuntimeError naming the table (the
+    pq_codebooks precedent), never a TypeError from None moment sums
+    or an opaque MLlib failure (r8 advice)."""
+    with pytest.raises(RuntimeError, match="embeddings table .* is empty"):
+        REGISTRY["kmeans_bisecting_sizes"].fn(spark, empty_sf_dir)
+
+
 def test_observe_metrics_empty_input_is_one_null_row(spark, empty_sf_dir):
     """rel_observe_metrics is a GLOBAL aggregate: on a zero-row table
     the contract is exactly one row -- count 0, sums/max NULL (ANSI
