@@ -40,6 +40,31 @@ def brute_force_topk(
     )
 
 
+def brute_force_range(
+    candidates: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    features: str = "emb",
+    q_features: str = "q_emb",
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+) -> DataFrame:
+    """Exact cosine RANGE search (radius query, FAISS range_search): every
+    candidate with cos >= threshold per query, unranked.  Same broadcast
+    + JVM-dot shape as brute_force_topk but WINDOW-FREE: a radius query
+    needs no per-query ordering, so the plan is a single narrow
+    filter-projection pass over the corpus -- at 100 TB the scan
+    parallelizes embarrassingly with zero shuffle (top-k at least heaps
+    per partition; range search doesn't even do that)."""
+    sim = cosine_similarity(q_features, features)
+    return (
+        candidates.crossJoin(F.broadcast(queries))
+        .where(F.col(q_id_col) != F.col(id_col))
+        .withColumn("_sim", sim)
+        .where(F.col("_sim") >= threshold)
+    )
+
+
 def hyperplanes_pm1(
     dim: int = 64, n_planes: int = 8, seed: int = 42
 ) -> list[list[int]]:

@@ -93,8 +93,13 @@ _PRIORITY = [
     "stream_upsert_latest",
     "o14_silhouette",
     # ------------------- 50-entry cut lands here -------------------
-    # Past-cut, least-recently-verified first.  o14_calinski leads
-    # (VERDICT r8 item 5 guarantee); new r9 queries insert ABOVE it.
+    # Past-cut, least-recently-verified first.  New r9 queries (no
+    # driver row yet) lead, then o14_calinski (VERDICT r8 item 5
+    # guarantee) -- all five head the r10 rotation.
+    "rel_hof_lambda",
+    "sim_range_search",
+    "sim_ivf_recall_eval",
+    "stream_compaction_ingest",
     "o14_calinski",
     "rel_hll_sketch_union",
     "rel_bitmap_distinct",

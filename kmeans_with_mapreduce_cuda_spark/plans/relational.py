@@ -4859,3 +4859,59 @@ def rel_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_ORDER_ALL_SQL)
+
+
+# --- Higher-order lambda functions over arrays --------------------------------
+
+@query(
+    "rel_hof_lambda",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0))
+               AS INTEGER) AS n_pos,
+           round(list_sum(list_filter(embedding::DOUBLE[], x -> x > 0)), 4)
+               AS pos_sum,
+           len(list_filter(embedding::DOUBLE[], x -> abs(x) > 0.3)) > 0
+               AS any_big,
+           len(list_filter(embedding::DOUBLE[], x -> NOT (abs(x) < 0.4))) = 0
+               AS all_small,
+           round(list_dot_product(embedding::DOUBLE[],
+                                  list_reverse(embedding::DOUBLE[])), 4)
+               AS dot_rev
+    FROM embeddings WHERE vec_id < 200
+    """,
+    doc="Higher-order LAMBDA functions over the array<float> embedding "
+    "column -- the full Spark HOF surface rel_array_funcs only "
+    "samples: filter (predicate projection), aggregate (left fold), "
+    "exists / forall (quantifiers), zip_with + reverse (pairwise "
+    "combine), all JVM-side whole-stage-codegen expressions -- ZERO "
+    "Python UDFs for per-element array logic, the #1 hot-path rule "
+    "at 100 TB where a row-at-a-time UDF on a 64-dim column pays "
+    "64x the serialization.  DuckDB twins: list_filter / list_sum / "
+    "quantifiers via list_filter length / list_dot_product on "
+    "list_reverse.  Float sums (pos_sum, dot_rev) are multi-term and "
+    "engine summation order differs, so they round to 4 (the "
+    "rel_array_funcs vec_sum precedent); counts and quantifier "
+    "booleans are exact.  Key-bounded slice: O(1) rows at gate "
+    "scales; thresholds 0.3/0.4 split the unit-norm fixture so both "
+    "boolean columns carry both values.",
+)
+def rel_hof_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    emb = "CAST(embedding AS ARRAY<DOUBLE>)"
+    return e.select(
+        "vec_id",
+        F.expr(f"CAST(size(filter({emb}, x -> x > 0D)) AS INT)").alias(
+            "n_pos"
+        ),
+        F.expr(
+            f"round(aggregate(filter({emb}, x -> x > 0D), 0D,"
+            " (s, v) -> s + v), 4)"
+        ).alias("pos_sum"),
+        F.expr(f"exists({emb}, x -> abs(x) > 0.3D)").alias("any_big"),
+        F.expr(f"forall({emb}, x -> abs(x) < 0.4D)").alias("all_small"),
+        F.expr(
+            f"round(aggregate(zip_with({emb}, reverse({emb}),"
+            " (a, b) -> a * b), 0D, (s, v) -> s + v), 4)"
+        ).alias("dot_rev"),
+    )

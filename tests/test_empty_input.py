@@ -92,6 +92,13 @@ QUERIES = [
     "rel_null_ordering",
     "rel_asof_nearest",
     "rel_order_by_all",
+    # r9 additions (kmeans_bisecting_sizes is NOT here: a model-fit
+    # query raises the documented readable error -- see
+    # test_bisecting_sizes_empty_input_raises_readably)
+    "rel_hof_lambda",
+    "sim_range_search",
+    "sim_ivf_recall_eval",
+    "stream_compaction_ingest",
 ]
 
 

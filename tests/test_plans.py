@@ -1496,3 +1496,30 @@ def test_order_by_all_is_a_merge_heap_not_a_global_sort(spark):
     merged on the driver), never a full Sort + Exchange."""
     plan = plan_of(REGISTRY["rel_order_by_all"].fn(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_range_search_is_window_free_single_pass(spark):
+    """sim_range_search's doc claims the plan shape: a radius query is
+    one broadcast-join + filter pass over the corpus -- NO Window (the
+    top-k differentiator), NO shuffle exchange (only the broadcast of
+    the 3-row query side), so the scan parallelizes with zero
+    coordination at any corpus size."""
+    plan = plan_of(REGISTRY["sim_range_search"].fn(spark, SF_DIR))
+    assert "Window" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_ivf_recall_eval_consistent_with_ann_claim(spark):
+    """sim_ivf_recall_eval's exact recall must be consistent with the
+    claim-checked family: every query answered (3 rows), n_hits in
+    [0, 5], recall == n_hits/5 exactly, and the fixed-cell nprobe=2
+    route recovers at least one exact neighbor per query on the
+    fixture (the pruning actually works)."""
+    rows = REGISTRY["sim_ivf_recall_eval"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert 0 <= r["n_hits"] <= 5
+        assert r["recall"] == r["n_hits"] / 5
+        assert r["n_hits"] >= 1, rows
