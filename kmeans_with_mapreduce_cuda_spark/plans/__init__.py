@@ -100,6 +100,9 @@ _PRIORITY = [
     "sim_range_search",
     "sim_ivf_recall_eval",
     "stream_compaction_ingest",
+    "rel_limit_offset",
+    "rel_regr_linear",
+    "pipe_user_erasure",
     "o14_calinski",
     "rel_hll_sketch_union",
     "rel_bitmap_distinct",

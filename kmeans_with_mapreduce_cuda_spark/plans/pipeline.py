@@ -7395,3 +7395,130 @@ def stream_compaction_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --- Targeted user erasure via dynamic partition overwrite ---------------------
+
+@query(
+    "pipe_user_erasure",
+    oracle="""
+    SELECT epoch_us(ts) // 86400000000 AS epoch_day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           TRUE AS untouched_partitions_intact
+    FROM events WHERE user_id <> 7
+    GROUP BY 1
+    """,
+    doc="Targeted deletion (GDPR user erasure) as a PARTITION-PRUNED "
+    "rewrite: events land in a hive table partitioned by tz-free "
+    "epoch_day (unix_micros div 86400e6 -- no session-timezone "
+    "dependence, unlike to_date(ts)), then user 7's rows are erased "
+    "by dynamically overwriting ONLY the partitions that user "
+    "appears in (sources.writers.overwrite_partitions_dynamic; the "
+    "affected-day list is a <=30-row collect).  At 100 TB this is "
+    "the difference between rewriting ~27 day-directories and "
+    "rewriting the corpus -- the default STATIC overwrite mode would "
+    "drop the whole table.  The gate checks both halves: the "
+    "post-erasure per-day counts must hash-equal the batch oracle "
+    "(nothing else was lost or duplicated), and the claim column "
+    "pins that every UNTOUCHED partition's files are byte-identical "
+    "(name+size+mtime_ns signature taken before and after) -- i.e. "
+    "the rewrite really was pruned, not a full-table pass.  The "
+    "replacement rows derive from the SOURCE, not from the table "
+    "being overwritten (Spark forbids overwriting a path being read).",
+)
+def pipe_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.writers import overwrite_partitions_dynamic
+
+    root = tempfile.mkdtemp(prefix="_gate_erasure_")
+    tbl = f"{root}/events_by_day"
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.expr("unix_micros(ts) div 86400000000").alias("epoch_day"),
+        )
+        ev.write.partitionBy("epoch_day").parquet(tbl)
+
+        def partition_sigs() -> dict[str, tuple]:
+            return {
+                d: tuple(
+                    sorted(
+                        (f, os.path.getsize(os.path.join(d, f)),
+                         os.stat(os.path.join(d, f)).st_mtime_ns)
+                        for f in os.listdir(d)
+                        if f.endswith(".parquet")
+                    )
+                )
+                for d in glob.glob(f"{tbl}/epoch_day=*")
+            }
+
+        before = partition_sigs()
+        if not before:
+            # empty events: the partitioned write produced no
+            # partitions and Spark cannot infer a schema from an
+            # empty hive table -- typed empty short-circuit
+            from pyspark.sql.types import (
+                BooleanType,
+                LongType,
+                StructField,
+                StructType,
+            )
+
+            return spark.createDataFrame(
+                [],
+                StructType(
+                    [
+                        StructField("epoch_day", LongType(), True),
+                        StructField("n", LongType(), False),
+                        StructField("n_users", LongType(), False),
+                        StructField(
+                            "untouched_partitions_intact",
+                            BooleanType(),
+                            False,
+                        ),
+                    ]
+                ),
+            )
+        # <=30 distinct days: a k-row collect (the _eager contract)
+        affected = [
+            r["epoch_day"]
+            for r in ev.where(F.col("user_id") == 7)
+            .select("epoch_day")
+            .distinct()
+            .collect()
+        ]
+        if affected:
+            replacement = ev.where(
+                F.col("epoch_day").isin(affected)
+                & (F.col("user_id") != 7)
+            )
+            overwrite_partitions_dynamic(replacement, tbl, ["epoch_day"])
+        after = partition_sigs()
+        touched = {f"{tbl}/epoch_day={d}" for d in affected}
+        intact = all(
+            after.get(d) == sig
+            for d, sig in before.items()
+            if d not in touched
+        )
+        out = (
+            spark.read.parquet(tbl)
+            .groupBy(F.col("epoch_day").cast("bigint").alias("epoch_day"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("user_id").alias("n_users"),
+            )
+            .withColumn(
+                "untouched_partitions_intact", F.lit(bool(intact))
+            )
+        )
+        # materialize BEFORE the finally removes the table
+        return _eager(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -4915,3 +4915,77 @@ def rel_hof_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (a, b) -> a * b), 0D, (s, v) -> s + v), 4)"
         ).alias("dot_rev"),
     )
+
+
+# --- LIMIT ... OFFSET pagination ----------------------------------------------
+
+_LIMIT_OFFSET_SQL = """
+    SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty
+    FROM lineitem WHERE l_orderkey < 2000
+    ORDER BY l_orderkey, l_linenumber, qty
+    LIMIT 15 OFFSET 10
+"""
+
+
+@query(
+    "rel_limit_offset",
+    oracle=_LIMIT_OFFSET_SQL,
+    doc="LIMIT ... OFFSET pagination -- the API-results surface: skip "
+    "the first 10 rows of a deterministic order, return the next 15.  "
+    "ONE verbatim SQL string on both engines.  The ORDER BY lists "
+    "EVERY output column: (l_orderkey, l_linenumber) alone is not "
+    "unique in the fixture, and a page boundary through a tie group "
+    "is engine-dependent (verified: the two engines return different "
+    "15-row pages under the 2-column order) -- ordering by the full "
+    "output tuple makes ties interchangeable, so the page is a "
+    "deterministic MULTISET even when the boundary splits equal "
+    "rows.  Plan shape: Spark folds offset+limit into ONE "
+    "TakeOrderedAndProject (heap of offset+limit=25 per partition, "
+    "driver drops 10) -- no global sort, no second pass "
+    "(plan-asserted); at 100 TB deep pagination still costs only "
+    "(offset+limit) memory per partition, which is also the honest "
+    "warning against page-1000000 access patterns.",
+)
+def rel_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LIMIT_OFFSET_SQL)
+
+
+# --- Linear-regression aggregates ---------------------------------------------
+
+_REGR_SQL = """
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 6) AS icept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           round(regr_avgx(l_extendedprice, l_quantity), 6) AS avgx,
+           round(regr_avgy(l_extendedprice, l_quantity), 6) AS avgy
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query(
+    "rel_regr_linear",
+    oracle=_REGR_SQL,
+    doc="ANSI linear-regression aggregates (regr_slope / regr_intercept "
+    "/ regr_r2 / regr_count / regr_avgx / regr_avgy) -- ordinary "
+    "least squares of price on quantity per returnflag in ONE "
+    "aggregation pass, completing the bivariate-stats surface "
+    "rel_stats_agg's corr() opened.  ONE verbatim SQL string on both "
+    "engines.  These compile to moment sums (n, sum x, sum y, sum "
+    "x^2, sum xy) with map-side partial aggregation -- the 100 TB "
+    "trend-fit costs one scan and a k-row shuffle, the same shape as "
+    "the K-Means centroid update (O8/O9).  Slopes/intercepts/r2 are "
+    "RATIOS of large float moment sums (genuinely engine-order "
+    "sensitive), so all round to 6; regr_count is exact.  Use case "
+    "in-pipeline: fitting the Zipf/Heaps curve of a corpus or a "
+    "length-vs-quality trend without leaving SQL.",
+)
+def rel_regr_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_REGR_SQL)

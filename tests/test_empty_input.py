@@ -99,6 +99,9 @@ QUERIES = [
     "sim_range_search",
     "sim_ivf_recall_eval",
     "stream_compaction_ingest",
+    "rel_limit_offset",
+    "rel_regr_linear",
+    "pipe_user_erasure",
 ]
 
 

@@ -1523,3 +1523,17 @@ def test_ivf_recall_eval_consistent_with_ann_claim(spark):
         assert 0 <= r["n_hits"] <= 5
         assert r["recall"] == r["n_hits"] / 5
         assert r["n_hits"] >= 1, rows
+
+
+def test_limit_offset_folds_into_one_take_ordered(spark):
+    """rel_limit_offset's doc claims the plan shape: ORDER BY + LIMIT 15
+    OFFSET 10 must fold into ONE TakeOrderedAndProject carrying
+    limit+offset=25 and the offset -- per-partition bounded heaps, no
+    range-partitioned global sort, no second pass."""
+    plan = plan_of(REGISTRY["rel_limit_offset"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    import re
+
+    args = re.search(r"TakeOrderedAndProject[\s\S]*?Arguments: (\d+),.*?, (\d+)\n", plan)
+    assert args and args.group(1) == "25" and args.group(2) == "10", plan
