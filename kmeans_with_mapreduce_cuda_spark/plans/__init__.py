@@ -95,7 +95,7 @@ _PRIORITY = [
     # ------------------- 50-entry cut lands here -------------------
     # Past-cut, least-recently-verified first.  New r9 queries (no
     # driver row yet) lead, then o14_calinski (VERDICT r8 item 5
-    # guarantee) -- all five head the r10 rotation.
+    # guarantee) -- these nine head the r10 rotation.
     "rel_hof_lambda",
     "sim_range_search",
     "sim_ivf_recall_eval",
@@ -103,6 +103,7 @@ _PRIORITY = [
     "rel_limit_offset",
     "rel_regr_linear",
     "pipe_user_erasure",
+    "rel_join_hints",
     "o14_calinski",
     "rel_hll_sketch_union",
     "rel_bitmap_distinct",

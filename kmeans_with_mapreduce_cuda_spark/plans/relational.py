@@ -4989,3 +4989,40 @@ def rel_regr_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_REGR_SQL)
+
+
+# --- Join strategy hints --------------------------------------------------------
+
+_JOIN_HINT_BODY = """
+    SELECT {hint}n.n_name, CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS sum_acctbal_cents
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+"""
+
+
+@query(
+    "rel_join_hints",
+    oracle=_JOIN_HINT_BODY.format(hint=""),
+    doc="SQL join-strategy HINTS -- the /*+ SHUFFLE_HASH(n) */ surface: "
+    "the user overrides the planner's strategy choice per relation "
+    "without touching confs or code.  The gate runs the "
+    "shuffled-hash variant (broadcast and sort-merge shapes are "
+    "already pinned by rel_join_broadcast / rel_join_shuffle; "
+    "ShuffledHashJoin is the strategy NO other gate query exercises "
+    "-- it beats sort-merge when one side is small-per-key but too "
+    "big to broadcast, because it skips both sorts).  Hints are "
+    "semantically transparent, so the oracle is the SAME SQL with "
+    "the hint comment stripped; tests/test_plans.py asserts all "
+    "three hints (BROADCAST / MERGE / SHUFFLE_HASH) produce their "
+    "named physical operators AND identical results.  Money stays "
+    "integer cents.",
+)
+def rel_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _JOIN_HINT_BODY.format(hint="/*+ SHUFFLE_HASH(n) */ ")
+    )

@@ -102,6 +102,7 @@ QUERIES = [
     "rel_limit_offset",
     "rel_regr_linear",
     "pipe_user_erasure",
+    "rel_join_hints",
 ]
 
 

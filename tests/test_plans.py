@@ -1537,3 +1537,28 @@ def test_limit_offset_folds_into_one_take_ordered(spark):
 
     args = re.search(r"TakeOrderedAndProject[\s\S]*?Arguments: (\d+),.*?, (\d+)\n", plan)
     assert args and args.group(1) == "25" and args.group(2) == "10", plan
+
+
+def test_join_hints_steer_strategy_without_changing_results(spark):
+    """rel_join_hints' contract: each join-strategy hint yields its
+    named physical operator, and all strategies return identical rows
+    (hints steer the planner, never the semantics)."""
+    from kmeans_with_mapreduce_cuda_spark.plans.relational import (
+        _JOIN_HINT_BODY,
+    )
+    from kmeans_with_mapreduce_cuda_spark.sources.readers import (
+        register_views,
+    )
+
+    register_views(spark, SF_DIR)
+    results = {}
+    for hint, expect in [
+        ("/*+ BROADCAST(n) */ ", "BroadcastHashJoin"),
+        ("/*+ MERGE(n) */ ", "SortMergeJoin"),
+        ("/*+ SHUFFLE_HASH(n) */ ", "ShuffledHashJoin"),
+    ]:
+        df = spark.sql(_JOIN_HINT_BODY.format(hint=hint))
+        assert expect in plan_of(df), (hint, plan_of(df))
+        results[hint] = sorted(tuple(r) for r in df.collect())
+    vals = list(results.values())
+    assert vals[0] == vals[1] == vals[2]
