@@ -104,6 +104,7 @@ _PRIORITY = [
     "rel_regr_linear",
     "pipe_user_erasure",
     "rel_join_hints",
+    "rel_set_ops_all",
     "o14_calinski",
     "rel_hll_sketch_union",
     "rel_bitmap_distinct",

@@ -5026,3 +5026,43 @@ def rel_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _JOIN_HINT_BODY.format(hint="/*+ SHUFFLE_HASH(n) */ ")
     )
+
+
+# --- Bag-semantics set operations ------------------------------------------------
+
+_SET_OPS_ALL_SQL = """
+    WITH a AS (SELECT CAST(l_quantity AS BIGINT) AS q
+               FROM lineitem WHERE l_orderkey < 600),
+         b AS (SELECT CAST(l_quantity AS BIGINT) AS q
+               FROM lineitem WHERE l_orderkey >= 300 AND l_orderkey < 900)
+    SELECT 'except_all' AS op, q, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT q FROM a EXCEPT ALL SELECT q FROM b) GROUP BY q
+    UNION ALL
+    SELECT 'intersect_all' AS op, q, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT q FROM a INTERSECT ALL SELECT q FROM b) GROUP BY q
+"""
+
+
+@query(
+    "rel_set_ops_all",
+    oracle=_SET_OPS_ALL_SQL,
+    doc="BAG-semantics set operations -- EXCEPT ALL / INTERSECT ALL, "
+    "the multiplicity-preserving corner rel_set_ops' DISTINCT "
+    "variants don't pin: per value, EXCEPT ALL keeps max(m_a - m_b, "
+    "0) copies and INTERSECT ALL keeps min(m_a, m_b), where the "
+    "DISTINCT forms collapse to 0/1 -- the difference between 'which "
+    "quantities appear only here' and 'HOW MANY rows survive a "
+    "subtraction', which is what dataset-diff accounting actually "
+    "needs.  ONE verbatim SQL string on both engines; the "
+    "overlapping l_orderkey slices guarantee every multiplicity "
+    "class (a-only, b-heavier, equal) is populated.  Output is "
+    "re-aggregated to (op, value, count) so the check hashes exact "
+    "multiplicities, bounded by the ~50 distinct quantity values at "
+    "any scale.  Spark compiles EXCEPT ALL to a sum-of-signed-counts "
+    "aggregate + generate (one shuffle), not a join per duplicate.",
+)
+def rel_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SET_OPS_ALL_SQL)

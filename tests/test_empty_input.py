@@ -103,6 +103,7 @@ QUERIES = [
     "rel_regr_linear",
     "pipe_user_erasure",
     "rel_join_hints",
+    "rel_set_ops_all",
 ]
 
 
