@@ -2801,7 +2801,72 @@ def dedup_semantic_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _eager(spark, both, deps=[assigned])
 
 
+# One-entry memo for the stage-1+2 SemDeDup build (r8 ADVICE item 5):
+# the gate runs dedup_semantic_recursive, dedup_semantic_residual_exact
+# and dedup_semantic_survivors back to back at the head of the r9
+# prefix, and each re-ran the full build (top-level assignment, seed
+# collect, sub-assignment) -- the most expensive shared work in the
+# sweep, tripled.  The memo is keyed on (Spark application, resolved
+# sf_dir, embeddings file signature, sub_k) so a different session,
+# fixture directory, regenerated file, or parameter always rebuilds;
+# on a key change the evicted entry's persisted deps are released
+# (they are plain persist()s, so unpersist is always safe).  Callers
+# receive deps=[] -- the CACHE owns the persisted intermediates, so a
+# caller's _eager(deps=...) release loop is a no-op and the build
+# survives for the next query in the same gate run.
+_SEMANTIC_BUILD_MEMO: dict = {}
+
+
+def _embeddings_signature(sf_dir: str) -> tuple:
+    """(path, size, mtime_ns) signature of the embeddings table --
+    file or directory-of-parts -- so a rewritten fixture can never be
+    served a stale cached build."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(path):
+        return tuple(
+            sorted(
+                (f, os.path.getsize(os.path.join(path, f)),
+                 os.stat(os.path.join(path, f)).st_mtime_ns)
+                for f in os.listdir(path)
+            )
+        )
+    st = os.stat(path)
+    return (st.st_size, st.st_mtime_ns)
+
+
 def _semantic_recursive_build(
+    spark: SparkSession, sf_dir: str, sub_k: int = 4
+) -> tuple[DataFrame, list[DataFrame], dict | None]:
+    """Memoizing wrapper around the stage-1+2 build (see
+    _SEMANTIC_BUILD_MEMO).  Returns (out, deps, parts) exactly like
+    the uncached builder, except deps is [] -- ownership of the
+    persisted intermediates stays with the memo."""
+    import os
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.realpath(sf_dir),
+        _embeddings_signature(sf_dir),
+        sub_k,
+    )
+    hit = _SEMANTIC_BUILD_MEMO.get(key)
+    if hit is None:
+        for old in _SEMANTIC_BUILD_MEMO.values():
+            for dep in old[1]:
+                try:
+                    dep.unpersist()
+                except Exception:
+                    pass  # dead session -- nothing to release
+        _SEMANTIC_BUILD_MEMO.clear()
+        hit = _semantic_recursive_build_uncached(spark, sf_dir, sub_k)
+        _SEMANTIC_BUILD_MEMO[key] = hit
+    out, _deps, parts = hit
+    return out, [], parts
+
+
+def _semantic_recursive_build_uncached(
     spark: SparkSession, sf_dir: str, sub_k: int = 4
 ) -> tuple[DataFrame, list[DataFrame], dict | None]:
     """The recursive SemDeDup pass (round-7 verdict item 2): consume
