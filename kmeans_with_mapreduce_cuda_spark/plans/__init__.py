@@ -95,7 +95,7 @@ _PRIORITY = [
     # ------------------- 50-entry cut lands here -------------------
     # Past-cut, least-recently-verified first.  New r9 queries (no
     # driver row yet) lead, then o14_calinski (VERDICT r8 item 5
-    # guarantee) -- these nine head the r10 rotation.
+    # guarantee) -- these (plus o14_calinski) head the r10 rotation.
     "rel_hof_lambda",
     "sim_range_search",
     "sim_ivf_recall_eval",
@@ -105,6 +105,10 @@ _PRIORITY = [
     "pipe_user_erasure",
     "rel_join_hints",
     "rel_set_ops_all",
+    "text_bm25_topk",
+    "sim_hybrid_rrf",
+    "rel_locf_impute",
+    "rel_try_parse_ingest",
     "o14_calinski",
     "rel_hll_sketch_union",
     "rel_bitmap_distinct",

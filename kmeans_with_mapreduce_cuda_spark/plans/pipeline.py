@@ -7587,3 +7587,237 @@ def pipe_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _eager(spark, out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --- BM25 ranked retrieval ------------------------------------------------------
+
+#: pinned query terms (present across the synthetic vocabulary at every
+#: scale) and the standard Robertson/Sparck-Jones parameters
+_BM25_TERMS = ("spark", "window", "merge")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+# The per-doc BM25 score relation as ONE oracle CTE constant, consumed
+# by BOTH text_bm25_topk and sim_hybrid_rrf (the _SEMANTIC_SUB_CTES /
+# _IVF_FIXED_TOP5_CTES zero-drift discipline).  tf per term is an
+# in-row list_filter count (no unnest/explode -- the corpus never
+# shuffles); idf is the +1-smoothed positive form ln(1+(N-df+.5)/
+# (df+.5)); the 3 term contributions add in FIXED left-to-right order
+# so the float sum is association-identical in both engines.
+_BM25_SCORE_CTES = f"""toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+               CAST(len(list_filter(tk, x -> x = '{_BM25_TERMS[0]}')) AS BIGINT) AS tf1,
+               CAST(len(list_filter(tk, x -> x = '{_BM25_TERMS[1]}')) AS BIGINT) AS tf2,
+               CAST(len(list_filter(tk, x -> x = '{_BM25_TERMS[2]}')) AS BIGINT) AS tf3
+        FROM toks
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+               CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+               CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+               CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+        FROM tf
+    ),
+    bm25 AS (
+        SELECT doc_id,
+               ln(1 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+                 * (tf1 * ({_BM25_K1} + 1))
+                 / (tf1 + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+             + ln(1 + (n_docs - df2 + 0.5) / (df2 + 0.5))
+                 * (tf2 * ({_BM25_K1} + 1))
+                 / (tf2 + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+             + ln(1 + (n_docs - df3 + 0.5) / (df3 + 0.5))
+                 * (tf3 * ({_BM25_K1} + 1))
+                 / (tf3 + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+               AS score
+        FROM tf, stats
+    )"""
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BM25 score relation, the Spark twin of _BM25_SCORE_CTES:
+    tf per pinned term via size(filter(tokens)) -- an in-row projection,
+    NO explode and NO data-scale shuffle; corpus stats (N, avgdl, df per
+    term) are ONE map-side-combined aggregate broadcast back as a 1-row
+    cross join, so the whole scorer is two scans and zero wide
+    exchanges at any corpus size.  Every float expression is written in
+    the same association as the oracle (ln agrees bitwise -- the
+    udf_arrow_scalar libm-parity check), so scores are bit-identical
+    and ranking on the UNROUNDED score is engine-portable."""
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("tk")
+    )
+    tf = d.select(
+        "doc_id",
+        F.size("tk").cast("bigint").alias("dl"),
+        *[
+            F.size(F.expr(f"filter(tk, x -> x = '{t}')"))
+            .cast("bigint")
+            .alias(f"tf{i + 1}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = tf.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1))
+        ).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i + 1}") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"df{i + 1}")
+            for i in range(3)
+        ],
+    )
+    scored = tf.crossJoin(F.broadcast(stats))
+    k1, b = _BM25_K1, _BM25_B
+    contrib = [
+        F.log(
+            1
+            + (F.col("n_docs") - F.col(f"df{i}") + 0.5)
+            / (F.col(f"df{i}") + 0.5)
+        )
+        * (F.col(f"tf{i}") * (k1 + 1))
+        / (
+            F.col(f"tf{i}")
+            + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+        for i in (1, 2, 3)
+    ]
+    return scored.select(
+        "doc_id", (contrib[0] + contrib[1] + contrib[2]).alias("score")
+    )
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH {_BM25_SCORE_CTES}
+    SELECT CAST(rank AS BIGINT) AS rank, doc_id,
+           round(score, 6) AS bm25
+    FROM (
+        SELECT doc_id, score,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM bm25
+    ) WHERE rank <= 10
+    """,
+    doc="BM25 ranked retrieval -- the lexical-relevance workhorse of "
+    "every corpus-quality / retrieval pipeline, for the pinned "
+    "3-term query: tf saturation (k1=1.2), length normalization "
+    "(b=0.75), +1-smoothed positive idf.  Scale shape: tf per term "
+    "is size(filter(tokens)) -- an IN-ROW projection, no explode, so "
+    "the corpus never shuffles; corpus stats are one "
+    "map-side-combined aggregate broadcast back; the top-10 is a "
+    "TakeOrderedAndProject merge heap.  Two scans + a 1-row "
+    "broadcast at ANY corpus size.  Ranking runs on the UNROUNDED "
+    "score (both engines build the identical float tree, fixed "
+    "3-term association, libm-parity ln); the emitted score rounds "
+    "to 6.  The oracle shares the score relation with sim_hybrid_rrf "
+    "via _BM25_SCORE_CTES (zero drift).",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ranked_topk(_bm25_scores(spark, sf_dir), k=10).select(
+        "rank", "doc_id", F.round("score", 6).alias("bm25")
+    )
+
+
+def _ranked_topk(scores: DataFrame, k: int) -> DataFrame:
+    """(doc_id, score) -> top-k with a rank column, the scale-correct
+    way: the cut is orderBy+limit (TakeOrderedAndProject -- mergeable
+    per-partition heaps, never a global sort or an unpartitioned
+    corpus-scale window), and row_number attaches ranks only to the
+    ALREADY-BOUNDED k rows (the <=256-rows-post-limit window
+    discipline)."""
+    top = scores.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    )
+
+
+# --- Hybrid retrieval: BM25 + vector fusion (RRF) --------------------------------
+
+@query(
+    "sim_hybrid_rrf",
+    oracle=f"""
+    WITH {_BM25_SCORE_CTES},
+    bm_top AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+        FROM bm25 QUALIFY r <= 20
+    ),
+    q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+          FROM embeddings WHERE vec_id = 0),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    vec_top AS (
+        SELECT vec_id AS doc_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY list_dot_product(q.q_emb, c.emb)
+                       / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                          * sqrt(list_dot_product(c.emb, c.emb))) DESC,
+                       c.vec_id
+               ) AS r
+        FROM q CROSS JOIN c
+        WHERE q.q_id <> c.vec_id
+        QUALIFY r <= 20
+    ),
+    fused AS (
+        SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+               COALESCE(1.0 / (60 + b.r), 0)
+                 + COALESCE(1.0 / (60 + v.r), 0) AS rrf
+        FROM bm_top b FULL OUTER JOIN vec_top v ON v.doc_id = b.doc_id
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, doc_id, round(rrf, 6) AS rrf
+    FROM (
+        SELECT doc_id, rrf,
+               ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rank
+        FROM fused
+    ) WHERE rank <= 10
+    """,
+    doc="HYBRID retrieval -- reciprocal-rank fusion of a lexical arm "
+    "(BM25 top-20 for the pinned terms, sharing _BM25_SCORE_CTES with "
+    "text_bm25_topk) and a dense arm (exact cosine top-20 for query "
+    "vector 0): rrf(d) = sum over arms containing d of 1/(60+rank), "
+    "the standard k=60 fusion every modern search stack (lexical + "
+    "embedding) ships, robust to the two arms' incomparable score "
+    "scales because only RANKS enter.  doc_id and vec_id share an id "
+    "space in the fixtures, so the join is meaningful.  Scale shape: "
+    "each arm is its own TakeOrderedAndProject heap cut; fusion "
+    "touches only 2k=40 rows (a driver-trivial full outer join), so "
+    "the fused ranking costs O(k) regardless of corpus size.  "
+    "1/(60+r) is one exact-operand division -- bit-identical both "
+    "engines -- and the two-arm sum has fixed association; the "
+    "emitted rrf rounds to 6.",
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import brute_force_topk
+
+    bm = _ranked_topk(_bm25_scores(spark, sf_dir), k=20).select(
+        "doc_id", F.col("rank").alias("rb")
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), emb.alias("q_emb")
+    )
+    vec = brute_force_topk(
+        e.select("vec_id", emb.alias("emb")), q, k=20
+    ).select(F.col("vec_id").alias("doc_id"), F.col("rank").alias("rv"))
+    fused = bm.join(vec, "doc_id", "outer").select(
+        "doc_id",
+        (
+            F.coalesce(1.0 / (60 + F.col("rb")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("rv")), F.lit(0.0))
+        ).alias("score"),
+    )
+    return _ranked_topk(fused, k=10).select(
+        "rank", "doc_id", F.round("score", 6).alias("rrf")
+    )

@@ -5066,3 +5066,141 @@ def rel_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SET_OPS_ALL_SQL)
+
+
+# --- Forward-fill imputation (LOCF) -----------------------------------------------
+
+@query(
+    "rel_locf_impute",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+               CASE WHEN event_id % 13 = 0 THEN NULL
+                    ELSE value END AS v
+        FROM events WHERE user_id < 20
+    )
+    SELECT user_id, ts_us, event_id, v,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS v_filled
+    FROM e
+    """,
+    doc="Forward-fill imputation (last observation carried forward -- "
+    "the time-series gap repair every sensor/metrics pipeline runs "
+    "before resampling): per user, a NULL reading takes the most "
+    "recent non-NULL value; leading NULLs stay NULL (nothing to "
+    "carry).  NULLs are injected deterministically (event_id % 13, "
+    "the rel_null_ordering precedent) so the fill is load-bearing at "
+    "every scale.  Engine surface: Spark's last(ignorenulls=True) "
+    "over a running ROWS frame vs DuckDB's last_value(v IGNORE "
+    "NULLS) -- the IGNORE NULLS frame corner rel_window_lag's plain "
+    "offsets don't pin.  Scale shape: one user-keyed window shuffle, "
+    "running frame evaluated incrementally (no per-row rescan); "
+    "ordering key (ts, event_id) is unique per user so the fill is "
+    "deterministic.  The passthrough double rides unrounded (no "
+    "arithmetic in either engine); ts emitted as tz-free epoch "
+    "micros.",
+)
+def rel_locf_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import load_table
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 20)
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            F.when(F.col("event_id") % 13 == 0, None)
+            .otherwise(F.col("value"))
+            .alias("v"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return e.withColumn(
+        "v_filled", F.last("v", ignorenulls=True).over(w)
+    )
+
+
+# --- Dirty-data ingest: try_* parsing -----------------------------------------------
+
+@query(
+    "rel_try_parse_ingest",
+    oracle="""
+    WITH d AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN '2024-13-45'
+                    WHEN o_orderkey % 7 = 1 THEN 'garbage'
+                    WHEN o_orderkey % 7 = 2 THEN ''
+                    ELSE printf('%04d-%02d-%02d',
+                                1995 + o_orderkey % 5,
+                                1 + o_orderkey % 12,
+                                1 + o_orderkey % 28) END AS raw_ts,
+               CASE WHEN o_orderkey % 5 = 0 THEN '12.5x'
+                    WHEN o_orderkey % 5 = 1 THEN ''
+                    ELSE CAST(o_orderkey AS VARCHAR) END AS raw_num
+        FROM orders WHERE o_orderkey < 4000
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(try_strptime(raw_ts, '%Y-%m-%d')) AS BIGINT) AS n_ts,
+           strftime(min(try_strptime(raw_ts, '%Y-%m-%d')), '%Y-%m-%d')
+               AS min_ts,
+           strftime(max(try_strptime(raw_ts, '%Y-%m-%d')), '%Y-%m-%d')
+               AS max_ts,
+           CAST(count(TRY_CAST(raw_num AS BIGINT)) AS BIGINT) AS n_num,
+           CAST(sum(TRY_CAST(raw_num AS BIGINT)) AS BIGINT) AS sum_num
+    FROM d
+    """,
+    doc="Dirty-data ingest through the try_* family -- the ANSI-mode "
+    "survival kit: under Spark 4's ANSI default a plain CAST on one "
+    "malformed row KILLS the whole 100 TB job, so ingest parses with "
+    "try_to_timestamp / try_cast, which return NULL for exactly the "
+    "malformed class and let count()/aggregates quarantine it.  Four "
+    "deterministic raw classes per row (valid ISO date / "
+    "out-of-range month-day / garbage word / empty string; valid "
+    "number / trailing-junk number / empty), all synthesized from "
+    "pure integer arithmetic -- NO timezone anywhere: the valid "
+    "dates are printf-built strings, and parse->render round-trips "
+    "in one session are tz-invariant.  Checks Spark's try_to_"
+    "timestamp(fmt) against DuckDB's try_strptime and try_cast "
+    "against TRY_CAST: same accept/reject frontier, same parsed "
+    "values.  Complements rel_try_arith (arithmetic overflow) and "
+    "rel_json_corrupt_records (parser quarantine) -- this is the "
+    "STRING->type frontier.",
+)
+def rel_try_parse_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+    WITH d AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN '2024-13-45'
+                    WHEN o_orderkey % 7 = 1 THEN 'garbage'
+                    WHEN o_orderkey % 7 = 2 THEN ''
+                    ELSE format_string('%04d-%02d-%02d',
+                                       CAST(1995 + o_orderkey % 5 AS INT),
+                                       CAST(1 + o_orderkey % 12 AS INT),
+                                       CAST(1 + o_orderkey % 28 AS INT))
+               END AS raw_ts,
+               CASE WHEN o_orderkey % 5 = 0 THEN '12.5x'
+                    WHEN o_orderkey % 5 = 1 THEN ''
+                    ELSE CAST(o_orderkey AS STRING) END AS raw_num
+        FROM orders WHERE o_orderkey < 4000
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(try_to_timestamp(raw_ts, 'yyyy-MM-dd')) AS BIGINT)
+               AS n_ts,
+           date_format(min(try_to_timestamp(raw_ts, 'yyyy-MM-dd')),
+                       'yyyy-MM-dd') AS min_ts,
+           date_format(max(try_to_timestamp(raw_ts, 'yyyy-MM-dd')),
+                       'yyyy-MM-dd') AS max_ts,
+           CAST(count(try_cast(raw_num AS BIGINT)) AS BIGINT) AS n_num,
+           CAST(sum(try_cast(raw_num AS BIGINT)) AS BIGINT) AS sum_num
+    FROM d
+    """)

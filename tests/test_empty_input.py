@@ -194,3 +194,14 @@ def test_observe_metrics_empty_input_is_one_null_row(spark, empty_sf_dir):
     assert r["sum_qty"] is None
     assert r["sum_price_cents"] is None
     assert r["max_orderkey"] is None
+
+
+def test_try_parse_ingest_empty_input_is_one_zero_row(spark, empty_sf_dir):
+    """rel_try_parse_ingest is a GLOBAL aggregate (the
+    rel_observe_metrics class): on zero rows the contract is exactly
+    one row -- counts 0, min/max/sum NULL -- not an empty relation."""
+    rows = REGISTRY["rel_try_parse_ingest"].fn(spark, empty_sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_total"] == 0 and r["n_ts"] == 0 and r["n_num"] == 0
+    assert r["min_ts"] is None and r["sum_num"] is None

@@ -1562,3 +1562,14 @@ def test_join_hints_steer_strategy_without_changing_results(spark):
         results[hint] = sorted(tuple(r) for r in df.collect())
     vals = list(results.values())
     assert vals[0] == vals[1] == vals[2]
+
+
+def test_bm25_scorer_is_explode_free_two_scans(spark):
+    """text_bm25_topk's doc claims the plan shape: per-term tf is an
+    in-row size(filter(...)) projection -- NO Generate/explode node,
+    no data-scale shuffle (the only exchange feeds the 1-row stats
+    broadcast), and the top-10 cut is a TakeOrderedAndProject heap."""
+    plan = plan_of(REGISTRY["text_bm25_topk"].fn(spark, SF_DIR))
+    assert "Generate" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan
