@@ -505,3 +505,41 @@ def test_within_cell_pairs_cap_returns_capped_cells_as_data(spark):
     )
     assert un_pairs.count() == 41 * 40 // 2 + 1
     assert un_capped.count() == 0
+
+
+def test_range_search_consistent_with_topk(spark):
+    """brute_force_range(t) and brute_force_topk must tell one story:
+    every top-k hit scoring >= t is in the range result, every range
+    hit scores >= t, and shared (q, neighbor) pairs carry the same
+    similarity -- the radius and heap cuts differ only in WHICH rows
+    they keep, never in scores."""
+    from pyspark.sql import functions as F
+
+    from kmeans_with_mapreduce_cuda_spark.operators.similarity import (
+        brute_force_range,
+        brute_force_topk,
+    )
+    from kmeans_with_mapreduce_cuda_spark.sources.readers import load_table
+
+    from conftest import SF_DIR
+
+    t = 0.25
+    e = load_table(spark, SF_DIR, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    cand = e.select("vec_id", emb.alias("emb"))
+    q = cand.where(F.col("vec_id").isin(0, 7, 42)).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    rng = {
+        (r["q_id"], r["vec_id"]): r["_sim"]
+        for r in brute_force_range(cand, q, threshold=t).collect()
+    }
+    top = {
+        (r["q_id"], r["vec_id"]): r["_sim"]
+        for r in brute_force_topk(cand, q, k=10).collect()
+    }
+    assert rng, "fixture must populate the radius at t=0.25"
+    assert all(s >= t for s in rng.values())
+    for key, s in top.items():
+        if s >= t:
+            assert key in rng and rng[key] == s, key
