@@ -2806,64 +2806,65 @@ def dedup_semantic_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and dedup_semantic_survivors back to back at the head of the r9
 # prefix, and each re-ran the full build (top-level assignment, seed
 # collect, sub-assignment) -- the most expensive shared work in the
-# sweep, tripled.  The memo is keyed on (Spark application, resolved
-# sf_dir, embeddings file signature, sub_k) so a different session,
-# fixture directory, regenerated file, or parameter always rebuilds;
-# on a key change the evicted entry's persisted deps are released
-# (they are plain persist()s, so unpersist is always safe).  Callers
-# receive deps=[] -- the CACHE owns the persisted intermediates, so a
-# caller's _eager(deps=...) release loop is a no-op and the build
-# survives for the next query in the same gate run.
+# sweep, tripled.  Keyed on the SHARED fixture_cache_key recipe
+# (+ sub_k) -- the mandated single invalidation definition in
+# sources/readers.py, same as the _CENTS_ND_CACHE memo -- so a
+# different session, fixture directory, or regenerated file always
+# rebuilds.  Lifetime is bounded two ways: on a key change the
+# evicted entry's persisted deps are released (plain persist()s, so
+# unpersist is always safe), and once all three DISTINCT chain
+# consumers have read one key the entry is released eagerly -- a full
+# gate sweep does not carry the corpus-scale subassigned cache
+# through the ~185 unrelated queries that follow (review finding).
+# A premature release only costs a rebuild, never correctness.
 _SEMANTIC_BUILD_MEMO: dict = {}
-
-
-def _embeddings_signature(sf_dir: str) -> tuple:
-    """(path, size, mtime_ns) signature of the embeddings table --
-    file or directory-of-parts -- so a rewritten fixture can never be
-    served a stale cached build."""
-    import os
-
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    if os.path.isdir(path):
-        return tuple(
-            sorted(
-                (f, os.path.getsize(os.path.join(path, f)),
-                 os.stat(os.path.join(path, f)).st_mtime_ns)
-                for f in os.listdir(path)
-            )
-        )
-    st = os.stat(path)
-    return (st.st_size, st.st_mtime_ns)
+_SEMANTIC_BUILD_CONSUMERS = frozenset(
+    {"recursive", "residual_exact", "survivors"}
+)
 
 
 def _semantic_recursive_build(
-    spark: SparkSession, sf_dir: str, sub_k: int = 4
+    spark: SparkSession,
+    sf_dir: str,
+    sub_k: int = 4,
+    consumer: str | None = None,
 ) -> tuple[DataFrame, list[DataFrame], dict | None]:
     """Memoizing wrapper around the stage-1+2 build (see
     _SEMANTIC_BUILD_MEMO).  Returns (out, deps, parts) exactly like
     the uncached builder, except deps is [] -- ownership of the
-    persisted intermediates stays with the memo."""
-    import os
+    persisted intermediates stays with the memo.  ``consumer`` names
+    the calling chain query for the all-consumers-served eager
+    release; anonymous callers never trigger it."""
+    from ..sources.readers import fixture_cache_key
 
-    key = (
-        spark.sparkContext.applicationId,
-        os.path.realpath(sf_dir),
-        _embeddings_signature(sf_dir),
-        sub_k,
-    )
+    key = (fixture_cache_key(spark, sf_dir, "embeddings"), sub_k)
     hit = _SEMANTIC_BUILD_MEMO.get(key)
     if hit is None:
-        for old in _SEMANTIC_BUILD_MEMO.values():
-            for dep in old[1]:
-                try:
-                    dep.unpersist()
-                except Exception:
-                    pass  # dead session -- nothing to release
-        _SEMANTIC_BUILD_MEMO.clear()
-        hit = _semantic_recursive_build_uncached(spark, sf_dir, sub_k)
+        _release_semantic_build_memo()
+        hit = [_semantic_recursive_build_uncached(spark, sf_dir, sub_k),
+               set()]
         _SEMANTIC_BUILD_MEMO[key] = hit
-    out, _deps, parts = hit
+    (out, deps, parts), served = hit
+    if consumer is not None:
+        served.add(consumer)
+        if served >= _SEMANTIC_BUILD_CONSUMERS:
+            # last distinct consumer: transfer dep OWNERSHIP to the
+            # caller -- its _eager(deps=...) releases them after its
+            # own collect, so the final query still executes against
+            # the warm cache and nothing outlives the chain
+            _SEMANTIC_BUILD_MEMO.pop(key, None)
+            return out, deps, parts
     return out, [], parts
+
+
+def _release_semantic_build_memo() -> None:
+    for (build, _served) in _SEMANTIC_BUILD_MEMO.values():
+        for dep in build[1]:
+            try:
+                dep.unpersist()
+            except Exception:
+                pass  # dead session -- nothing to release
+    _SEMANTIC_BUILD_MEMO.clear()
 
 
 def _semantic_recursive_build_uncached(
@@ -3118,7 +3119,9 @@ _SEMANTIC_PAIR_CTES = """kept AS (
     "(residual routed to exact dedup).",
 )
 def dedup_semantic_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out, deps, _ = _semantic_recursive_build(spark, sf_dir)
+    out, deps, _ = _semantic_recursive_build(
+        spark, sf_dir, consumer="recursive"
+    )
     return _eager(spark, out, deps=deps)
 
 
@@ -3256,7 +3259,9 @@ def _minlabel_closure_sql(rounds: int) -> str:
 def dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components
 
-    out, deps, parts = _semantic_recursive_build(spark, sf_dir)
+    out, deps, parts = _semantic_recursive_build(
+        spark, sf_dir, consumer="survivors"
+    )
     pair_edges = out.where(F.col("kind") != "capped_subcell").select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
@@ -3337,7 +3342,9 @@ _RESIDUAL_SCHEMA = (
     "_semantic_recursive_build, so the two relations cannot drift.",
 )
 def dedup_semantic_residual_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out, deps, parts = _semantic_recursive_build(spark, sf_dir)
+    out, deps, parts = _semantic_recursive_build(
+        spark, sf_dir, consumer="residual_exact"
+    )
     # One explicit schema for every corpus shape (empty, no-hot-cells,
     # full): aggregate nullability would otherwise differ between the
     # computed and short-circuit paths.
@@ -7512,11 +7519,14 @@ def pipe_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.write.partitionBy("epoch_day").parquet(tbl)
 
         def partition_sigs() -> dict[str, tuple]:
+            def sig(d: str, f: str) -> tuple:
+                st = os.stat(os.path.join(d, f))  # one stat per file
+                return (f, st.st_size, st.st_mtime_ns)
+
             return {
                 d: tuple(
                     sorted(
-                        (f, os.path.getsize(os.path.join(d, f)),
-                         os.stat(os.path.join(d, f)).st_mtime_ns)
+                        sig(d, f)
                         for f in os.listdir(d)
                         if f.endswith(".parquet")
                     )
@@ -7565,6 +7575,21 @@ def pipe_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("user_id") != 7)
             )
             overwrite_partitions_dynamic(replacement, tbl, ["epoch_day"])
+            # Dynamic overwrite only rewrites partitions PRESENT in
+            # the written data: a day whose rows ALL belonged to the
+            # erased user produces an empty replacement and its old
+            # files would survive the "erasure" (review finding).
+            # Those fully-erased days are deleted explicitly.
+            surviving = {
+                r["epoch_day"]
+                for r in replacement.select("epoch_day")
+                .distinct()
+                .collect()  # <=30 rows
+            }
+            for d in set(affected) - surviving:
+                shutil.rmtree(
+                    f"{tbl}/epoch_day={d}", ignore_errors=True
+                )
         after = partition_sigs()
         touched = {f"{tbl}/epoch_day={d}" for d in affected}
         intact = all(

@@ -4869,8 +4869,9 @@ def rel_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0))
                AS INTEGER) AS n_pos,
-           round(list_sum(list_filter(embedding::DOUBLE[], x -> x > 0)), 4)
-               AS pos_sum,
+           round(COALESCE(
+               list_sum(list_filter(embedding::DOUBLE[], x -> x > 0)),
+               0), 4) AS pos_sum,
            len(list_filter(embedding::DOUBLE[], x -> abs(x) > 0.3)) > 0
                AS any_big,
            len(list_filter(embedding::DOUBLE[], x -> NOT (abs(x) < 0.4))) = 0
@@ -4889,7 +4890,10 @@ def rel_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     "at 100 TB where a row-at-a-time UDF on a 64-dim column pays "
     "64x the serialization.  DuckDB twins: list_filter / list_sum / "
     "quantifiers via list_filter length / list_dot_product on "
-    "list_reverse.  Float sums (pos_sum, dot_rev) are multi-term and "
+    "list_reverse -- with pos_sum COALESCEd to 0: DuckDB's list_sum "
+    "of an EMPTY filtered list is NULL where Spark's 0D-seeded fold "
+    "is 0.0 (review finding; an all-nonpositive vector must not "
+    "hash-diverge).  Float sums (pos_sum, dot_rev) are multi-term and "
     "engine summation order differs, so they round to 4 (the "
     "rel_array_funcs vec_sum precedent); counts and quantifier "
     "booleans are exact.  Key-bounded slice: O(1) rows at gate "

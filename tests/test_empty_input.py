@@ -104,6 +104,12 @@ QUERIES = [
     "pipe_user_erasure",
     "rel_join_hints",
     "rel_set_ops_all",
+    # (rel_try_parse_ingest is NOT here either: a global aggregate
+    # returns exactly ONE row on empty input -- see
+    # test_try_parse_ingest_empty_input_is_one_zero_row)
+    "text_bm25_topk",
+    "sim_hybrid_rrf",
+    "rel_locf_impute",
 ]
 
 

@@ -421,3 +421,40 @@ def test_semantic_routing_chain_catches_injected_clone_pile(spark):
     clone_ids = set(range(8, 68))
     assert survivors & clone_ids == {8}
     assert len(survivors) <= 243 - 59
+
+
+def test_user_erasure_deletes_fully_owned_partitions(spark, tmp_path):
+    """pipe_user_erasure must erase a day whose rows ALL belong to the
+    erased user: dynamic partition overwrite only rewrites partitions
+    present in the written data, so an empty replacement would leave
+    the old files intact (review finding) -- the query deletes those
+    days explicitly.  Day layout: day 0 only user 7, day 1 mixed,
+    day 2 user-7-free."""
+    import datetime as dt
+
+    from kmeans_with_mapreduce_cuda_spark.plans import REGISTRY
+
+    def ts(day, i):
+        return dt.datetime(2024, 1, 1 + day, 0, 0, i)
+
+    rows = (
+        [(100 + i, ts(0, i), 7, "click", 1.0, "{}") for i in range(5)]
+        + [(200 + i, ts(1, i), 7 if i % 2 else 8, "view", 2.0, "{}")
+           for i in range(6)]
+        + [(300 + i, ts(2, i), 9, "buy", 3.0, "{}") for i in range(4)]
+    )
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["epoch_day"]: (r["n"], r["untouched_partitions_intact"])
+        for r in REGISTRY["pipe_user_erasure"].fn(spark, str(tmp_path)).collect()
+    }
+    days = sorted(out)
+    assert len(days) == 2, out          # day 0 fully erased
+    assert out[days[0]][0] == 3         # day 1 keeps only user 8 rows
+    assert out[days[1]][0] == 4         # day 2 untouched
+    assert all(v[1] for v in out.values())
