@@ -109,6 +109,8 @@ _PRIORITY = [
     "sim_hybrid_rrf",
     "rel_locf_impute",
     "rel_try_parse_ingest",
+    "dedup_exact_keep_best",
+    "text_intradoc_dedup",
     "o14_calinski",
     "rel_hll_sketch_union",
     "rel_bitmap_distinct",

@@ -7846,3 +7846,199 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ranked_topk(fused, k=10).select(
         "rank", "doc_id", F.round("score", 6).alias("rrf")
     )
+
+
+# --- Quality-aware dedup keeper selection -----------------------------------------
+
+@query(
+    "dedup_exact_keep_best",
+    oracle="""
+    SELECT content_hash, n_copies, keeper_id, keeper_quality FROM (
+        SELECT md5(text) AS content_hash,
+               CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT)
+                   AS n_copies,
+               doc_id AS keeper_id,
+               CAST(n_chars * 1000 - length(text)
+                    + len(list_filter(
+                          regexp_split_to_array(trim(lower(text)), '\\s+'),
+                          x -> length(x) >= 4)) AS BIGINT)
+                   AS keeper_quality,
+               ROW_NUMBER() OVER (
+                   PARTITION BY md5(text)
+                   ORDER BY n_chars * 1000 - length(text)
+                            + len(list_filter(
+                                  regexp_split_to_array(
+                                      trim(lower(text)), '\\s+'),
+                                  x -> length(x) >= 4)) DESC,
+                            doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+    doc="Exact dedup with QUALITY-AWARE keeper selection -- what "
+    "production corpora actually do: among byte-identical copies, "
+    "keep the row whose (deterministic, exact-integer) quality "
+    "margin is highest, ties to the lowest doc_id -- NOT the lowest "
+    "id regardless of metadata (dedup_exact_keep) and not "
+    "dropDuplicates()'s arbitrary row.  Copies of identical text "
+    "can differ in metadata quality (here the margin mixes n_chars "
+    "metadata with text-derived counts, all bigint arithmetic -- no "
+    "float enters the ORDER BY), and keeping the best-provenance "
+    "copy is the difference between preserving and discarding "
+    "curation signal at 100 TB.  One digest-keyed window shuffle "
+    "(only the hash, ids and the integer margin move -- the "
+    "dedup_exact digest-only discipline); argmax as row_number over "
+    "(margin DESC, doc_id) so selection is total-ordered in both "
+    "engines.",
+)
+def dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    quality = (
+        F.col("n_chars").cast("bigint") * 1000
+        - F.length("text").cast("bigint")
+        + F.size(
+            F.expr(
+                r"filter(split(trim(lower(text)), '\\s+'),"
+                " x -> length(x) >= 4)"
+            )
+        ).cast("bigint")
+    )
+    scored = d.select(
+        F.md5("text").alias("content_hash"),
+        F.col("doc_id").alias("keeper_id"),
+        quality.alias("keeper_quality"),
+    )
+    w = Window.partitionBy("content_hash")
+    wo = w.orderBy(F.col("keeper_quality").desc(), F.col("keeper_id"))
+    return (
+        scored.withColumn(
+            "n_copies", F.count(F.lit(1)).over(w).cast("bigint")
+        )
+        .withColumn("rn", F.row_number().over(wo))
+        .where(F.col("rn") == 1)
+        .select("content_hash", "n_copies", "keeper_id", "keeper_quality")
+    )
+
+
+# --- Intra-document repeated-span removal ------------------------------------------
+
+@query(
+    "text_intradoc_dedup",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id, u.pos, u.tok FROM (
+            SELECT doc_id,
+                   [struct_pack(pos := i, tok := tk[i])
+                    FOR i IN range(1, len(tk) + 1)] AS ps
+            FROM toks
+        ), unnest(ps) AS s(u)
+    ),
+    g AS (
+        SELECT doc_id, pos, tok,
+               tok || ' ' || lead(tok) OVER w AS gram
+        FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    r AS (
+        SELECT doc_id, pos, tok,
+               CASE WHEN gram IS NOT NULL AND ROW_NUMBER() OVER (
+                        PARTITION BY doc_id, gram ORDER BY pos) > 1
+                    THEN pos + 1 END AS span_end
+        FROM g
+    ),
+    cov AS (
+        SELECT doc_id, pos, tok,
+               max(span_end) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cover_end
+        FROM r
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE cover_end >= pos) AS BIGINT)
+               AS n_removed,
+           md5(string_agg(tok, ' ' ORDER BY pos)
+               FILTER (WHERE cover_end IS NULL OR cover_end < pos))
+               AS cleaned_md5
+    FROM cov GROUP BY doc_id
+    """,
+    doc="Intra-document repeated-span removal (the Gopher/RETRO 'dedup "
+    "within document' rule text_repetition_ratio only MEASURES): "
+    "every non-first occurrence of a repeated bigram marks its "
+    "2-token span, covered tokens are dropped, and the cleaned text "
+    "is verified by md5 over the kept tokens in order -- so the "
+    "check pins the exact removal semantics, not just counts.  "
+    "Span coverage without a range join: a repeated start at q "
+    "covers positions q..q+1, so token p is covered iff the RUNNING "
+    "MAX of (q+1) over starts <= p reaches p -- one O(n) window "
+    "pass; the first occurrence of every gram survives by "
+    "construction, so position 1 is always kept and the cleaned "
+    "string is never empty.  Scale shape: one doc-keyed exchange "
+    "(posexplode + three frames over the same partitioning, the "
+    "sessionize/cdc-chunks cost envelope); the fixture populates the "
+    "rule at every scale (~3.5% of bigram starts repeat).",
+)
+def text_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos0", "tok")
+    )
+    t = d.select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    g = t.withColumn(
+        "gram",
+        F.concat_ws(" ", F.col("tok"), F.lead("tok", 1).over(wd)),
+    ).withColumn(
+        "gram",
+        # concat_ws silently drops the NULL lead at doc end; restore
+        # the NULL so the last position never forms a 1-token "gram"
+        F.when(F.lead("tok", 1).over(wd).isNotNull(), F.col("gram")),
+    )
+    wg = Window.partitionBy("doc_id", "gram").orderBy("pos")
+    r = g.withColumn(
+        "span_end",
+        F.when(
+            F.col("gram").isNotNull() & (F.row_number().over(wg) > 1),
+            F.col("pos") + 1,
+        ),
+    )
+    cov = r.withColumn(
+        "cover_end",
+        F.max("span_end").over(
+            wd.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    cov = cov.withColumn(
+        "_kept",
+        F.when(
+            F.col("cover_end").isNull()
+            | (F.col("cover_end") < F.col("pos")),
+            F.struct("pos", "tok"),
+        ),
+    )
+    return cov.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        # when/otherwise, not a bare boolean cast: a doc with NO
+        # removals has all-NULL cover_end and sum(NULL) would be NULL
+        # where the oracle's count FILTER is 0
+        F.sum(
+            F.when(F.col("cover_end") >= F.col("pos"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_removed"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort("
+                    "collect_list(_kept)), s -> s.tok)"
+                ),
+            )
+        ).alias("cleaned_md5"),
+    )

@@ -110,6 +110,8 @@ QUERIES = [
     "text_bm25_topk",
     "sim_hybrid_rrf",
     "rel_locf_impute",
+    "dedup_exact_keep_best",
+    "text_intradoc_dedup",
 ]
 
 

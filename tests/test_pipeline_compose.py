@@ -458,3 +458,28 @@ def test_user_erasure_deletes_fully_owned_partitions(spark, tmp_path):
     assert out[days[0]][0] == 3         # day 1 keeps only user 8 rows
     assert out[days[1]][0] == 4         # day 2 untouched
     assert all(v[1] for v in out.values())
+
+
+def test_intradoc_dedup_removes_exact_repeated_spans(spark, tmp_path):
+    """text_intradoc_dedup's removal rule on a hand-computable doc:
+    'a b c a b d' repeats bigram 'a b' at position 4, so tokens 4-5
+    are removed and the cleaned text is 'a b c d'; a repetition-free
+    doc loses nothing (n_removed 0, never NULL)."""
+    import hashlib
+
+    from kmeans_with_mapreduce_cuda_spark.plans import REGISTRY
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b d", "en", "s", 11), (2, "x y z", "en", "s", 5)],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in REGISTRY["text_intradoc_dedup"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out[1]["n_tokens"] == 6 and out[1]["n_removed"] == 2
+    assert out[1]["cleaned_md5"] == hashlib.md5(b"a b c d").hexdigest()
+    assert out[2]["n_tokens"] == 3 and out[2]["n_removed"] == 0
+    assert out[2]["cleaned_md5"] == hashlib.md5(b"x y z").hexdigest()
