@@ -7561,14 +7561,23 @@ def pipe_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ]
                 ),
             )
-        # <=30 distinct days: a k-row collect (the _eager contract)
-        affected = [
-            r["epoch_day"]
-            for r in ev.where(F.col("user_id") == 7)
-            .select("epoch_day")
-            .distinct()
+        # ONE <=30-row collect yields both per-day facts (review
+        # finding: separate affected/surviving collects re-scanned
+        # the source twice)
+        day_facts = {
+            r["epoch_day"]: (bool(r["has_erased"]), bool(r["has_other"]))
+            for r in ev.groupBy("epoch_day")
+            .agg(
+                F.max((F.col("user_id") == 7).cast("int"))
+                .cast("boolean")
+                .alias("has_erased"),
+                F.max((F.col("user_id") != 7).cast("int"))
+                .cast("boolean")
+                .alias("has_other"),
+            )
             .collect()
-        ]
+        }
+        affected = [d for d, (e, _o) in day_facts.items() if e]
         if affected:
             replacement = ev.where(
                 F.col("epoch_day").isin(affected)
@@ -7580,13 +7589,7 @@ def pipe_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
             # erased user produces an empty replacement and its old
             # files would survive the "erasure" (review finding).
             # Those fully-erased days are deleted explicitly.
-            surviving = {
-                r["epoch_day"]
-                for r in replacement.select("epoch_day")
-                .distinct()
-                .collect()  # <=30 rows
-            }
-            for d in set(affected) - surviving:
+            for d in (d for d in affected if not day_facts[d][1]):
                 shutil.rmtree(
                     f"{tbl}/epoch_day={d}", ignore_errors=True
                 )
@@ -7597,6 +7600,34 @@ def pipe_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d, sig in before.items()
             if d not in touched
         )
+        if not any(has_other for _e, has_other in day_facts.values()):
+            # EVERY row belonged to the erased user: all partitions
+            # were deleted and a parquet read of the file-less table
+            # root would raise UNABLE_TO_INFER_SCHEMA where the
+            # oracle returns zero rows (review finding) -- typed
+            # empty, same schema as the aggregate below
+            from pyspark.sql.types import (
+                BooleanType,
+                LongType,
+                StructField,
+                StructType,
+            )
+
+            return spark.createDataFrame(
+                [],
+                StructType(
+                    [
+                        StructField("epoch_day", LongType(), True),
+                        StructField("n", LongType(), False),
+                        StructField("n_users", LongType(), False),
+                        StructField(
+                            "untouched_partitions_intact",
+                            BooleanType(),
+                            False,
+                        ),
+                    ]
+                ),
+            )
         out = (
             spark.read.parquet(tbl)
             .groupBy(F.col("epoch_day").cast("bigint").alias("epoch_day"))
@@ -7892,15 +7923,16 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engines.",
 )
 def dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
     d = load_table(spark, sf_dir, "documents")
+    # token recipe via the shared tokens() helper (review finding: a
+    # restated raw-SQL split would silently drift if tokens() changed)
     quality = (
         F.col("n_chars").cast("bigint") * 1000
         - F.length("text").cast("bigint")
         + F.size(
-            F.expr(
-                r"filter(split(trim(lower(text)), '\\s+'),"
-                " x -> length(x) >= 4)"
-            )
+            F.filter(tokens("text"), lambda x: F.length(x) >= 4)
         ).cast("bigint")
     )
     scored = d.select(
@@ -7991,14 +8023,12 @@ def text_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = d.select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
     wd = Window.partitionBy("doc_id").orderBy("pos")
+    # F.concat is NULL-propagating (unlike concat_ws), exactly
+    # mirroring the oracle's tok || ' ' || lead(tok): the doc-final
+    # position has no lead and therefore no gram
     g = t.withColumn(
         "gram",
-        F.concat_ws(" ", F.col("tok"), F.lead("tok", 1).over(wd)),
-    ).withColumn(
-        "gram",
-        # concat_ws silently drops the NULL lead at doc end; restore
-        # the NULL so the last position never forms a 1-token "gram"
-        F.when(F.lead("tok", 1).over(wd).isNotNull(), F.col("gram")),
+        F.concat(F.col("tok"), F.lit(" "), F.lead("tok", 1).over(wd)),
     )
     wg = Window.partitionBy("doc_id", "gram").orderBy("pos")
     r = g.withColumn(

@@ -50,11 +50,28 @@ def fixture_cache_key(
     can't drift between call sites."""
     import os
 
+    path = os.path.join(sf_dir, f"{name}.parquet")
     try:
-        st = os.stat(os.path.join(sf_dir, f"{name}.parquet"))
+        st = os.stat(path)
+        if os.path.isdir(path):
+            # directory-shaped table (what Spark's writer produces):
+            # a part file rewritten IN PLACE leaves the directory's
+            # own mtime unchanged, so the signature must cover the
+            # entries -- a MATERIALIZED memo (e.g. the SemDeDup build
+            # cache) would otherwise serve results computed from the
+            # old bytes (r9 review finding; a lazy DataFrame memo
+            # would merely re-read current bytes)
+            sig: tuple = tuple(
+                sorted(
+                    (f, os.stat(os.path.join(path, f)).st_mtime_ns)
+                    for f in os.listdir(path)
+                )
+            )
+        else:
+            sig = (st.st_mtime_ns,)
     except OSError:
         return None
-    return (spark.sparkContext.applicationId, sf_dir, name, st.st_mtime_ns)
+    return (spark.sparkContext.applicationId, sf_dir, name, sig)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

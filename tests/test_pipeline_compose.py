@@ -483,3 +483,29 @@ def test_intradoc_dedup_removes_exact_repeated_spans(spark, tmp_path):
     assert out[1]["cleaned_md5"] == hashlib.md5(b"a b c d").hexdigest()
     assert out[2]["n_tokens"] == 3 and out[2]["n_removed"] == 0
     assert out[2]["cleaned_md5"] == hashlib.md5(b"x y z").hexdigest()
+
+
+def test_user_erasure_of_entire_corpus_returns_empty(spark, tmp_path):
+    """When the erased user owns EVERY row, every partition is deleted
+    and a parquet read of the file-less table root would raise
+    UNABLE_TO_INFER_SCHEMA -- the query must return the typed empty
+    relation the oracle produces (second review pass)."""
+    import datetime as dt
+
+    from kmeans_with_mapreduce_cuda_spark.plans import REGISTRY
+
+    rows = [
+        (i, dt.datetime(2024, 2, 1 + i % 3, 0, 0, i), 7, "click", 1.0, "{}")
+        for i in range(9)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    out = REGISTRY["pipe_user_erasure"].fn(spark, str(tmp_path))
+    assert out.count() == 0
+    assert out.columns == [
+        "epoch_day", "n", "n_users", "untouched_partitions_intact",
+    ]
