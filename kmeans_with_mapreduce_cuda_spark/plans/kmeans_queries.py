@@ -190,8 +190,9 @@ def _cents_nd(spark: SparkSession, sf_dir: str, k: int = _K_ND) -> list[list[flo
     hash mismatch."""
     from ..sources.readers import fixture_cache_key
 
-    key = (fixture_cache_key(spark, sf_dir, "embeddings"), k)
-    if key not in _CENTS_ND_CACHE:
+    fk = fixture_cache_key(spark, sf_dir, "embeddings")
+    key = (fk, k)
+    if fk is None or key not in _CENTS_ND_CACHE:
         from ..sources.readers import load_table
 
         rows = (
@@ -200,9 +201,13 @@ def _cents_nd(spark: SparkSession, sf_dir: str, k: int = _K_ND) -> list[list[flo
             .orderBy("vec_id")
             .collect()
         )
-        _CENTS_ND_CACHE[key] = [
-            [float(v) for v in r["embedding"]] for r in rows
-        ]
+        cents = [[float(v) for v in r["embedding"]] for r in rows]
+        if fk is None:
+            # un-stat-able fixture (r10 advice): a None key would
+            # collapse different sessions/dirs into one entry and
+            # serve stale seeds -- derive fresh, never memoize
+            return cents
+        _CENTS_ND_CACHE[key] = cents
     return _CENTS_ND_CACHE[key]
 
 

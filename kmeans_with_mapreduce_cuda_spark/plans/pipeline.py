@@ -18,6 +18,7 @@ from ..functions.hashing import md5_long_sql
 from ..functions.text import STOPWORDS, tokens
 from ..operators.dedup import simhash16_sql, token_hashes_sql
 from ..sources.readers import load_table
+from . import registry
 from .registry import query
 
 
@@ -2821,6 +2822,42 @@ _SEMANTIC_BUILD_MEMO: dict = {}
 _SEMANTIC_BUILD_CONSUMERS = frozenset(
     {"recursive", "residual_exact", "survivors"}
 )
+#: Queries whose invocation does NOT age the memo (the chain itself).
+_SEMANTIC_CHAIN_QUERIES = frozenset(
+    {
+        "dedup_semantic_recursive",
+        "dedup_semantic_residual_exact",
+        "dedup_semantic_survivors",
+    }
+)
+#: Non-chain registered queries tolerated between chain consumers before
+#: the memo's persisted intermediates are force-released (r10 advice:
+#: the last-consumer release assumes all three consumers run; a partial
+#: sweep or single-query bench must not carry corpus-scale cached
+#: partitions for the rest of the session).  3 = the chain's own length,
+#: generous for any interleaving the gate actually produces (the
+#: rotation keeps the trio adjacent); a premature release only costs a
+#: rebuild, never correctness.
+_SEMANTIC_MEMO_TTL = 3
+_semantic_memo_idle = 0
+
+
+def _semantic_memo_tick(qname: str) -> None:
+    """registry.RUN_HOOKS callback: age the SemDeDup build memo by one
+    per non-chain query; release once it has sat idle for
+    _SEMANTIC_MEMO_TTL queries."""
+    global _semantic_memo_idle
+    if not _SEMANTIC_BUILD_MEMO:
+        return
+    if qname in _SEMANTIC_CHAIN_QUERIES:
+        _semantic_memo_idle = 0
+        return
+    _semantic_memo_idle += 1
+    if _semantic_memo_idle >= _SEMANTIC_MEMO_TTL:
+        _release_semantic_build_memo()
+
+
+registry.RUN_HOOKS.append(_semantic_memo_tick)
 
 
 def _semantic_recursive_build(
@@ -2837,13 +2874,22 @@ def _semantic_recursive_build(
     release; anonymous callers never trigger it."""
     from ..sources.readers import fixture_cache_key
 
-    key = (fixture_cache_key(spark, sf_dir, "embeddings"), sub_k)
+    global _semantic_memo_idle
+    fk = fixture_cache_key(spark, sf_dir, "embeddings")
+    if fk is None:
+        # un-stat-able fixture (r10 advice): a None component would
+        # collapse applicationId/sf_dir into one shared entry and could
+        # serve another directory's build -- don't touch the memo;
+        # caller owns the deps and releases them via _eager(deps=...)
+        return _semantic_recursive_build_uncached(spark, sf_dir, sub_k)
+    key = (fk, sub_k)
     hit = _SEMANTIC_BUILD_MEMO.get(key)
     if hit is None:
         _release_semantic_build_memo()
         hit = [_semantic_recursive_build_uncached(spark, sf_dir, sub_k),
                set()]
         _SEMANTIC_BUILD_MEMO[key] = hit
+    _semantic_memo_idle = 0
     (out, deps, parts), served = hit
     if consumer is not None:
         served.add(consumer)
@@ -7471,6 +7517,76 @@ def stream_compaction_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Targeted user erasure via dynamic partition overwrite ---------------------
 
+# One-entry memo for the erasure query's PRISTINE partitioned events
+# table (VERDICT r9 item 5): the query must mutate a hive layout, and
+# rebuilding it was a full-table Spark write per invocation.  The
+# pristine write now happens once per (session, fixture) -- keyed on
+# the shared fixture_cache_key recipe, the mandated single
+# invalidation definition -- and each invocation works on a HARDLINK
+# clone (metadata-only, no data rewrite; the dynamic overwrite writes
+# new files and unlinks old ones, never modifies bytes in place, so
+# the pristine inodes are never touched).  A None fixture key (un-
+# stat-able dir) is uncacheable: write fresh, don't memoize.
+_ERASURE_FIXTURE_MEMO: dict = {}
+
+
+def _erasure_pristine_table(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.readers import fixture_cache_key
+
+    def write_pristine(dest_root: str) -> str:
+        tbl = f"{dest_root}/events_by_day"
+        load_table(spark, sf_dir, "events").select(
+            "user_id",
+            "ts",
+            "event_id",
+            # FLOOR division to match the oracle's DuckDB `//`:
+            # Spark's `div` truncates toward zero, which would shift
+            # any pre-1970 timestamp into the wrong day partition
+            # (r10 advice).  floor() over the integer-ratio double is
+            # exact for any |micros| < 2^53 (~285 years of epoch).
+            F.expr(
+                "CAST(floor(unix_micros(ts) / 86400000000.0) AS BIGINT)"
+            ).alias("epoch_day"),
+        ).write.partitionBy("epoch_day").parquet(tbl)
+        return tbl
+
+    key = fixture_cache_key(spark, sf_dir, "events")
+    if key is None:
+        root = tempfile.mkdtemp(prefix="_gate_erasure_src_")
+        return write_pristine(root), False
+    hit = _ERASURE_FIXTURE_MEMO.get(key)
+    if hit is None:
+        for old in _ERASURE_FIXTURE_MEMO.values():
+            shutil.rmtree(os.path.dirname(old), ignore_errors=True)
+        _ERASURE_FIXTURE_MEMO.clear()
+        root = tempfile.mkdtemp(prefix="_gate_erasure_src_")
+        hit = write_pristine(root)
+        _ERASURE_FIXTURE_MEMO[key] = hit
+    return hit, True
+
+
+def _hardlink_clone(src: str, dst: str) -> None:
+    """Clone a directory tree with hardlinks (falling back to copy
+    across filesystems) -- O(files) metadata ops, zero data copied."""
+    import os
+    import shutil
+
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        troot = os.path.join(dst, rel) if rel != "." else dst
+        os.makedirs(troot, exist_ok=True)
+        for f in files:
+            s, t = os.path.join(root, f), os.path.join(troot, f)
+            try:
+                os.link(s, t)
+            except OSError:
+                shutil.copy2(s, t)
+
+
 @query(
     "pipe_user_erasure",
     oracle="""
@@ -7514,9 +7630,18 @@ def pipe_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "ts",
             "event_id",
-            F.expr("unix_micros(ts) div 86400000000").alias("epoch_day"),
+            # same floor-division day as the pristine write above
+            F.expr(
+                "CAST(floor(unix_micros(ts) / 86400000000.0) AS BIGINT)"
+            ).alias("epoch_day"),
         )
-        ev.write.partitionBy("epoch_day").parquet(tbl)
+        # Pristine table written once per (session, fixture); each
+        # invocation mutates a hardlink CLONE (VERDICT r9 item 5 --
+        # no full-table rewrite per gate run).
+        pristine, cached = _erasure_pristine_table(spark, sf_dir)
+        _hardlink_clone(pristine, tbl)
+        if not cached:
+            shutil.rmtree(os.path.dirname(pristine), ignore_errors=True)
 
         def partition_sigs() -> dict[str, tuple]:
             def sig(d: str, f: str) -> tuple:

@@ -41,12 +41,27 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
+#: Callbacks invoked with the query NAME at the start of every registered
+#: query invocation.  Session-scoped memos (the SemDeDup build cache)
+#: register here to bound their lifetime by "queries since last use"
+#: instead of only by key change / last-consumer -- a partial sweep that
+#: runs one chain consumer then moves on must not carry corpus-scale
+#: persisted intermediates through the rest of the session (r10 advice).
+RUN_HOOKS: list[Callable[[str], None]] = []
+
 
 def query(name: str, oracle: str | None = None, doc: str = ""):
     """Decorator registering a (spark, sf_dir) -> DataFrame callable."""
 
     def wrap(fn: QueryFn) -> QueryFn:
-        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc or fn.__doc__ or "")
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            for hook in RUN_HOOKS:
+                hook(name)
+            return fn(spark, sf_dir)
+
+        run.__name__ = fn.__name__
+        run.__doc__ = fn.__doc__
+        REGISTRY[name] = Query(name=name, fn=run, oracle=oracle, doc=doc or fn.__doc__ or "")
         return fn
 
     return wrap

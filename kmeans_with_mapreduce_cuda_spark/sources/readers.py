@@ -57,18 +57,26 @@ def fixture_cache_key(
             # directory-shaped table (what Spark's writer produces):
             # a part file rewritten IN PLACE leaves the directory's
             # own mtime unchanged, so the signature must cover the
-            # entries -- a MATERIALIZED memo (e.g. the SemDeDup build
+            # files -- a MATERIALIZED memo (e.g. the SemDeDup build
             # cache) would otherwise serve results computed from the
             # old bytes (r9 review finding; a lazy DataFrame memo
-            # would merely re-read current bytes)
-            sig: tuple = tuple(
-                sorted(
-                    (f, os.stat(os.path.join(path, f)).st_mtime_ns)
-                    for f in os.listdir(path)
-                )
-            )
+            # would merely re-read current bytes).  Walk the FULL
+            # tree, not one level: a partitioned layout nests part
+            # files under key=value dirs whose own mtime doesn't move
+            # on an in-place rewrite either (r10 advice), and include
+            # st_size so an equal-mtime same-length race still differs
+            # when content length changes.
+            entries = []
+            for root, _dirs, files in os.walk(path):
+                rel = os.path.relpath(root, path)
+                for f in files:
+                    fst = os.stat(os.path.join(root, f))
+                    entries.append(
+                        (os.path.join(rel, f), fst.st_mtime_ns, fst.st_size)
+                    )
+            sig: tuple = tuple(sorted(entries))
         else:
-            sig = (st.st_mtime_ns,)
+            sig = (st.st_mtime_ns, st.st_size)
     except OSError:
         return None
     return (spark.sparkContext.applicationId, sf_dir, name, sig)
