@@ -24,12 +24,28 @@ Headline queries:
                    (added round 5; pointer-jumping label propagation).
 - sim_int8       : int8-quantized cosine top-k serving path (added
                    round 5).
+- text_bm25      : BM25 top-10 retrieval, explode-free tf + broadcast
+                   corpus stats (added round 10).
+- dedup_survivors_chain: the full SemDeDup chain end-to-end -- stage-1+2
+                   build + components + survivor election (added round
+                   10; the build memo is deliberately cold each sample,
+                   so this measures the chain's true per-run cost).
+- stream_upsert  : Structured Streaming availableNow drain -- per-key
+                   latest-event upsert via foreachBatch merge (added
+                   round 10).
 
-The three round-5 keys raise the headline TOTAL by their own cost
-(measured ~5-7.5 s at sf0.1: dedup_semantic 1.9-2.3, dedup_components
-4.7-5.8 incl. its own LSH pair generation, sim_int8 0.5-0.6) relative
-to BENCH_r01-r04 — read round-over-round totals per-query, not
-headline (see BASELINE.md).
+The round-5 and round-10 keys raise the headline TOTAL by their own
+cost (r5: dedup_semantic 1.9-2.3, dedup_components 4.7-5.8 incl. its
+own LSH pair generation, sim_int8 0.5-0.6; r10 bands in BASELINE.md)
+relative to earlier rounds — read round-over-round totals per-query,
+not headline (see BASELINE.md).
+
+calibration_s is NOT a query and is excluded from the total: a
+fixed-work, IO-free aggregate over a cached in-memory range (same
+work at every SF) timed inside the same interleaved repetitions.  It
+is the same-run yardstick for host contention (r9 verdict item 4):
+per-key ratio_to_calibration replaces loadavg archaeology -- if a key
+and the calibration inflate together, the host moved, not the plan.
 """
 
 from __future__ import annotations
@@ -126,8 +142,44 @@ def main() -> None:
         ("dedup_semantic", "dedup_semantic_clustered"),
         ("dedup_components", "dedup_components"),
         ("sim_int8", "sim_int8_topk"),
+        # Round-10 additions (r9 verdict item 3): the scale-relevant
+        # r6-r9 paths the frozen r5 key set never represented.  Same
+        # rule: totals move by their own cost, compare per-query.
+        ("text_bm25", "text_bm25_topk"),
+        ("dedup_survivors_chain", "dedup_semantic_survivors"),
+        ("stream_upsert", "stream_upsert_latest"),
     ]:
         entries.append((bench_name, lambda n=reg_name: run_registry(n), 1))
+
+    # Fixed-work calibration (r9 verdict item 4): an IO-free, SF-free
+    # aggregate over a cached 144M x 3-bigint in-memory relation
+    # (~3.5 GB; ~1.2 s on a quiet host) -- exercises the same codegen
+    # + memory-bandwidth path
+    # the real keys saturate, identical work every round.  Timed inside
+    # the interleaved reps so it samples host state throughout the run;
+    # EXCLUDED from the headline total (it is a yardstick, not a query).
+    from pyspark.sql import functions as F
+
+    calib_df = (
+        spark.range(0, 144_000_000, 1, 32)
+        .select(
+            "id",
+            F.xxhash64("id").alias("h1"),
+            F.xxhash64("id", "id").alias("h2"),
+        )
+        .cache()
+    )
+    calib_df.count()
+
+    def run_calibration():
+        # bit_xor, not sum: the session pins ANSI mode and a long sum
+        # of 48M hashes overflows deterministically
+        calib_df.select(
+            F.expr("bit_xor(xxhash64(id, h1, h2))").alias("s")
+        ).collect()
+
+    CALIB_KEY = "calibration"
+    entries.append((CALIB_KEY, run_calibration, 1))
 
     # Interleaved whole-suite repetitions, per-query minima (round-3
     # verdict item 2): a cold first run on a busy host recorded 7x noise
@@ -169,8 +221,15 @@ def main() -> None:
 
     from statistics import median
 
-    timings = {k: round(min(v), 3) for k, v in raw_by_key.items()}
-    total = round(sum(min(v) for v in raw_by_key.values()), 3)
+    calib_s = min(raw_by_key[CALIB_KEY])
+    timings = {
+        k: round(min(v), 3)
+        for k, v in raw_by_key.items()
+        if k != CALIB_KEY
+    }
+    total = round(
+        sum(min(v) for k, v in raw_by_key.items() if k != CALIB_KEY), 3
+    )
     # noise_ratio: median warm sample / min sample, averaged over keys,
     # both UNROUNDED (an advice finding: a 3-decimal denominator
     # overstates the ratio for fast keys).  ~1.0 = quiet host; >1.2 =
@@ -197,6 +256,14 @@ def main() -> None:
                 "load_avg_start": round(load_start, 2),
                 "load_avg_end": round(load_end, 2),
                 "noise_ratio": noise,
+                "calibration_s": round(calib_s, 3),
+                # per-key minimum / calibration minimum: the same-run
+                # contention-normalized cost.  Compare THESE round-over-
+                # round; raw seconds only confirm the host state.
+                "ratio_to_calibration": {
+                    k: round(min(raw_by_key[k]) / calib_s, 2)
+                    for k in timings
+                },
                 "samples": {
                     k: {
                         "cold": [round(x, 3) for x in v[: cold_n[k]]],

@@ -5208,3 +5208,173 @@ def rel_try_parse_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(try_cast(raw_num AS BIGINT)) AS BIGINT) AS sum_num
     FROM d
     """)
+
+
+# --- Schema evolution: mergeSchema across batch generations --------------------
+
+@query(
+    "rel_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, total_price, priority FROM (
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               o_totalprice AS total_price,
+               CAST(NULL AS VARCHAR) AS priority
+        FROM orders WHERE o_orderkey < 1000
+        UNION ALL
+        SELECT CAST(o_orderkey AS BIGINT), o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000
+    ) ORDER BY o_orderkey
+    """,
+    doc="Schema EVOLUTION across batch generations -- the lake reality "
+    "every long-lived 100 TB corpus hits: month 1 lands files without "
+    "a column, month 2 adds it, and readers must see one merged "
+    "schema with NULL back-fill instead of failing or silently "
+    "dropping the column.  Two parquet generations of an orders slice "
+    "are written (v1: key, price; v2: + o_orderpriority), then read "
+    "together with spark.read.option('mergeSchema', true) -- Spark "
+    "merges the FOOTER schemas (by default it trusts the first file "
+    "listed, which would LOSE the new column here since v1 sorts "
+    "first) and back-fills v1 rows with NULL.  The oracle derives the "
+    "same union straight from the source, so the hash verifies both "
+    "halves: no row lost across generations and the evolved column "
+    "NULL exactly on the pre-evolution slice.  total_price passes "
+    "through UNROUNDED (pure storage round-trip, bit-identical by "
+    "construction).  Scale judgment: schema merging reads footers, "
+    "not data -- at 100 TB cap it via "
+    "spark.sql.parquet.mergeSchema's per-file footer reads being "
+    "distributed (Spark schedules footer reading as a job), and "
+    "evolve additively only (added nullable columns), never type "
+    "changes -- the contract this query pins.  Both generations are "
+    "key-bounded so output is O(1) in scale factor; the dest dir is "
+    "fixture-keyed + committed (rel_orc_roundtrip idiom).",
+)
+def rel_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import committed_write, fixture_keyed_tmpdir
+
+    dest = fixture_keyed_tmpdir(sf_dir, "orders", "kmrc_schevo")
+
+    def write_generations(tmp: str) -> None:
+        o = load_table(spark, sf_dir, "orders")
+        o.where(F.col("o_orderkey") < 1000).select(
+            "o_orderkey", "o_totalprice"
+        ).write.parquet(f"{tmp}/gen1")
+        o.where(
+            (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000)
+        ).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        ).write.parquet(f"{tmp}/gen2")
+
+    committed_write(dest, write_generations)
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{dest}/gen1", f"{dest}/gen2"
+    )
+    return merged.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("o_totalprice").alias("total_price"),
+        F.col("o_orderpriority").alias("priority"),
+    ).orderBy("o_orderkey")
+
+
+# --- Bucketed (pre-shuffled) co-located join -----------------------------------
+
+# One-entry memo for the bucketed catalog tables (the erasure-fixture
+# recipe): the bucketing write IS the point of the query -- paying the
+# join shuffle once at write time -- but paying it once per SESSION,
+# not once per invocation, is exactly how a production estate uses it.
+# Keyed on the shared fixture_cache_key (applicationId + fixture file
+# signature), so a new session (fresh in-memory catalog) or a
+# regenerated fixture rewrites; a None key (un-stat-able fixture) is
+# uncacheable and rewrites every time.
+_BUCKETED_JOIN_MEMO: dict = {}
+
+
+def _bucketed_join_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import hashlib
+
+    from ..sources.readers import fixture_cache_key
+    from ..sources.writers import write_bucketed_table
+
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t_orders, t_lineitem = f"kmrc_bj_orders_{sfx}", f"kmrc_bj_lineitem_{sfx}"
+    key = fixture_cache_key(spark, sf_dir, "lineitem")
+    if key is not None and _BUCKETED_JOIN_MEMO.get(key) == (t_orders, t_lineitem):
+        return t_orders, t_lineitem
+    # The warehouse DIRECTORY outlives the in-memory catalog: a table
+    # location left by a previous session makes saveAsTable fail with
+    # LOCATION_ALREADY_EXISTS even though the catalog has no entry --
+    # drop both the entry and any stale location before writing.
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in (t_orders, t_lineitem):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    write_bucketed_table(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ),
+        t_orders,
+        "o_orderkey",
+        num_buckets=8,
+    )
+    write_bucketed_table(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_extendedprice"
+        ),
+        t_lineitem,
+        "l_orderkey",
+        num_buckets=8,
+    )
+    if key is not None:
+        _BUCKETED_JOIN_MEMO.clear()
+        _BUCKETED_JOIN_MEMO[key] = (t_orders, t_lineitem)
+    return t_orders, t_lineitem
+
+
+@query(
+    "rel_bucketed_join",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_price_cents
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+    doc="Bucketed co-located fact-to-fact join: orders and lineitem are "
+    "written as 8-bucket hash-clustered catalog tables on the join "
+    "key (sources.writers.write_bucketed_table -- one file per "
+    "bucket, sortBy pre-sorted), then joined WITHOUT any join-side "
+    "Exchange: matching bucket specs mean sort-merge join reads "
+    "co-located bucket files directly, the shuffle both sides would "
+    "pay per-run having been paid ONCE at write time.  At 100 TB this "
+    "is the single biggest repeated-join lever there is -- the only "
+    "Exchange left in the whole plan is the 5-group final aggregate "
+    "(asserted in tests/test_bucketing.py: exactly one Exchange, one "
+    "SortMergeJoin, no BroadcastExchange -- the merge hint keeps the "
+    "planner from broadcasting the small-SF dimension side, which "
+    "would hide the bucketing).  The bucket write is memoized per "
+    "(session, fixture) -- paying the layout cost once per estate, "
+    "not per query, is the production pattern.  Quantities and cents "
+    "aggregate as exact integers (pos_cents contract); l_quantity is "
+    "integral in TPC-H so the bigint cast is lossless in both "
+    "engines.",
+)
+def rel_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t_orders, t_lineitem = _bucketed_join_tables(spark, sf_dir)
+    o = spark.table(t_orders).hint("merge")
+    li = spark.table(t_lineitem).hint("merge")
+    joined = o.join(li, o.o_orderkey == li.l_orderkey)
+    return (
+        joined.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum(pos_cents("l_extendedprice")).alias("sum_price_cents"),
+        )
+        .orderBy("priority")
+    )

@@ -110,3 +110,43 @@ def test_bucket_pruning_single_key_scan(spark, bucketed):
         assert "SelectedBucketsCount: 1 out of 4" in plan, plan
     finally:
         spark.conf.set(conf, old)
+
+
+def test_rel_bucketed_join_registry_query_plan_and_memo(spark):
+    """The REGISTRY query (r10): the only Exchanges in the plan are
+    ABOVE the aggregate (the 5-group hash repartition + the final
+    order-by range partition -- both over <=5 rows per partition); the
+    join subtree below the partial HashAggregate is Exchange-free over
+    a SortMergeJoin of co-located bucketed scans, with no
+    BroadcastExchange anywhere (the merge hint pins it).  The bucket
+    write is memoized per (session, fixture)."""
+    from kmeans_with_mapreduce_cuda_spark.plans import REGISTRY, relational
+
+    relational._BUCKETED_JOIN_MEMO.clear()
+    df = REGISTRY["rel_bucketed_join"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    join_part = plan.split("HashAggregate")[-1]  # below the partial agg
+    assert "Exchange" not in join_part, plan
+    assert plan.count("Exchange") == 2, plan  # 5-group agg + orderBy only
+    assert "SortMergeJoin" in join_part, plan
+    assert "BroadcastExchange" not in plan, plan
+    assert join_part.count("Bucketed: true") == 2, plan
+    assert len(relational._BUCKETED_JOIN_MEMO) == 1
+    tables = next(iter(relational._BUCKETED_JOIN_MEMO.values()))
+    # memo hit: second invocation reuses the same catalog tables
+    # without clearing/rewriting them
+    df2 = REGISTRY["rel_bucketed_join"].fn(spark, SF_DIR)
+    assert next(iter(relational._BUCKETED_JOIN_MEMO.values())) == tables
+    assert {tuple(r) for r in df2.collect()} == {tuple(r) for r in df.collect()}
+
+
+def test_rel_schema_evolution_nulls_exactly_on_pre_evolution_rows(spark):
+    from kmeans_with_mapreduce_cuda_spark.plans import REGISTRY
+
+    rows = REGISTRY["rel_schema_evolution"].fn(spark, SF_DIR).collect()
+    assert rows, "fixture slice should be non-empty"
+    for r in rows:
+        if r["o_orderkey"] < 1000:
+            assert r["priority"] is None
+        else:
+            assert r["priority"] is not None
