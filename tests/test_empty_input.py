@@ -112,6 +112,9 @@ QUERIES = [
     "rel_locf_impute",
     "dedup_exact_keep_best",
     "text_intradoc_dedup",
+    # r10 additions
+    "rel_schema_evolution",
+    "rel_bucketed_join",
 ]
 
 
