@@ -153,9 +153,9 @@ def main() -> None:
 
     # Fixed-work calibration (r9 verdict item 4): an IO-free, SF-free
     # aggregate over a cached 144M x 3-bigint in-memory relation
-    # (~3.5 GB; ~1.2 s on a quiet host) -- exercises the same codegen
-    # + memory-bandwidth path
-    # the real keys saturate, identical work every round.  Timed inside
+    # (~3.5 GB; quiet-host floor ~0.55 s, see BASELINE.md) -- exercises
+    # the same codegen + memory-bandwidth path the real keys saturate,
+    # identical work every round.  Timed inside
     # the interleaved reps so it samples host state throughout the run;
     # EXCLUDED from the headline total (it is a yardstick, not a query).
     from pyspark.sql import functions as F
@@ -173,7 +173,7 @@ def main() -> None:
 
     def run_calibration():
         # bit_xor, not sum: the session pins ANSI mode and a long sum
-        # of 48M hashes overflows deterministically
+        # of 144M hashes overflows deterministically
         calib_df.select(
             F.expr("bit_xor(xxhash64(id, h1, h2))").alias("s")
         ).collect()

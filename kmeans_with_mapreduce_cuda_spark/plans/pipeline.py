@@ -7543,11 +7543,13 @@ def _erasure_pristine_table(spark: SparkSession, sf_dir: str) -> str:
             "user_id",
             "ts",
             "event_id",
-            # FLOOR division to match the oracle's DuckDB `//`:
-            # Spark's `div` truncates toward zero, which would shift
-            # any pre-1970 timestamp into the wrong day partition
-            # (r10 advice).  floor() over the integer-ratio double is
-            # exact for any |micros| < 2^53 (~285 years of epoch).
+            # FLOOR division, mirrored VERBATIM in the oracle (r10
+            # advice + review): Spark `div` and DuckDB integer `//`
+            # BOTH truncate toward zero (verified on duckdb 1.0), so
+            # neither spelling gives the correct previous-day bucket
+            # for a pre-1970 timestamp -- both sides now compute the
+            # identical floor-of-double-ratio, exact for any
+            # |micros| < 2^53 (~285 years of epoch).
             F.expr(
                 "CAST(floor(unix_micros(ts) / 86400000000.0) AS BIGINT)"
             ).alias("epoch_day"),
@@ -7575,22 +7577,19 @@ def _hardlink_clone(src: str, dst: str) -> None:
     import os
     import shutil
 
-    for root, _dirs, files in os.walk(src):
-        rel = os.path.relpath(root, src)
-        troot = os.path.join(dst, rel) if rel != "." else dst
-        os.makedirs(troot, exist_ok=True)
-        for f in files:
-            s, t = os.path.join(root, f), os.path.join(troot, f)
-            try:
-                os.link(s, t)
-            except OSError:
-                shutil.copy2(s, t)
+    def link_or_copy(s: str, t: str) -> None:
+        try:
+            os.link(s, t)
+        except OSError:
+            shutil.copy2(s, t)
+
+    shutil.copytree(src, dst, copy_function=link_or_copy, dirs_exist_ok=True)
 
 
 @query(
     "pipe_user_erasure",
     oracle="""
-    SELECT epoch_us(ts) // 86400000000 AS epoch_day,
+    SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS epoch_day,
            CAST(count(*) AS BIGINT) AS n,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
            TRUE AS untouched_partitions_intact
@@ -7599,8 +7598,14 @@ def _hardlink_clone(src: str, dst: str) -> None:
     """,
     doc="Targeted deletion (GDPR user erasure) as a PARTITION-PRUNED "
     "rewrite: events land in a hive table partitioned by tz-free "
-    "epoch_day (unix_micros div 86400e6 -- no session-timezone "
-    "dependence, unlike to_date(ts)), then user 7's rows are erased "
+    "epoch_day (floor(unix_micros / 86400e6) -- no session-timezone "
+    "dependence, unlike to_date(ts); FLOOR in BOTH engines, r10 "
+    "review: DuckDB's integer `//` TRUNCATES toward zero like "
+    "Spark's `div`, so the pre-1970 day-boundary semantics are "
+    "pinned by spelling the identical floor-of-double-ratio "
+    "expression on both sides -- floor is the correct day bucketing "
+    "for negative epochs, and the double ratio is exact for "
+    "|micros| < 2^53), then user 7's rows are erased "
     "by dynamically overwriting ONLY the partitions that user "
     "appears in (sources.writers.overwrite_partitions_dynamic; the "
     "affected-day list is a <=30-row collect).  At 100 TB this is "

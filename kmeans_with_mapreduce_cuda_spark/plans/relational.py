@@ -5249,6 +5249,8 @@ def rel_try_parse_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fixture-keyed + committed (rel_orc_roundtrip idiom).",
 )
 def rel_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
     from ..sources.readers import committed_write, fixture_keyed_tmpdir
 
     dest = fixture_keyed_tmpdir(sf_dir, "orders", "kmrc_schevo")
@@ -5264,7 +5266,12 @@ def rel_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "o_totalprice", "o_orderpriority"
         ).write.parquet(f"{tmp}/gen2")
 
-    committed_write(dest, write_generations)
+    # fixture-keyed dest: skip the rewrite when a committed copy exists
+    # (the rel_dpp_prune_join idiom; gen2 is written last, so its
+    # _SUCCESS implies a complete pair under committed_write's
+    # whole-directory rename)
+    if not os.path.exists(os.path.join(dest, "gen2", "_SUCCESS")):
+        committed_write(dest, write_generations)
     merged = spark.read.option("mergeSchema", "true").parquet(
         f"{dest}/gen1", f"{dest}/gen2"
     )
@@ -5296,7 +5303,12 @@ def _bucketed_join_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
     sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     t_orders, t_lineitem = f"kmrc_bj_orders_{sfx}", f"kmrc_bj_lineitem_{sfx}"
-    key = fixture_cache_key(spark, sf_dir, "lineitem")
+    # BOTH source signatures (r10 review): the tables derive from two
+    # fixtures, and a lineitem-only key would serve stale bucketed
+    # orders after an in-place orders.parquet rewrite.
+    k_o = fixture_cache_key(spark, sf_dir, "orders")
+    k_l = fixture_cache_key(spark, sf_dir, "lineitem")
+    key = None if k_o is None or k_l is None else (k_o, k_l)
     if key is not None and _BUCKETED_JOIN_MEMO.get(key) == (t_orders, t_lineitem):
         return t_orders, t_lineitem
     # The warehouse DIRECTORY outlives the in-memory catalog: a table

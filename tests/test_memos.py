@@ -102,3 +102,50 @@ def test_fixture_cache_key_sees_nested_in_place_rewrite(spark, tmp_path):
 
     # missing table -> None (uncacheable), never a crash
     assert fixture_cache_key(spark, str(tmp_path), "absent") is None
+
+
+def test_user_erasure_pre_1970_day_boundaries_match_oracle(spark, tmp_path):
+    """The epoch_day bucketing must agree across engines for NEGATIVE
+    epochs (r10 advice + review: Spark `div` and DuckDB integer `//`
+    both truncate toward zero, so the fix is the identical
+    floor-of-double-ratio expression on BOTH sides).  Rows straddle
+    the -1/0 day boundary exactly."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from kmeans_with_mapreduce_cuda_spark.plans import REGISTRY
+
+    day_us = 86_400_000_000
+    rows = [
+        # erased user 7 on both sides of the epoch
+        (7, -1, 1), (7, -day_us, 2), (7, day_us, 3),
+        # survivor straddling the boundary: -1 us is day -1, 0 is day 0
+        (3, -1, 4), (3, -day_us - 1, 5), (3, 0, 6), (3, 1, 7),
+        (4, -2 * day_us, 8), (4, day_us - 1, 9),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, us long, event_id long"
+    ).select("user_id", F.timestamp_micros("us").alias("ts"), "event_id")
+    df.write.parquet(str(tmp_path / "events.parquet"))
+
+    q = REGISTRY["pipe_user_erasure"]
+    got = q.fn(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{tmp_path}/events.parquet/*.parquet'"
+    )
+    exp = con.execute(q.oracle).fetchdf()
+    con.close()
+
+    g = {
+        (r.epoch_day, r.n, r.n_users, r.untouched_partitions_intact)
+        for r in got.itertuples()
+    }
+    e = {
+        (r.epoch_day, r.n, r.n_users, bool(r.untouched_partitions_intact))
+        for r in exp.itertuples()
+    }
+    assert g == e
+    # the pre-1970 microsecond really lands in day -1 (floor), in BOTH
+    assert any(d == -1 for d, *_ in g)
