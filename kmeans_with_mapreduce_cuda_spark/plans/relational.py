@@ -5390,3 +5390,127 @@ def rel_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# --- Z-order clustered layout: multi-column file skipping ----------------------
+
+@query(
+    "rel_zorder_pruning",
+    oracle="""
+    WITH b AS (
+        SELECT min(l_orderkey) AS klo, max(l_orderkey) AS khi,
+               min(l_partkey)  AS plo, max(l_partkey)  AS phi
+        FROM lineitem
+    )
+    SELECT l_returnflag AS returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_price_cents,
+           TRUE AS clustered_files_skipped
+    FROM lineitem, b
+    WHERE l_orderkey >= b.klo + 0.25 * (b.khi - b.klo)
+      AND l_orderkey <  b.klo + 0.50 * (b.khi - b.klo)
+      AND l_partkey  >= b.plo + 0.25 * (b.phi - b.plo)
+      AND l_partkey  <  b.plo + 0.50 * (b.phi - b.plo)
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Z-ORDER clustered layout as a driver-gated query (the "
+    "multi-column file-skipping lever: Delta OPTIMIZE ZORDER BY / "
+    "liquid clustering): lineitem is rewritten tiled by the Morton "
+    "interleave of (l_orderkey, l_partkey) "
+    "(functions.layout.write_zorder_clustered, 16 files, fixture-"
+    "keyed + _SUCCESS-guarded so the layout is paid once per "
+    "fixture), then a 2-D box predicate (the middle quarter of BOTH "
+    "key domains) runs against the clustered copy.  The hash checks "
+    "content parity with the plain-source oracle (clustering is a "
+    "pure rewrite), and the claim column pins the LAYOUT property: "
+    "the matching rows came from fewer than half of the files "
+    "(distinct input_file_name() vs the dir listing) -- on an "
+    "unclustered or single-column-range layout a 2-D box touches "
+    "nearly every file (tests/test_layout.py measures per-file "
+    "min/max spans directly).  At 100 TB this is the difference "
+    "between scanning ~1/16 of the corpus and scanning all of it "
+    "for every multi-dimension slice; footer row-group pruning "
+    "composes with it (PushedFilters reach the scan).  Box bounds "
+    "are quarter-fractions of integer min/max -- exact doubles, "
+    "bit-identical in both engines; the box is open on the right so "
+    "boundary rows land on one side only.  All aggregates exact "
+    "integers (pos_cents contract).",
+)
+def rel_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+
+    from ..functions.layout import write_zorder_clustered
+    from ..sources.readers import committed_write, fixture_keyed_tmpdir
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_returnflag", "l_quantity",
+        "l_extendedprice",
+    )
+    bounds = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"),
+        F.min("l_partkey"), F.max("l_partkey"),
+    ).collect()[0]
+    if bounds[0] is None:
+        # empty source: nothing to cluster, typed empty (matches the
+        # oracle's empty GROUP BY result)
+        from pyspark.sql.types import (
+            BooleanType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("returnflag", StringType(), True),
+                    StructField("n", LongType(), False),
+                    StructField("sum_qty", LongType(), True),
+                    StructField("sum_price_cents", LongType(), True),
+                    StructField(
+                        "clustered_files_skipped", BooleanType(), False
+                    ),
+                ]
+            ),
+        )
+    klo, khi, plo, phi = (float(v) for v in bounds)
+    dest = fixture_keyed_tmpdir(sf_dir, "lineitem", "kmrc_zorder")
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        committed_write(
+            dest,
+            lambda tmp: write_zorder_clustered(
+                li, tmp, "l_orderkey", "l_partkey", num_files=16
+            ),
+        )
+    clustered = spark.read.parquet(dest)
+    box = (
+        (F.col("l_orderkey") >= F.lit(klo + 0.25 * (khi - klo)))
+        & (F.col("l_orderkey") < F.lit(klo + 0.50 * (khi - klo)))
+        & (F.col("l_partkey") >= F.lit(plo + 0.25 * (phi - plo)))
+        & (F.col("l_partkey") < F.lit(plo + 0.50 * (phi - plo)))
+    )
+    hits = clustered.where(box)
+    n_files_total = len(glob.glob(os.path.join(dest, "*.parquet")))
+    # project the (nondeterministic) file name BEFORE aggregating --
+    # ANSI analysis rejects it inside an aggregate argument
+    n_files_hit = (
+        hits.select(F.input_file_name().alias("f")).distinct().count()
+    )  # <=16-row distinct: the layout-locality claim
+    return (
+        hits.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum(pos_cents("l_extendedprice")).alias("sum_price_cents"),
+        )
+        .withColumn(
+            "clustered_files_skipped",
+            F.lit(bool(n_files_hit * 2 < n_files_total)),
+        )
+        .orderBy("returnflag")
+    )

@@ -115,6 +115,7 @@ QUERIES = [
     # r10 additions
     "rel_schema_evolution",
     "rel_bucketed_join",
+    "rel_zorder_pruning",
 ]
 
 
