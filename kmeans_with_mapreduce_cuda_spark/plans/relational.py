@@ -5409,10 +5409,10 @@ def rel_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS sum_price_cents,
            TRUE AS clustered_files_skipped
     FROM lineitem, b
-    WHERE l_orderkey >= b.klo + 0.25 * (b.khi - b.klo)
-      AND l_orderkey <  b.klo + 0.50 * (b.khi - b.klo)
-      AND l_partkey  >= b.plo + 0.25 * (b.phi - b.plo)
-      AND l_partkey  <  b.plo + 0.50 * (b.phi - b.plo)
+    WHERE l_orderkey >= CAST(ceil(b.klo + 0.25 * (b.khi - b.klo)) AS BIGINT)
+      AND l_orderkey <  CAST(ceil(b.klo + 0.50 * (b.khi - b.klo)) AS BIGINT)
+      AND l_partkey  >= CAST(ceil(b.plo + 0.25 * (b.phi - b.plo)) AS BIGINT)
+      AND l_partkey  <  CAST(ceil(b.plo + 0.50 * (b.phi - b.plo)) AS BIGINT)
     GROUP BY 1 ORDER BY 1
     """,
     doc="Z-ORDER clustered layout as a driver-gated query (the "
@@ -5432,11 +5432,17 @@ def rel_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "min/max spans directly).  At 100 TB this is the difference "
     "between scanning ~1/16 of the corpus and scanning all of it "
     "for every multi-dimension slice; footer row-group pruning "
-    "composes with it (PushedFilters reach the scan).  Box bounds "
-    "are quarter-fractions of integer min/max -- exact doubles, "
-    "bit-identical in both engines; the box is open on the right so "
-    "boundary rows land on one side only.  All aggregates exact "
-    "integers (pos_cents contract).",
+    "composes with it (PushedFilters reach the scan -- the bounds "
+    "are CEIL'd to BIGINT before comparing, because a double "
+    "literal would cast the column and kill pushdown entirely; "
+    "caught by the plan test).  Box bounds are ceil of "
+    "quarter-fractions of integer min/max -- the fraction is an "
+    "exact double and ceil of it exact, so the integer bounds are "
+    "bit-identical in both engines; for integer x, x >= a iff "
+    "x >= ceil(a), so the spelling is also membership-equivalent "
+    "to the raw fractional box; open on the right so boundary rows "
+    "land on one side only.  All aggregates exact integers "
+    "(pos_cents contract).",
 )
 def rel_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
@@ -5478,6 +5484,8 @@ def rel_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             ),
         )
+    import math
+
     klo, khi, plo, phi = (float(v) for v in bounds)
     dest = fixture_keyed_tmpdir(sf_dir, "lineitem", "kmrc_zorder")
     if not os.path.exists(os.path.join(dest, "_SUCCESS")):
@@ -5488,11 +5496,16 @@ def rel_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     clustered = spark.read.parquet(dest)
+    # integer bounds (ceil of the exact quarter-fraction doubles):
+    # bigint-vs-bigint comparisons stay pushdown-eligible, where a
+    # double literal would cast the column and prune nothing
+    k0, k1 = (math.ceil(klo + f * (khi - klo)) for f in (0.25, 0.50))
+    p0, p1 = (math.ceil(plo + f * (phi - plo)) for f in (0.25, 0.50))
     box = (
-        (F.col("l_orderkey") >= F.lit(klo + 0.25 * (khi - klo)))
-        & (F.col("l_orderkey") < F.lit(klo + 0.50 * (khi - klo)))
-        & (F.col("l_partkey") >= F.lit(plo + 0.25 * (phi - plo)))
-        & (F.col("l_partkey") < F.lit(plo + 0.50 * (phi - plo)))
+        (F.col("l_orderkey") >= F.lit(k0))
+        & (F.col("l_orderkey") < F.lit(k1))
+        & (F.col("l_partkey") >= F.lit(p0))
+        & (F.col("l_partkey") < F.lit(p1))
     )
     hits = clustered.where(box)
     n_files_total = len(glob.glob(os.path.join(dest, "*.parquet")))

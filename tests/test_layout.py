@@ -344,3 +344,20 @@ def test_zorder_clustering_3col_narrows_all_columns(spark, tmp_path):
         back.agg(F.sum("l_quantity")).collect()[0][0]
         == li.agg(F.sum("l_quantity")).collect()[0][0]
     )
+
+
+def test_rel_zorder_pruning_pushes_box_predicate_to_scan(spark):
+    """The gate query's 2-D box must reach the clustered scan as
+    PushedFilters on BOTH interleaved columns (row-group pruning
+    composes with the file-level locality the claim column pins)."""
+    from kmeans_with_mapreduce_cuda_spark.plans import REGISTRY
+
+    df = REGISTRY["rel_zorder_pruning"].fn(spark, SF_DIR)
+    # formatted explain: the operator toString elides long PushedFilters
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    scan = plan.split("PushedFilters")[-1]
+    assert "GreaterThanOrEqual(l_orderkey" in scan, plan
+    assert "GreaterThanOrEqual(l_partkey" in scan, plan
+    assert "LessThan(l_orderkey" in scan and "LessThan(l_partkey" in scan, plan
