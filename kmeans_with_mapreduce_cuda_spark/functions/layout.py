@@ -89,21 +89,26 @@ def write_zorder_clustered(
     *cols: str,
     num_files: int = 16,
     bits: int = 8,
+    ranges: list[tuple[float, float]] | None = None,
 ) -> None:
     """Write parquet tiled by the Z-order key of ``cols`` (2+ columns):
     every output file covers one locality cell, so footer min/max stats
     prune scans filtered on ANY of the clustered columns (asserted
     against the actual footers in tests/test_layout.py).  Bounds are
-    computed with one tiny min/max aggregation; the key column is
-    dropped from the output."""
+    computed with one tiny min/max aggregation unless the caller
+    already has them (pass ``ranges``, one (lo, hi) per column, to
+    skip the extra source scan); the key column is dropped from the
+    output."""
     assert len(cols) >= 2, "z-ordering needs at least two columns"
-    bounds = df.agg(
-        *[f for c in cols for f in (F.min(c), F.max(c))]
-    ).collect()[0]
-    ranges = [
-        (float(bounds[2 * j]), float(bounds[2 * j + 1]))
-        for j in range(len(cols))
-    ]
+    if ranges is None:
+        bounds = df.agg(
+            *[f for c in cols for f in (F.min(c), F.max(c))]
+        ).collect()[0]
+        ranges = [
+            (float(bounds[2 * j]), float(bounds[2 * j + 1]))
+            for j in range(len(cols))
+        ]
+    assert len(ranges) == len(cols)
     key = zorder_key(list(cols), ranges, bits)
     (
         df.withColumn("_zkey", key)

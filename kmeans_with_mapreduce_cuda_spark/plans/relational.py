@@ -5459,9 +5459,11 @@ def rel_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_orderkey"), F.max("l_orderkey"),
         F.min("l_partkey"), F.max("l_partkey"),
     ).collect()[0]
-    if bounds[0] is None:
-        # empty source: nothing to cluster, typed empty (matches the
-        # oracle's empty GROUP BY result)
+    if any(v is None for v in bounds):
+        # empty source OR an all-NULL key column (r10 second review:
+        # NULL plo/phi make the oracle's box comparisons NULL, which
+        # filters every row): nothing to cluster, typed empty
+        # (matches the oracle's empty GROUP BY result)
         from pyspark.sql.types import (
             BooleanType,
             LongType,
@@ -5491,8 +5493,12 @@ def rel_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(dest, "_SUCCESS")):
         committed_write(
             dest,
+            # reuse the bounds just collected -- write_zorder_clustered
+            # would otherwise re-scan the source for the same min/max
+            # (r10 second review)
             lambda tmp: write_zorder_clustered(
-                li, tmp, "l_orderkey", "l_partkey", num_files=16
+                li, tmp, "l_orderkey", "l_partkey", num_files=16,
+                ranges=[(klo, khi), (plo, phi)],
             ),
         )
     clustered = spark.read.parquet(dest)

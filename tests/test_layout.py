@@ -361,3 +361,29 @@ def test_rel_zorder_pruning_pushes_box_predicate_to_scan(spark):
     assert "GreaterThanOrEqual(l_orderkey" in scan, plan
     assert "GreaterThanOrEqual(l_partkey" in scan, plan
     assert "LessThan(l_orderkey" in scan and "LessThan(l_partkey" in scan, plan
+
+
+def test_rel_zorder_pruning_all_null_key_column_returns_typed_empty(
+    spark, tmp_path
+):
+    """Rows present but one cluster-key column entirely NULL: the
+    oracle's NULL bounds filter every row, so the query must return
+    the typed empty relation, not crash on float(None) (r10 second
+    review)."""
+    from pyspark.sql import functions as F
+
+    from kmeans_with_mapreduce_cuda_spark.plans import REGISTRY
+
+    spark.createDataFrame(
+        [(1, "A", 5.0, 100.0), (2, "N", 3.0, 50.0)],
+        "l_orderkey long, l_returnflag string, l_quantity double, "
+        "l_extendedprice double",
+    ).withColumn("l_partkey", F.lit(None).cast("long")).write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    out = REGISTRY["rel_zorder_pruning"].fn(spark, str(tmp_path))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "returnflag", "n", "sum_qty", "sum_price_cents",
+        "clustered_files_skipped",
+    ]
