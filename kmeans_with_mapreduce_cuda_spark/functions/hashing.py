@@ -38,8 +38,11 @@ def stable_sample_key(col: Column | str, seed: int = 42) -> Column:
     """Deterministic pseudo-random ordering key for a column: replaces the
     reference's wall-clock-seeded sampler (random_num_generator.hpp:17-28,
     with its inclusive-bound off-by-one) with a seeded, reproducible,
-    engine-portable order.  ``ORDER BY stable_sample_key(id) LIMIT k`` is a
-    uniform-without-replacement k-sample.
+    engine-portable order.  ``ORDER BY stable_sample_key(id), id LIMIT k``
+    is a uniform-without-replacement k-sample -- the ``id`` tie-break is
+    MANDATORY: keys are 32-bit, so birthday collisions are ~50% likely at
+    ~77k rows and without it the order among tied rows is engine- and
+    partition-dependent (every call site appends it; code-review r10).
     """
     return md5_long(col, salt=f"seed{seed}:")
 

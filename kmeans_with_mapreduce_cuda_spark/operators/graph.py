@@ -104,30 +104,40 @@ def pagerank_int(
         F.lit(spn).cast("bigint").alias("rank_scaled"),
     ).localCheckpoint(eager=True)
 
-    for _ in range(iters):
-        contribs = (
-            ed.join(ranks, ed.src == ranks.node)
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("rank_scaled DIV outdeg").alias("c"),
+    try:
+        for _ in range(iters):
+            contribs = (
+                ed.join(ranks, ed.src == ranks.node)
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr("rank_scaled DIV outdeg").alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("s"))
             )
-            .groupBy("node")
-            .agg(F.sum("c").alias("s"))
-        )
-        new = (
-            ranks.select("node")
-            .join(contribs, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base).cast("bigint")
-                    + F.expr(f"({damping_pct} * coalesce(s, 0L)) DIV 100")
-                ).alias("rank_scaled"),
+            new = (
+                ranks.select("node")
+                .join(contribs, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(base).cast("bigint")
+                        + F.expr(f"({damping_pct} * coalesce(s, 0L)) DIV 100")
+                    ).alias("rank_scaled"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
+            _release_local_checkpoint(ranks)
+            ranks = new
+    except BaseException:
+        # A mid-loop job failure propagates before deps is returned, so
+        # the caller has no handle to release the degree-annotated edge
+        # list or the current round's checkpoint blocks -- free them
+        # here (the connected_components finally-discipline; on success
+        # the caller releases via deps as before).
+        ed.unpersist()
         _release_local_checkpoint(ranks)
-        ranks = new
+        raise
 
     return PageRanks(ranks=ranks, deps=[ed, _CheckpointHandle(ranks)])
 
@@ -160,18 +170,32 @@ def bfs_hops(
         .withColumn("hops", F.lit(0).cast("bigint"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(rounds):
-        msgs = ed.join(dist, ed.src == dist.node).select(
-            F.col("dst").alias("node"),
-            (F.col("hops") + 1).alias("hops"),
-        )
-        new = (
-            dist.select("node", "hops")
-            .unionAll(msgs)
-            .groupBy("node")
-            .agg(F.min("hops").alias("hops"))
-            .localCheckpoint(eager=True)
-        )
+    try:
+        for r in range(rounds):
+            # Expand only the FRONTIER (nodes first reached last round:
+            # hops == r), not the whole reached set: a node with
+            # hops < r already sent its (hops+1) messages in an earlier
+            # round and min() can never be lowered by re-sending them.
+            # Per-round join cost is O(|frontier| * avg-degree) instead
+            # of O(|reached| * avg-degree) -- on a dense graph the final
+            # round would otherwise redo all prior rounds' message
+            # generation (code-review r10).
+            frontier = dist.where(F.col("hops") == r)
+            msgs = ed.join(frontier, ed.src == frontier.node).select(
+                F.col("dst").alias("node"),
+                (F.col("hops") + 1).alias("hops"),
+            )
+            new = (
+                dist.select("node", "hops")
+                .unionAll(msgs)
+                .groupBy("node")
+                .agg(F.min("hops").alias("hops"))
+                .localCheckpoint(eager=True)
+            )
+            _release_local_checkpoint(dist)
+            dist = new
+    except BaseException:
+        ed.unpersist()  # same failure-path release as pagerank_int
         _release_local_checkpoint(dist)
-        dist = new
+        raise
     return PageRanks(ranks=dist, deps=[ed, _CheckpointHandle(dist)])

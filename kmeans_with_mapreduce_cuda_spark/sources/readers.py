@@ -105,6 +105,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def adapt_events_ts(df: DataFrame) -> DataFrame:
+    """Rebuild a nanos-as-long ``ts`` column at microsecond precision.
+
+    Idempotent: a re-written events table (our own sinks, empty mirrors)
+    already carries a real TIMESTAMP -- only raw nanos-longs need
+    rebuilding.  The division MUST be integer ``div``: Spark's ``/`` on
+    BIGINT is IEEE double division, and epoch nanos (~1.7e18) exceed
+    double's 53-bit mantissa, so ``(ts / 1000).cast("long")`` truncates
+    ~1.6% of microsecond-precision instants one microsecond low (e.g.
+    1527181348791376 us -> ...375).  Shared by the batch reader and
+    ``streaming.read_events_stream`` so the batch-vs-stream equality the
+    tests assert can't drift (code-review r10)."""
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -113,15 +130,7 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
         # unix_micros()/RANGE-window arithmetic and diverges from the
         # DuckDB oracle's naive-UTC reading.  Read them as instants (LTZ).
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # idempotent: a re-written events table (our own sinks, empty
-        # mirrors) already carries a real TIMESTAMP -- only raw
-        # nanos-longs need rebuilding
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
-        return df
+        return adapt_events_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -51,11 +51,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if isinstance(schema["ts"].dataType, LongType):
-        raw = raw.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
-    return raw
+    from ..sources.readers import adapt_events_ts
+
+    return adapt_events_ts(raw)
 
 
 def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
@@ -228,10 +226,17 @@ class StreamingKMeans:
             self.x,
             self.y,
         ).collect()
+        # Uniform per-batch decay (MLlib StreamingKMeans semantics): ALL
+        # clusters' history is down-weighted once per batch, whether or
+        # not they receive points -- decaying only on update would make
+        # history half-life data-dependent per cluster (a cluster idle
+        # for 10 batches would dominate its next merge at full weight;
+        # code-review r10).  decay=1 is exactly the old behavior.
+        self.counts = [c * self.decay for c in self.counts]
         for r in rows:
             i = int(r["cluster_id"])
             bx, by, bn = float(r["cx"]), float(r["cy"]), float(r["n"])
-            n_old = self.counts[i] * self.decay
+            n_old = self.counts[i]
             tot = n_old + bn
             cx, cy = self.centroids[i]
             self.centroids[i] = (
@@ -284,21 +289,28 @@ def _sessionize_group(
         start_us = last_us = -1
         n = 0
 
+    # Arrow hands a group over as MULTIPLE pandas chunks (default
+    # maxRecordsPerBatch=10k) with no cross-chunk time ordering --
+    # sorting each chunk independently would let a chunk-2 timestamp
+    # earlier than chunk-1's last event regress last_us below start_us
+    # and split a real session (code-review r10).  Concatenate the whole
+    # group, then sort ONCE.
+    chunks = [pd.to_datetime(pdf["ts"]).astype("int64") // 1000 for pdf in pdfs]
+    ts_us = pd.concat(chunks).sort_values() if chunks else pd.Series([], dtype="int64")
     out = []
-    for pdf in pdfs:
-        ts_us = (
-            pd.to_datetime(pdf["ts"]).astype("int64") // 1000
-        ).sort_values()
-        for t in ts_us:
-            t = int(t)
-            if start_us < 0:
-                start_us, last_us, n = t, t, 1
-            elif t - last_us > GAP_US:
-                out.append((user_id, start_us, last_us, n))
-                start_us, last_us, n = t, t, 1
-            else:
-                last_us = t
-                n += 1
+    for t in ts_us:
+        t = int(t)
+        if start_us < 0:
+            start_us, last_us, n = t, t, 1
+        elif t - last_us > GAP_US:
+            out.append((user_id, start_us, last_us, n))
+            start_us, last_us, n = t, t, 1
+        else:
+            # max(): a late cross-micro-batch event (t < last_us, which
+            # the within-batch sort can't order) joins the open session
+            # without regressing its end.
+            last_us = max(last_us, t)
+            n += 1
     state.update((start_us, last_us, n))
     if out:
         df = pd.DataFrame(
@@ -345,14 +357,6 @@ def dedup_stream(
 
 
 # --- transformWithStateInPandas: arbitrary typed state ------------------------
-
-class _RunningTotalsProcessor:
-    """Per-user running (event count, value sum) via the typed-state
-    API -- the general replacement for applyInPandasWithState: named
-    state variables, timers, and TTL instead of one opaque state blob.
-    Defined lazily so importing this module never requires the
-    stateful-processor API."""
-
 
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Continuously-maintained per-user totals over the event stream
@@ -534,12 +538,21 @@ def ingest_dedup_foreach_batch(
             if cond != "PATH_NOT_FOUND":
                 raise
             idx = spark.createDataFrame([], "h string")
+        from ..operators.dedup import _release_local_checkpoint
+
         novel = incremental_dedup_keep_digests(
             idx, batch_df, text_col, id_col
         )
         novel = novel.localCheckpoint(eager=True)  # read idx BEFORE appending
-        novel.select(id_col).write.mode("append").parquet(out_path)
-        novel.select("h").write.mode("append").parquet(index_path)
+        try:
+            novel.select(id_col).write.mode("append").parquet(out_path)
+            novel.select("h").write.mode("append").parquet(index_path)
+        finally:
+            # Explicit release, as in upsert_latest_foreach_batch: the
+            # per-batch checkpoint blocks are NOT freed by scope exit
+            # (see dedup._release_local_checkpoint) and would pile up
+            # across an unbounded stream (code-review r10).
+            _release_local_checkpoint(novel)
 
     return fn
 
@@ -576,7 +589,8 @@ def upsert_latest_foreach_batch(
     current state (same ``upsert_latest``), localCheckpoint the merge
     (the state must be READ before the overwrite replaces it -- and the
     lineage cut keeps the per-batch plan constant-size across an
-    unbounded stream), then atomically-enough overwrite the state dir.
+    unbounded stream), then commit the new state dir via the move-aside/
+    rename protocol (``sources.readers.committed_write``).
     At scale the state table is partitioned/bucketed by key so the
     merge is a co-located join and only changed partitions rewrite
     (dynamic partition overwrite, sources/writers.py); the semantics
@@ -585,6 +599,7 @@ def upsert_latest_foreach_batch(
     from pyspark.sql.utils import AnalysisException
 
     from ..operators.dedup import _release_local_checkpoint
+    from ..sources.readers import committed_write
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -602,7 +617,17 @@ def upsert_latest_foreach_batch(
             merged = batch_latest
         merged = merged.localCheckpoint(eager=True)
         try:
-            merged.write.mode("overwrite").parquet(state_path)
+            # committed_write, not in-place overwrite: mode("overwrite")
+            # deletes the state dir before writing, so a crash between
+            # delete and commit destroys the accumulated SCD1 state
+            # permanently (the next restart's read is not PATH_NOT_FOUND
+            # and fails loudly, but the state is gone).  The move-aside/
+            # rename protocol keeps the previous state readable until
+            # the new one is fully committed (code-review r10).
+            committed_write(
+                state_path,
+                lambda tmp: merged.write.mode("overwrite").parquet(tmp),
+            )
         finally:
             _release_local_checkpoint(merged)
 

@@ -412,9 +412,13 @@ def test_load_table_events_handles_both_ts_physical_types(spark, tmp_path):
     import pyarrow.parquet as pq
 
     ts = [1_700_000_000_000_000 + i * 37_000_000 for i in range(200)]  # us
+    # instants whose nanos exceed double's 53-bit mantissa by JUST enough
+    # that the old (ts / 1000).cast("long") double path truncated them one
+    # microsecond low -- the exact `div` rebuild must keep them intact
+    ts += [1527181348791376, 1788192812650256, 1543695572267472]
     base = {
-        "event_id": list(range(200)),
-        "user_id": [i % 7 for i in range(200)],
+        "event_id": list(range(len(ts))),
+        "user_id": [i % 7 for i in range(len(ts))],
     }
 
     us_dir, ns_dir = str(tmp_path / "us"), str(tmp_path / "ns")
@@ -438,7 +442,7 @@ def test_load_table_events_handles_both_ts_physical_types(spark, tmp_path):
         for r in load_table(spark, ns_dir, "events").collect()
     }
     assert got_us == got_ns
-    assert len(got_us) == 200
+    assert len(got_us) == len(ts)
 
 
 def test_points_text_stream_reader_tails_file_exactly_once(spark, tmp_path):

@@ -112,6 +112,47 @@ def test_sessionize_stream_runs_and_is_sane(spark):
     )
 
 
+def test_sessionize_stream_handles_out_of_order_chunks(spark, tmp_path):
+    """Arrow hands a large group to applyInPandasWithState as MULTIPLE
+    pandas chunks with no cross-chunk time ordering.  Feed one user's
+    events in fully DESCENDING ts order with maxRecordsPerBatch=5 so the
+    group spans 4 chunks: per-chunk sorting (the old code) would see
+    every event as a same-session continuation (t - last_us < 0) and
+    emit ZERO closed sessions; the whole-group sort must recover all
+    n-1 singleton sessions (each consecutive gap is 31 min > the 30 min
+    GAP)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = 1_700_000_000_000_000
+    n = 20
+    ts = [base + (n - 1 - i) * 31 * 60 * 1_000_000 for i in range(n)]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "user_id": pa.array([7] * n, pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+            }
+        ),
+        os.path.join(str(tmp_path), "events.parquet"),
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+    try:
+        ev = read_events_stream(spark, str(tmp_path))
+        got = _run_to_memory(
+            sessionize_stream(ev), "t_sessions_ooo", spark
+        ).toPandas()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert len(got) == n - 1, f"expected {n - 1} closed sessions, got {len(got)}"
+    assert (got["n_events"] == 1).all()
+    assert (got["session_end"] >= got["session_start"]).all()
+
+
 def test_streaming_kmeans_foreachbatch(spark):
     """Incremental K-Means: driving the whole events stream through
     foreachBatch with decay=1 must equal ONE batch K-Means step (count-
