@@ -104,6 +104,13 @@ def write_zorder_clustered(
         bounds = df.agg(
             *[f for c in cols for f in (F.min(c), F.max(c))]
         ).collect()[0]
+        if any(v is None for v in bounds):
+            # empty source or an all-NULL cluster column: there is no
+            # locality to encode, so write the rows (if any) unclustered
+            # rather than crash on float(None) -- the operator-level
+            # twin of the gate caller's guard (code-review r10)
+            df.write.mode("overwrite").parquet(path)
+            return
         ranges = [
             (float(bounds[2 * j]), float(bounds[2 * j + 1]))
             for j in range(len(cols))

@@ -294,12 +294,23 @@ def decode_and_featurize_arrow(
         import pyarrow as pa
 
         for batch in it:
-            tbl = batch.to_pydict()
-            payloads = [b or b"" for b in tbl[payload_col]]
-            n = [len(b) for b in payloads]
-            feats = []
-            for b in payloads:
-                arr = np.frombuffer(b[:4096], dtype=np.uint8).astype(np.int64)
+            # Zero-copy access: per-row Buffer slices view the batch's
+            # contiguous binary buffer directly (np.frombuffer reads the
+            # buffer protocol) -- batch.to_pydict() here would copy every
+            # blob into an individual Python bytes object, exactly the
+            # per-blob cost this Arrow path exists to avoid
+            # (code-review r10).
+            payload_arr = batch.column(
+                batch.schema.get_field_index(payload_col)
+            )
+            n, feats = [], []
+            for i in range(batch.num_rows):
+                s = payload_arr[i]
+                buf = s.as_buffer() if s.is_valid else None
+                ln = len(buf) if buf is not None else 0
+                n.append(ln)
+                head = buf.slice(0, min(ln, 4096)) if ln else b""
+                arr = np.frombuffer(head, dtype=np.uint8).astype(np.int64)
                 idx = (arr + np.arange(arr.size)) % FEATURE_DIM
                 counts = np.bincount(idx, minlength=FEATURE_DIM).astype(
                     np.float32
@@ -308,7 +319,9 @@ def decode_and_featurize_arrow(
                 feats.append((counts / total).tolist())
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(tbl["doc_id"], pa.int64()),
+                    batch.column(batch.schema.get_field_index("doc_id")).cast(
+                        pa.int64()
+                    ),
                     pa.array([v % 640 + 1 for v in n], pa.int32()),
                     pa.array([v % 480 + 1 for v in n], pa.int32()),
                     pa.array([3] * len(n), pa.int32()),

@@ -26,15 +26,24 @@ def brute_force_topk(
     q_features: str = "q_emb",
     id_col: str = "vec_id",
     q_id_col: str = "q_id",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the (small) query side, JVM-side dot
-    products, window top-k with (similarity desc, id) tie order."""
+    products, window top-k with (similarity desc, id) tie order.
+
+    ``exclude_self`` (default True) drops candidates whose ``id_col``
+    equals the query's ``q_id_col`` -- correct when queries ARE corpus
+    rows (the gate fixtures: a vector's trivial self-match is noise).
+    Pass False when the query id space is unrelated to the corpus id
+    space, where the filter would silently drop a true neighbor that
+    merely shares an id value (code-review r10)."""
     sim = cosine_similarity(q_features, features)
     w = Window.partitionBy(q_id_col).orderBy(F.col("_sim").desc(), F.col(id_col))
+    out = candidates.crossJoin(F.broadcast(queries))
+    if exclude_self:
+        out = out.where(F.col(q_id_col) != F.col(id_col))
     return (
-        candidates.crossJoin(F.broadcast(queries))
-        .where(F.col(q_id_col) != F.col(id_col))
-        .withColumn("_sim", sim)
+        out.withColumn("_sim", sim)
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
@@ -48,6 +57,7 @@ def brute_force_range(
     q_features: str = "q_emb",
     id_col: str = "vec_id",
     q_id_col: str = "q_id",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact cosine RANGE search (radius query, FAISS range_search): every
     candidate with cos >= threshold per query, unranked.  Same broadcast
@@ -55,14 +65,16 @@ def brute_force_range(
     needs no per-query ordering, so the plan is a single narrow
     filter-projection pass over the corpus -- at 100 TB the scan
     parallelizes embarrassingly with zero shuffle (top-k at least heaps
-    per partition; range search doesn't even do that)."""
+    per partition; range search doesn't even do that).
+
+    ``exclude_self`` as in :func:`brute_force_topk`: True when queries
+    are corpus rows (the gate semantics), False for an external query id
+    space."""
     sim = cosine_similarity(q_features, features)
-    return (
-        candidates.crossJoin(F.broadcast(queries))
-        .where(F.col(q_id_col) != F.col(id_col))
-        .withColumn("_sim", sim)
-        .where(F.col("_sim") >= threshold)
-    )
+    out = candidates.crossJoin(F.broadcast(queries))
+    if exclude_self:
+        out = out.where(F.col(q_id_col) != F.col(id_col))
+    return out.withColumn("_sim", sim).where(F.col("_sim") >= threshold)
 
 
 def hyperplanes_pm1(
@@ -94,6 +106,11 @@ def lsh_bucket_sql(
     (one_based=False) and DuckDB (one_based=True) because the ±1
     components reduce each dot to a left-to-right add/subtract chain --
     identical float association order in both engines."""
+    assert len(planes) <= 31, (
+        f"n_planes={len(planes)} overflows the INT32 bucket id "
+        "(2^j weight terms wrap silently in Spark's non-ANSI cast and "
+        "error in DuckDB); 31 planes = 2^31 buckets is the cap"
+    )
     off = 1 if one_based else 0
     terms = []
     for j, signs in enumerate(planes):
@@ -112,12 +129,17 @@ def n_planes_for(n_vectors: int, target_bucket: int = 256) -> int:
     count is quadratic ruin at scale (4 planes = 16 buckets over 20M
     vectors -> ~1.25e6 per bucket -> ~1.25e13 candidate pairs); planes
     must grow with log2(N).
+
+    Capped at 31: the bucket id is an INT32 with 2^j weight terms, so
+    32+ planes would wrap (lsh_bucket_sql asserts the same bound).  The
+    cap binds only above ~5.5e11 vectors x 256/bucket; past it, grow
+    ``target_bucket`` instead of planes.
     """
     import math
 
     if n_vectors <= target_bucket:
         return 1
-    return max(1, math.ceil(math.log2(n_vectors / target_bucket)))
+    return min(31, max(1, math.ceil(math.log2(n_vectors / target_bucket))))
 
 
 def lsh_bucket_pairs(
@@ -154,6 +176,13 @@ def lsh_bucket_pairs(
     on capped buckets with a second banding pass (more planes) instead
     of brute-forcing them.  ``None`` (the default here: 2^n_planes
     buckets are coarse, small fixtures skew naturally) disables.
+
+    Persistence contract (the within_cell_cosine_pairs discipline): the
+    bucketed projection of ``df`` is consumed TWICE (both self-join
+    sides) and three times with ``max_bucket`` set (plus the bucket
+    count) -- at scale the CALLER should persist ``df`` before calling
+    (and owns the unpersist); the operator does not persist internally
+    so cache lifetime stays with the caller (code-review r10).
 
     Returns (vec_a, vec_b, bucket, cos_sim), vec_a < vec_b.
     """
@@ -267,8 +296,17 @@ def within_cell_cosine_pairs(
 
 
 def _emb_dim(df: DataFrame, features: str) -> int:
-    """Embedding dimensionality from the first row (driver-side, 1 row)."""
+    """Embedding dimensionality from the first row (driver-side, 1 row).
+
+    Readable failure on an empty table or NULL first embedding -- the
+    model-fit contract (pq_codebooks precedent), never a TypeError from
+    subscripting None (code-review r10)."""
     row = df.select(F.size(features).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] < 0:
+        raise RuntimeError(
+            f"cannot infer embedding dimensionality: table is empty or the "
+            f"first {features!r} value is NULL"
+        )
     return int(row["d"])
 
 
@@ -348,19 +386,25 @@ def ivf_topk(
     id_col: str = "vec_id",
     q_id_col: str = "q_id",
     q_features: str = "q_emb",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """ANN top-k: route each query to its ``nprobe`` nearest cells, then
     brute-force only within those cells (equi-join on cell_id -- the scan
     prunes to nprobe/n_cells of the data instead of a full cross join).
+
+    ``exclude_self`` as in :func:`brute_force_topk`: True when queries
+    are corpus rows (the gate semantics), False for an external query id
+    space.
     """
     q = route_to_cells(queries, cents, nprobe, q_features=q_features)
 
     sim = cosine_similarity(q_features, F.col(features).cast("array<double>"))
     w = Window.partitionBy(q_id_col).orderBy(F.col("_sim").desc(), F.col(id_col))
+    joined = indexed.join(F.broadcast(q), "cell_id")
+    if exclude_self:
+        joined = joined.where(F.col(q_id_col) != F.col(id_col))
     return (
-        indexed.join(F.broadcast(q), "cell_id")
-        .where(F.col(q_id_col) != F.col(id_col))
-        .withColumn("_sim", sim)
+        joined.withColumn("_sim", sim)
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(q_id_col, id_col, F.round("_sim", 6).alias("cos_sim"), "rank")
@@ -400,14 +444,14 @@ def quantize_embeddings_int8(
 def int8_cosine(
     a_code: Column | str,
     b_code: Column | str,
-    a_scale: Column | str,
-    b_scale: Column | str,
 ) -> Column:
     """Approximate cosine from int8 codes: the per-vector scales cancel
     in the normalized dot product, so this is just the cosine of the
-    code vectors -- scales matter only for reconstructing magnitudes.
-    Quantization error is bounded by the rounding step (<=0.5/127 per
-    component before normalization)."""
+    code vectors -- which is why this takes NO scale arguments (an
+    earlier signature accepted and silently ignored them; scales matter
+    only for reconstructing magnitudes, code-review r10).  Quantization
+    error is bounded by the rounding step (<=0.5/127 per component
+    before normalization)."""
     ac = F.col(a_code) if isinstance(a_code, str) else a_code
     bc = F.col(b_code) if isinstance(b_code, str) else b_code
     to_d = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731

@@ -3627,9 +3627,8 @@ def sim_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = codes.where(F.col("vec_id").isin(*_QUERY_IDS)).select(
         F.col("vec_id").alias("q_id"),
         F.col("q_code").alias("qq_code"),
-        F.col("q_scale").alias("qq_scale"),
     )
-    sim = int8_cosine("qq_code", "q_code", "qq_scale", "q_scale")
+    sim = int8_cosine("qq_code", "q_code")
     w = Window.partitionBy("q_id").orderBy(
         F.col("_sim8").desc(), F.col("vec_id")
     )
@@ -4023,12 +4022,11 @@ def sim_ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
             codes.select(
                 F.col("vec_id").alias("q_id"),
                 F.col("q_code").alias("qq_code"),
-                F.col("q_scale").alias("qq_scale"),
             ),
             "q_id",
         )
     )
-    sim8 = int8_cosine("qq_code", "q_code", "qq_scale", "q_scale")
+    sim8 = int8_cosine("qq_code", "q_code")
     w8 = Window.partitionBy("q_id").orderBy(
         F.col("_sim8").desc(), F.col("vec_id")
     )

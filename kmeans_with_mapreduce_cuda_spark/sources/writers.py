@@ -167,8 +167,7 @@ def compact_small_files(
     spark.read.parquet(path).coalesce(n_files).write.mode(
         "overwrite"
     ).parquet(tmp)
-    old = f"{path}.compact.old"
-    os.rename(path, old)
+    os.rename(path, leftover)
     os.rename(tmp, path)
-    shutil.rmtree(old)
+    shutil.rmtree(leftover)
     return n_files

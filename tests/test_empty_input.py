@@ -217,3 +217,36 @@ def test_try_parse_ingest_empty_input_is_one_zero_row(spark, empty_sf_dir):
     r = rows[0]
     assert r["n_total"] == 0 and r["n_ts"] == 0 and r["n_num"] == 0
     assert r["min_ts"] is None and r["sum_num"] is None
+
+
+def test_lsh_bucket_pairs_empty_input_raises_readably(spark):
+    """lsh_bucket_pairs infers embedding dimensionality from the first
+    row; on an empty table (or an all-NULL first embedding) the contract
+    is a READABLE RuntimeError (the pq_codebooks precedent), never a
+    TypeError from subscripting None (code-review r10)."""
+    from kmeans_with_mapreduce_cuda_spark.operators.similarity import (
+        lsh_bucket_pairs,
+    )
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    with pytest.raises(RuntimeError, match="dimensionality"):
+        lsh_bucket_pairs(empty, n_planes=4)
+
+
+def test_lsh_bucket_sql_rejects_int32_overflow_plane_counts(spark):
+    """The bucket id is CAST AS INTEGER with 2^j weights: n_planes >= 32
+    would silently wrap in Spark and error in DuckDB.  The operator must
+    refuse loudly, and n_planes_for must never produce such a count
+    (code-review r10)."""
+    from kmeans_with_mapreduce_cuda_spark.operators.similarity import (
+        hyperplanes_pm1,
+        lsh_bucket_sql,
+        n_planes_for,
+    )
+
+    planes = hyperplanes_pm1(dim=4, n_planes=32)
+    with pytest.raises(AssertionError, match="31"):
+        lsh_bucket_sql("emb", planes, one_based=False)
+    # 1.2e12 vectors / 256 per bucket needs ceil(log2(...)) = 33 planes
+    # unbounded; the cap keeps the int32 bucket id valid.
+    assert n_planes_for(1_200_000_000_000) == 31

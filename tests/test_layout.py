@@ -387,3 +387,30 @@ def test_rel_zorder_pruning_all_null_key_column_returns_typed_empty(
         "returnflag", "n", "sum_qty", "sum_price_cents",
         "clustered_files_skipped",
     ]
+
+
+def test_write_zorder_clustered_empty_and_all_null_inputs(spark, tmp_path):
+    """The operator-level guard (not just the gate caller's): an empty
+    source or an all-NULL cluster column has no locality to encode --
+    the write must still succeed (plain unclustered parquet) instead of
+    crashing on float(None) bounds (code-review r10)."""
+    import os
+
+    from kmeans_with_mapreduce_cuda_spark.functions.layout import (
+        write_zorder_clustered,
+    )
+
+    empty = spark.createDataFrame([], "a bigint, b bigint")
+    p1 = str(tmp_path / "empty")
+    write_zorder_clustered(empty, p1, "a", "b")
+    assert os.path.exists(os.path.join(p1, "_SUCCESS"))
+    assert spark.read.parquet(p1).count() == 0
+
+    allnull = spark.createDataFrame(
+        [(i, None) for i in range(10)], "a bigint, b bigint"
+    )
+    p2 = str(tmp_path / "allnull")
+    write_zorder_clustered(allnull, p2, "a", "b")
+    got = spark.read.parquet(p2)
+    assert got.count() == 10
+    assert got.where(F.col("b").isNull()).count() == 10

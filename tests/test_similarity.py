@@ -244,15 +244,12 @@ def test_int8_quantization_roundtrip_and_recall(spark):
             qq.select(
                 F.col("q_id"),
                 F.col("q_code").alias("qq_code"),
-                F.col("q_scale").alias("qq_scale"),
             )
         )
     ).where(F.col("q_id") != F.col("vec_id"))
     w = Window.partitionBy("q_id").orderBy(F.col("_sim").desc(), F.col("vec_id"))
     approx = (
-        cand.withColumn(
-            "_sim", int8_cosine("q_code", "qq_code", "q_scale", "qq_scale")
-        )
+        cand.withColumn("_sim", int8_cosine("q_code", "qq_code"))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 10)
     )
