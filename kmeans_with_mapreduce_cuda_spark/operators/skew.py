@@ -31,48 +31,47 @@ def salted_groupby(
     key: str | list[str],
     aggs: dict[str, tuple[str, str]],
     n_salts: int = 16,
+    seed: int = 42,
 ) -> DataFrame:
     """``aggs``: out_name -> (fn, col) with fn in sum/count/min/max/avg.
 
-    Salt is derived from a hash of the whole row (deterministic given the
-    row, uniform across salts), so heavy keys spread over ``n_salts``
-    partial groups.  avg decomposes into sum+count and recombines
-    exactly.
+    Salt is ``floor(rand(seed) * n_salts)``, NOT a hash of the row
+    (code-review r10): a row-hash salt is constant across identical
+    duplicate rows, so a hot key made of repeated identical rows -- the
+    common pathological shape -- would still funnel ONE reducer while
+    paying two shuffles, and hashing every column fails outright on
+    unhashable types (MapType).  rand() spreads every copy uniformly.
+    The FINAL result is salt-invariant for algebraic aggregates (the
+    partials merge exactly whatever the split), so the no-RNG-in-
+    checked-queries policy is honored in effect: rand() never reaches
+    the output, only the intermediate grouping.
+
+    avg decomposes into sum+count and recombines exactly.  Partial
+    columns are positionally named (``__p{i}``...) so no pair of output
+    names can collide -- the previous out-name-derived scheme let
+    ``{'x': ('avg', v), 'x_sum': ('sum', w)}`` silently overwrite one
+    partial and return a wrong average (code-review r10).
     """
     keys = [key] if isinstance(key, str) else list(key)
-    # expand avg into algebraic parts
-    plan: dict[str, tuple[str, str]] = {}
-    finals: dict[str, str] = {}  # out -> expression over partials
-    for out, (fn, col) in aggs.items():
+    partial_exprs = []
+    combine_exprs = []
+    for i, (out, (fn, col)) in enumerate(aggs.items()):
         if fn == "avg":
-            plan[f"_{out}_sum"] = ("sum", col)
-            plan[f"_{out}_cnt"] = ("count", col)
-            finals[out] = f"avg:{out}"
+            partial_exprs.append(F.sum(col).alias(f"__p{i}_s"))
+            partial_exprs.append(F.count(col).alias(f"__p{i}_c"))
+            combine_exprs.append(
+                (F.sum(f"__p{i}_s") / F.sum(f"__p{i}_c")).alias(out)
+            )
         elif fn in _ALGEBRAIC:
-            plan[f"_{out}"] = (fn, col)
-            finals[out] = f"plain:{out}"
+            partial_exprs.append(_ALGEBRAIC[fn][0](F.col(col)).alias(f"__p{i}"))
+            combine_exprs.append(_ALGEBRAIC[fn][1](F.col(f"__p{i}")).alias(out))
         else:
             raise ValueError(f"non-algebraic aggregate {fn!r} cannot be salted")
 
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
-    salted = df.withColumn("_salt", salt)
-
-    partial = salted.groupBy(*keys, "_salt").agg(
-        *[
-            _ALGEBRAIC[fn][0](F.col(col)).alias(name)
-            for name, (fn, col) in plan.items()
-        ]
+    salted = df.withColumn(
+        "__kmrc_salt", F.floor(F.rand(seed) * n_salts).cast("int")
     )
-
-    combine_exprs = []
-    for out, kind in finals.items():
-        if kind.startswith("avg:"):
-            combine_exprs.append(
-                (F.sum(f"_{out}_sum") / F.sum(f"_{out}_cnt")).alias(out)
-            )
-        else:
-            fn = plan[f"_{out}"][0]
-            combine_exprs.append(_ALGEBRAIC[fn][1](F.col(f"_{out}")).alias(out))
+    partial = salted.groupBy(*keys, "__kmrc_salt").agg(*partial_exprs)
     return partial.groupBy(*keys).agg(*combine_exprs)
 
 
@@ -99,17 +98,20 @@ def salted_topk(
     column hashed into the salt -- REQUIRED (a Column in order_cols
     carries sort direction and is not a resolvable name to hash); any
     per-row-varying column works, correctness never depends on it.
+    Internal columns use the ``__kmrc_`` prefix (here and in
+    :func:`skyline_2d`) so user columns named ``_salt``/``_rn`` are
+    never silently clobbered and dropped (code-review r10).
     """
     from pyspark.sql.window import Window
 
     salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(salt_on), F.lit(n_salt)).cast("int")
+        "__kmrc_salt", F.pmod(F.xxhash64(salt_on), F.lit(n_salt)).cast("int")
     )
-    w1 = Window.partitionBy(part_col, "_salt").orderBy(*order_cols)
+    w1 = Window.partitionBy(part_col, "__kmrc_salt").orderBy(*order_cols)
     local = (
-        salted.withColumn("_rn", F.row_number().over(w1))
-        .where(F.col("_rn") <= k)
-        .drop("_rn", "_salt")
+        salted.withColumn("__kmrc_rn", F.row_number().over(w1))
+        .where(F.col("__kmrc_rn") <= k)
+        .drop("__kmrc_rn", "__kmrc_salt")
     )
     w2 = Window.partitionBy(part_col).orderBy(*order_cols)
     return local.withColumn(
@@ -160,26 +162,26 @@ def skyline_2d(
         wrk = Window.partitionBy(*part_cols).orderBy(F.col(x).asc())
         wx = (
             Window.partitionBy(*part_cols)
-            .orderBy(F.col("_xrk").asc())
+            .orderBy(F.col("__kmrc_xrk").asc())
             .rangeBetween(1, Window.unboundedFollowing)
         )
         weq = Window.partitionBy(*(part_cols + [x]))
         return (
-            d.withColumn("_xrk", F.dense_rank().over(wrk))
-            .withColumn("_best_gt", F.max(y).over(wx))
-            .withColumn("_best_eq", F.max(y).over(weq))
+            d.withColumn("__kmrc_xrk", F.dense_rank().over(wrk))
+            .withColumn("__kmrc_best_gt", F.max(y).over(wx))
+            .withColumn("__kmrc_best_eq", F.max(y).over(weq))
             .where(
                 (
-                    F.col("_best_gt").isNull()
-                    | (F.col(y) > F.col("_best_gt"))
+                    F.col("__kmrc_best_gt").isNull()
+                    | (F.col(y) > F.col("__kmrc_best_gt"))
                 )
-                & (F.col(y) == F.col("_best_eq"))
+                & (F.col(y) == F.col("__kmrc_best_eq"))
             )
-            .drop("_xrk", "_best_gt", "_best_eq")
+            .drop("__kmrc_xrk", "__kmrc_best_gt", "__kmrc_best_eq")
         )
 
     salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(salt_on), F.lit(n_salt)).cast("int")
+        "__kmrc_salt", F.pmod(F.xxhash64(salt_on), F.lit(n_salt)).cast("int")
     )
-    local = frontier(salted, ["_salt"]).drop("_salt")
+    local = frontier(salted, ["__kmrc_salt"]).drop("__kmrc_salt")
     return frontier(local, [])

@@ -51,7 +51,15 @@ def test_curate_zero_survivors_and_null_text(spark, tmp_path):
 
     src = str(tmp_path / "in")
     spark.createDataFrame(
-        [(1, "alpha beta", "en"), (2, None, "en"), (3, "alpha beta", "de")],
+        [
+            (1, "alpha beta", "en"),
+            (2, None, "en"),
+            (3, "alpha beta", "de"),
+            # whitespace-only text would score a spurious fixed positive
+            # 0.153 (the '' token's hash bucket) -- the blank gate must
+            # drop it WITH accounting (code-review r10)
+            (4, "   ", "en"),
+        ],
         "doc_id bigint, text string, lang string",
     ).write.parquet(src)
 
@@ -61,9 +69,10 @@ def test_curate_zero_survivors_and_null_text(spark, tmp_path):
         spark=spark,
     )
     assert stats == {
-        "input_docs": 3,
-        "null_text_dropped": 1,
+        "input_docs": 4,
+        "null_text_dropped": 2,  # one NULL + one blank
         "near_dup_dropped": 0,
+        "lsh_capped_bands": 0,
         "after_dedup": 1,  # docs 1 and 3 share text -> one survivor
         "written": 0,
     }
@@ -130,3 +139,46 @@ def test_curate_near_dup_stage(spark, tmp_path):
     stats2 = main([src, out2], spark=spark)
     assert stats2["after_dedup"] == 4  # only the exact dup removed
     assert stats2["near_dup_dropped"] == 0
+
+
+def test_curate_refuses_reserved_columns(spark):
+    """The scoring stage appends n_tokens/score/keep; a pre-existing
+    column of those names would be ambiguous (score) or silently
+    deleted (keep) -- the contract is a READABLE refusal up front
+    (code-review r10)."""
+    import pytest
+
+    from kmeans_with_mapreduce_cuda_spark.curate import curate
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", 0.9)], "doc_id bigint, text string, score double"
+    )
+    with pytest.raises(ValueError, match="score"):
+        curate(docs)
+
+
+def test_curate_files_flag_bounds_partitioned_output(spark, tmp_path):
+    """--files with --partition-by must hash-partition BY the partition
+    column: round-robin would emit up to files x n_values small files
+    (code-review r10).  With one file per lang value, each lang dir
+    holds exactly one data file."""
+    import glob
+    import os
+
+    from kmeans_with_mapreduce_cuda_spark.curate import main
+
+    src = str(tmp_path / "in")
+    rows = [(i, f"doc number {i} unique tokens", f"l{i % 5}") for i in range(50)]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string"
+    ).write.parquet(src)
+
+    out = str(tmp_path / "out")
+    stats = main(
+        [src, out, "--min-score=-1e18", "--partition-by", "lang", "--files", "16"],
+        spark=spark,
+    )
+    assert stats["written"] == 50
+    for lang_dir in glob.glob(os.path.join(out, "lang=*")):
+        files = glob.glob(os.path.join(lang_dir, "*.parquet"))
+        assert len(files) == 1, lang_dir
