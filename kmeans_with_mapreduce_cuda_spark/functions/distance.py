@@ -64,6 +64,11 @@ def dot_product_sql(a: str, b: str, dim: int) -> str:
     consumer emitting unfiltered dot products must not rely on
     unconditional bit-identity of the zero's sign.  Rendered as SQL
     text, never Column-API loops, per the >100-node rule (NOTES.md)."""
+    assert dim >= 1, (
+        f"dot_product_sql: dim must be >= 1, got {dim} (an empty join "
+        "would otherwise surface as an opaque ParseException on the "
+        "empty SQL string far from the cause)"
+    )
     return " + ".join(
         f"element_at({a}, {i}) * element_at({b}, {i})"
         for i in range(1, dim + 1)
@@ -78,6 +83,13 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    """dot(a,b) / (|a| * |b|); computed in double precision."""
+    """dot(a,b) / (|a| * |b|); computed in double precision.
+
+    Zero-norm guard via nullif (the int8_cosine precedent): cosine is
+    undefined for a zero vector and the session pins ANSI mode, where a
+    bare division would throw DIVIDE_BY_ZERO and abort the whole
+    similarity job over one degenerate embedding (code-review r10).
+    NULL propagates safely through every consumer (a NULL similarity
+    fails thresholds and never ranks)."""
     a, b = _c(a), _c(b)
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    return dot_product(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))

@@ -17,22 +17,44 @@ from pyspark.sql.functions import pandas_udf
 
 @pandas_udf("double")
 def punct_ratio_udf(text: pd.Series) -> pd.Series:
-    """Vectorized twin of functions.text.punct_ratio."""
-    total = text.str.len().clip(lower=1)
-    clean = text.str.replace(r"[^\w\s]", "", regex=True).str.len()
-    return (total - clean) / total
+    """Vectorized twin of functions.text.punct_ratio.
+
+    Twin-exactness fine print (code-review r10): the numerator uses the
+    RAW length (clipping before subtracting scored empty strings as
+    100% punctuation where the twin says 0.0); the regex carries the
+    ``(?a)`` ASCII flag because Java's ``\\w`` is [a-zA-Z0-9_] while
+    Python's default is Unicode-aware (the twin strips an accented
+    letter, Python kept it); NULL text returns NULL (pd.NA), not NaN.
+    """
+    total = text.str.len()
+    clean = text.str.replace(r"(?a)[^\w\s]", "", regex=True).str.len()
+    ratio = (total - clean) / total.clip(lower=1)
+    return ratio.astype("Float64").where(text.notna(), pd.NA)
 
 
 @pandas_udf("int")
 def token_count_udf(text: pd.Series) -> pd.Series:
-    """Vectorized twin of functions.text.token_count."""
-    return (
-        text.str.strip().str.lower().str.split(r"\s+", regex=True).str.len()
-    ).astype("int32")
+    """Vectorized twin of functions.text.token_count.
+
+    Twin-exactness fine print (code-review r10): strips SPACES only
+    (SQL ``trim``; Python ``str.strip()`` also eats tabs/newlines and
+    diverged on tab-edged text -- see the tokens() edge contract), and
+    NULL text returns NULL via the nullable Int32 dtype (``.astype(
+    "int32")`` raised IntCastingNaNError on the NaN and killed the
+    job, where the expression twin just returns NULL)."""
+    counts = (
+        text.str.strip(" ").str.lower().str.split(r"\s+", regex=True).str.len()
+    )
+    return counts.astype("Int32")
 
 
 def quality_features_udf(text: Column | str) -> Column:
-    """Struct of UDF-computed quality features (demo composition)."""
+    """Struct of UDF-computed quality features (demo composition).
+
+    Two separate pandas UDFs means the text column crosses the Arrow
+    boundary twice -- fine for a surface demo; a production version
+    would compute both in ONE struct-returning UDF to halve the
+    Python exchange."""
     c = F.col(text) if isinstance(text, str) else text
     return F.struct(
         punct_ratio_udf(c).alias("punct_ratio"),

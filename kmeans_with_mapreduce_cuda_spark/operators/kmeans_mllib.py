@@ -61,10 +61,21 @@ def fit_kmeans(
 def predict_kmeans(
     model: KMeansModel, df: DataFrame, features: str = "embedding", out: str = "cluster_id"
 ) -> DataFrame:
+    """Score ``df`` with a fitted model, appending ``out``.
+
+    Internal columns are __kmrc_-prefixed and passed as transform-time
+    param overrides: naming the temp column "features" silently
+    REPLACED and then dropped a caller's own features column, and a
+    pre-existing "prediction" column made transform fail outright
+    (code-review r10)."""
+    tmp_feat, tmp_pred = "__kmrc_features", "__kmrc_prediction"
     vecs = df.withColumn(
-        "features", array_to_vector(F.col(features).cast("array<double>"))
+        tmp_feat, array_to_vector(F.col(features).cast("array<double>"))
     )
-    return model.transform(vecs).withColumnRenamed("prediction", out).drop("features")
+    scored = model.transform(
+        vecs, {model.featuresCol: tmp_feat, model.predictionCol: tmp_pred}
+    )
+    return scored.withColumnRenamed(tmp_pred, out).drop(tmp_feat)
 
 
 def save_model(model: KMeansModel, path: str) -> None:

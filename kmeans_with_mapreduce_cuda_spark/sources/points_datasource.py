@@ -188,6 +188,16 @@ class PointsTextWriter(DataSourceWriter):
         n = 0
         with os.fdopen(fd, "w") as f:
             for row in iterator:
+                if row[0] is None or row[1] is None:
+                    # The text format has no null representation: a
+                    # stringified None would write a line the reader
+                    # silently drops on round-trip (loud-not-wrong;
+                    # code-review r10).
+                    raise ValueError(
+                        f"points_text sink: NULL coordinate in row {row!r}; "
+                        "the 'x y' line format cannot represent nulls -- "
+                        "filter or impute before writing"
+                    )
                 f.write(f"{row[0]} {row[1]}\n")
                 n += 1
         return _PointsCommit(tmp, n)
@@ -293,8 +303,19 @@ class PointsStreamReader(DataSourceStreamReader):
         try:
             size = os.path.getsize(self.path)
         except OSError:
-            return {"pos": 0}
-        return {"pos": _last_newline_at_or_before(self.path, 0, size)}
+            # Not-yet-created file -> pos 0 is the true initial state.
+            # But once the stream has ADVANCED, mapping a transient
+            # stat failure (file rotation, NFS hiccup) to 0 would be
+            # misread as truncation and abort the query -- report the
+            # last known offset instead so the engine simply sees no
+            # new data this cycle (code-review r10).
+            return {"pos": getattr(self, "_last_pos", 0)}
+        # no clamping to the last offset here: a file that really
+        # SHRANK must still surface as the loud truncation error in
+        # partitions(), never silently mask
+        pos = _last_newline_at_or_before(self.path, 0, size)
+        self._last_pos = pos
+        return {"pos": pos}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["pos"]), int(end["pos"])
@@ -357,6 +378,13 @@ class PointsStreamWriter(DataSourceStreamWriter):
         n = 0
         with os.fdopen(fd, "w") as f:
             for row in iterator:
+                if row[0] is None or row[1] is None:
+                    # same null contract as the batch writer above
+                    raise ValueError(
+                        f"points_text stream sink: NULL coordinate in row "
+                        f"{row!r}; the 'x y' line format cannot represent "
+                        "nulls -- filter or impute before writing"
+                    )
                 f.write(f"{row[0]} {row[1]}\n")
                 n += 1
         return _PointsCommit(tmp, n)

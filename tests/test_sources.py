@@ -155,6 +155,42 @@ def test_pandas_udfs_match_expressions(spark):
         assert abs(r["pr_expr"] - r["pr_udf"]) < 1e-9, r
 
 
+def test_pandas_udfs_match_expressions_on_edge_inputs(spark):
+    """The equivalence contract on the inputs the corpus fixture never
+    exercises (code-review r10): NULL text (the old UDF raised
+    IntCastingNaNError and killed the job), empty text (scored 1.0 vs
+    the twin's 0.0), tab-edged text (Python strip() ate the tab SQL
+    trim keeps), and non-ASCII letters (Unicode \\w kept the accent the
+    Java regex strips)."""
+    from kmeans_with_mapreduce_cuda_spark.functions.text import (
+        punct_ratio,
+        token_count,
+    )
+    from kmeans_with_mapreduce_cuda_spark.functions.udfs import (
+        punct_ratio_udf,
+        token_count_udf,
+    )
+
+    d = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "a\tb\t"), (5, "café!?"),
+         (6, "plain ascii text."), (7, "\t\n")],
+        "doc_id bigint, text string",
+    )
+    rows = d.select(
+        "doc_id",
+        F.round(punct_ratio("text"), 9).alias("pr_expr"),
+        F.round(punct_ratio_udf(F.col("text")), 9).alias("pr_udf"),
+        token_count("text").alias("tc_expr"),
+        token_count_udf(F.col("text")).alias("tc_udf"),
+    ).collect()
+    for r in rows:
+        assert r["tc_expr"] == r["tc_udf"], r
+        if r["pr_expr"] is None or r["pr_udf"] is None:
+            assert r["pr_expr"] is None and r["pr_udf"] is None, r
+        else:
+            assert abs(r["pr_expr"] - r["pr_udf"]) < 1e-9, r
+
+
 def test_read_points_text_drops_malformed_lines(spark, tmp_path):
     """ANSI-mode robustness: junk lines are dropped (try_cast), clean
     lines keep their file-order ids -- the reference scanner would read
@@ -577,3 +613,18 @@ def test_register_views_drops_stale_view_for_missing_table(spark, tmp_path):
         # Restore the full fixture even on failure -- later spark.sql
         # tests in this session-scoped fixture depend on the views.
         register_views(spark, SF_DIR)
+
+
+def test_points_sink_refuses_null_coordinates(spark, tmp_path):
+    """The 'x y' line format cannot represent NULL: the old writer
+    stringified None into a line the reader silently DROPPED on
+    round-trip -- the contract is a loud ValueError at write time
+    (code-review r10)."""
+    import pytest
+
+    df = spark.createDataFrame([(1, 2), (None, 5)], "x bigint, y bigint")
+    dest = str(tmp_path / "pts")
+    with pytest.raises(Exception, match="NULL coordinate"):
+        df.write.format("points_text").option("path", dest).mode(
+            "append"
+        ).save()
