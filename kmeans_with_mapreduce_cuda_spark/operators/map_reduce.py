@@ -53,9 +53,11 @@ def map_reduce(
                 yield out
 
     pairs = df.mapInPandas(map_batches, schema=pair_schema)
-    return pairs.groupBy(key).applyInPandas(
-        lambda g: reducer(g), schema=out_schema
-    )
+    # reducer passed through directly: applyInPandas dispatches on the
+    # callable's arity, so a wrapping lambda would pin the single-arg
+    # mode and break the supported (key, pdf) reducer form with a
+    # confusing executor-side TypeError (code-review r10)
+    return pairs.groupBy(key).applyInPandas(reducer, schema=out_schema)
 
 
 def kmeans_step_mapreduce(
@@ -79,11 +81,16 @@ def kmeans_step_mapreduce(
         )
 
     def reducer(g: pd.DataFrame) -> pd.DataFrame:
+        # skipna=False: the native path's Spark avg PROPAGATES NaN, and
+        # pandas' default skipna would silently drop it, breaking the
+        # asserted parity on NaN coordinates (code-review r10).  NULLs
+        # are out of scope for this surface: Arrow delivers them as
+        # NaN, indistinguishable from a real NaN here.
         return pd.DataFrame(
             {
                 "cluster_id": [int(g["key"].iloc[0])],
-                "cx": [float(g["x"].mean())],
-                "cy": [float(g["y"].mean())],
+                "cx": [float(g["x"].mean(skipna=False))],
+                "cy": [float(g["y"].mean(skipna=False))],
                 "n": [len(g)],
             }
         )

@@ -61,6 +61,12 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 
         run.__name__ = fn.__name__
         run.__doc__ = fn.__doc__
+        if name in REGISTRY:
+            # a copy-pasted @query name would silently REPLACE the
+            # earlier query: the shadowed one drops out of the gate,
+            # bench, and driver contract with no failure anywhere
+            # (code-review r10)
+            raise ValueError(f"duplicate registry query name: {name!r}")
         REGISTRY[name] = Query(name=name, fn=run, oracle=oracle, doc=doc or fn.__doc__ or "")
         return fn
 

@@ -27,7 +27,10 @@ def get_spark(
     (AQE coalescing then trims small ones automatically).
     """
     cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    shuffle = str(shuffle_partitions or max(int(cpus), 8))
+    # "*" (all cores) is a valid local[] spec the int() path rejected
+    # (code-review r10); resolve it for shuffle sizing
+    n_cores = (os.cpu_count() or 8) if cpus == "*" else int(cpus)
+    shuffle = str(shuffle_partitions or max(n_cores, 8))
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")

@@ -52,34 +52,42 @@ def fixture_cache_key(
 
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
-        st = os.stat(path)
-        if os.path.isdir(path):
-            # directory-shaped table (what Spark's writer produces):
-            # a part file rewritten IN PLACE leaves the directory's
-            # own mtime unchanged, so the signature must cover the
-            # files -- a MATERIALIZED memo (e.g. the SemDeDup build
-            # cache) would otherwise serve results computed from the
-            # old bytes (r9 review finding; a lazy DataFrame memo
-            # would merely re-read current bytes).  Walk the FULL
-            # tree, not one level: a partitioned layout nests part
-            # files under key=value dirs whose own mtime doesn't move
-            # on an in-place rewrite either (r10 advice), and include
-            # st_size so an equal-mtime same-length race still differs
-            # when content length changes.
-            entries = []
-            for root, _dirs, files in os.walk(path):
-                rel = os.path.relpath(root, path)
-                for f in files:
-                    fst = os.stat(os.path.join(root, f))
-                    entries.append(
-                        (os.path.join(rel, f), fst.st_mtime_ns, fst.st_size)
-                    )
-            sig: tuple = tuple(sorted(entries))
-        else:
-            sig = (st.st_mtime_ns, st.st_size)
+        sig = _fixture_sig(path)
     except OSError:
         return None
     return (spark.sparkContext.applicationId, sf_dir, name, sig)
+
+
+def _fixture_sig(path: str) -> tuple:
+    """The (mtime_ns, size) content signature of a file-or-directory
+    fixture; raises OSError when it can't be stat'ed.  For a
+    directory-shaped table (what Spark's writer produces): a part file
+    rewritten IN PLACE leaves the directory's own mtime unchanged, so
+    the signature must cover the files -- a MATERIALIZED memo (e.g.
+    the SemDeDup build cache) would otherwise serve results computed
+    from the old bytes (r9 review finding).  Walk the FULL tree, not
+    one level: a partitioned layout nests part files under key=value
+    dirs whose own mtime doesn't move on an in-place rewrite either
+    (r10 advice), and include st_size so an equal-mtime same-length
+    race still differs when content length changes.  Shared by
+    fixture_cache_key AND fixture_keyed_tmpdir so the in-process and
+    on-disk cache recipes cannot drift (code-review r10: the tmpdir
+    key was a weaker second copy -- top-level stat, second-granularity
+    mtime -- that went stale exactly where this one was hardened)."""
+    import os
+
+    st = os.stat(path)
+    if os.path.isdir(path):
+        entries = []
+        for root, _dirs, files in os.walk(path):
+            rel = os.path.relpath(root, path)
+            for f in files:
+                fst = os.stat(os.path.join(root, f))
+                entries.append(
+                    (os.path.join(rel, f), fst.st_mtime_ns, fst.st_size)
+                )
+        return tuple(sorted(entries))
+    return (st.st_mtime_ns, st.st_size)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -101,6 +109,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return _TABLE_CACHE[key]
     df = _load_table_uncached(spark, sf_dir, name)
     if key is not None:
+        # evict entries from other sessions on insert: a stop/recreate
+        # cycle would otherwise pin one dead plan (holding a stopped
+        # session's gateway) per (table, old applicationId) forever
+        # (code-review r10); superseded-mtime entries of the CURRENT
+        # session die with it and are bounded by regeneration count
+        app = key[0]
+        for k in [k for k in _TABLE_CACHE if k[0] != app]:
+            del _TABLE_CACHE[k]
         _TABLE_CACHE[key] = df
     return df
 
@@ -135,7 +151,18 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+    """All fixture tables present in ``sf_dir`` -- absent files are
+    SKIPPED, matching register_views' partial-fixture contract (a
+    scale-probe dir carries only the tables its queries read;
+    code-review r10: this used to crash eagerly on the first missing
+    table)."""
+    import os
+
+    return {
+        t: load_table(spark, sf_dir, t)
+        for t in TABLES
+        if os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))
+    }
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
@@ -167,8 +194,17 @@ def read_points_text(
 
     Mirrors the reference scanner (kmeans_with_mapreduce-cuda.cu:52-70):
     any run of whitespace separates the two coordinates; only the first
-    ``limit`` lines are kept when given (NUM_INPUT semantics).  ``id`` is
-    the file line number (the reference's implicit array index).
+    ``limit`` lines are kept when given (NUM_INPUT semantics).
+
+    id contract (code-review r10 clarification): WITH ``limit`` the
+    single-partition parity path makes ``id`` the file line number (the
+    reference's implicit array index).  WITHOUT ``limit`` ids are
+    unique and ascending-within-partition but PARTITION-ENCODED
+    (monotonically_increasing_id over however many splits the file
+    gets), so they vary with core count / split size -- do not treat
+    them as line numbers on the scale path; the custom
+    ``points_text`` DataSource carries a true ``line_no`` column when
+    stable identity at scale matters.
     """
     df = spark.read.text(path)
     if limit is not None:
@@ -229,10 +265,8 @@ def fixture_keyed_tmpdir(sf_dir: str, table: str, prefix: str) -> str:
     import tempfile
 
     src = os.path.join(sf_dir, f"{table}.parquet")
-    st = os.stat(src)
-    key = hashlib.md5(
-        f"{sf_dir}:{st.st_size}:{int(st.st_mtime)}".encode()
-    ).hexdigest()[:16]
+    sig = _fixture_sig(src)  # the shared tree-walking recipe
+    key = hashlib.md5(f"{sf_dir}:{table}:{sig!r}".encode()).hexdigest()[:16]
     uid = os.getuid() if hasattr(os, "getuid") else 0
     root = os.path.join(tempfile.gettempdir(), f"kmrc_u{uid}")
     os.makedirs(root, mode=0o700, exist_ok=True)
@@ -262,8 +296,11 @@ def committed_write(dest: str, write) -> None:
     the winner's freshly committed output (code-review r5 finding).
     If the final rename loses a race, the winner's (identical,
     fixture-keyed) output stands and this attempt's dirs are
-    discarded; if it fails for a non-race reason, the stale aside copy
-    is restored so ``dest`` never silently vanishes."""
+    discarded; if it fails for a NON-race reason the stale aside copy
+    is restored and the error RE-RAISED -- the caller must see the
+    real failure, not a later missing-path crash (code-review r10).
+    A restored stale dir that was itself half-written lacks _SUCCESS,
+    so the next invocation's guard rebuilds it."""
     import os
     import shutil
 
@@ -277,13 +314,25 @@ def committed_write(dest: str, write) -> None:
     try:
         os.rename(tmp, dest)
     except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # concurrent writer won
-        if doomed is not None and not os.path.exists(dest):
+        if os.path.exists(dest):
+            # genuine race: a concurrent writer's (identical,
+            # fixture-keyed) output stands; ours is redundant
+            shutil.rmtree(tmp, ignore_errors=True)
+            if doomed is not None:
+                shutil.rmtree(doomed, ignore_errors=True)
+            return
+        # NON-race failure (parent dir permissions, etc.): restore the
+        # stale copy if there was one, then RE-RAISE -- silently
+        # swallowing destroyed the freshly written output and the
+        # caller next crashed on a missing/half-written dest with the
+        # real cause hidden (code-review r10)
+        if doomed is not None:
             try:
-                os.rename(doomed, dest)  # non-race failure: restore stale
-                doomed = None
+                os.rename(doomed, dest)
             except OSError:
                 pass
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     if doomed is not None:
         shutil.rmtree(doomed, ignore_errors=True)
 
