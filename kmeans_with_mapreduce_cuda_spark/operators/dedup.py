@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -480,6 +480,7 @@ def connected_components(
     b: str = "doc_b",
     max_iter: int = 20,
     jump: bool = True,
+    small_graph: bool = False,
 ) -> "Components":
     """Resolve near-dup candidate PAIRS into duplicate CLUSTERS:
     iterative min-label propagation until fixpoint, returning
@@ -495,19 +496,51 @@ def connected_components(
 
     Scale judgment: plain propagation converges in O(graph diameter)
     rounds; pointer jumping roughly halves the unresolved distance
-    each round, giving O(log diameter) -- the difference between 63
-    and ~7 rounds on a 64-node chain (asserted in
-    tests/test_pipeline_compose.py).  Near-dup graphs are
-    quasi-cliques (LSH bands link most members of a duplicate cluster
-    directly) where either converges in 2-4 rounds, but jump=True is
-    the default because adversarial chains cost almost nothing to
-    defend against (the extra join is labels-with-labels, bounded by
-    node count).  The alternating large-star/small-star formulation
+    each round on id-monotone chains, giving O(log diameter) -- the
+    difference between 63 and ~6 rounds on a 64-node chain (asserted
+    in tests/test_pipeline_compose.py).  r10 measurement caveat: the
+    speedup is NOT unconditional -- on chains whose node ids
+    alternate (many local minima), a label quickly points at a local
+    min whose own label is itself, the jump stalls, and propagation
+    falls back to +1 hop/round via neighbor messages (the sf0.1
+    survivors cosine graph converges in 10 rounds at ANY jump depth;
+    composing 2-3 jumps per round was measured to buy nothing there
+    while lengthening every round's critical path, so exactly one
+    jump is taken).  Near-dup graphs are quasi-cliques (LSH bands
+    link most members of a duplicate cluster directly) where either
+    converges in 2-4 rounds, but jump=True is the default because
+    id-monotone adversarial chains cost almost nothing to defend
+    against (the extra join is labels-with-labels, bounded by node
+    count).  The alternating large-star/small-star formulation
     (Kiveris et al., "Connected Components in MapReduce and Beyond")
     additionally shrinks the EDGE set per round; not needed at the
     pair volumes LSH emits.  Each round's labels are persisted and
     the previous round's are dropped (the lloyd-loop contract) so
     lineage never re-executes.
+
+    ``small_graph=True`` (r10 optimization) runs the loop under the
+    ``operators.kmeans.iteration_confs`` discipline -- AQE off, 8
+    shuffle partitions, expression-level codegen -- for callers whose
+    edge list is DRIVER-MATERIALIZED by contract (every gate consumer
+    feeds this operator the `_eager`-collected, band-capped pair set,
+    so the label relation is collect-bounded at ANY corpus scale;
+    that bound, not the local core count, is what licenses the tiny
+    fixed partition count).  Per-round AQE re-planning costs ~0.1 s
+    x stages and buys nothing on a collect-bounded loop: measured at
+    sf0.1, the LSH graph's loop drops ~3.5 s -> ~1.9 s and the
+    survivors graph's ~4.0 s -> ~2.8 s.  Callers iterating over a
+    genuinely distributed edge list keep the default (False) and the
+    session's AQE/partition sizing.
+
+    Round 1 is FREE (r10 optimization): at identity labels the
+    neighbor messages are exactly the symmetric edge list and the
+    jump adds nothing (label-of-label over identity is identity), so
+    the initial labels are seeded directly with round 1's result --
+    min(node, min over neighbors) -- as ONE aggregate over ``sym``
+    that reuses sym's (src) hash partitioning (no extra exchange;
+    the old ``distinct`` init cost the same shuffle and still needed
+    the first propagation round afterwards).  ``max_iter`` bounds the
+    LOOP rounds after that seeded first round.
 
     Lineage discipline: every round references `labels` in THREE
     branches (self + neighbor msgs + jump), so the logical plan would
@@ -519,22 +552,38 @@ def connected_components(
     (GraphFrames' CC does the same).  Old checkpoint blocks are
     released by the ContextCleaner once unreferenced.
 
-    The convergence check is a 1-row driver boundary per round -- the
-    same D2H shape as the K-Means centroid collect.  For INTEGRAL node
-    ids it is SUM-based: every round's label is min(old, neighbor
+    The convergence check is exact and, for INTEGRAL node ids, FUSED
+    into the checkpoint job: every round's label is min(old, neighbor
     msgs, jump), so per-node labels are monotone non-increasing and
     ``sum(comp)`` is unchanged iff NO label moved -- an exact fixpoint
     test.  The sum is taken in DECIMAL(38,0) (exact; a bigint sum
     could overflow past ~1e18 total label mass at corpus scale, and
-    ANSI mode would make that loud rather than wrong).  Cost shape:
-    one map-side-combined aggregate over the already-materialized
-    checkpoint blocks, versus the join-plus-count formulation's extra
-    shuffle join of old and new labels each round -- cheaper at every
-    scale, identical round count.  Non-integral ids (string url/hash
-    keys, floats) cannot ride that cast losslessly, so they dispatch
-    to the type-agnostic moved-label equi-join check instead --
-    correctness never depends on the id type.
+    ANSI mode would make that loud rather than wrong) and collected
+    via ``Dataset.observe`` on the DataFrame the eager localCheckpoint
+    materializes -- the checkpoint IS an action (``withAction`` fires
+    the QueryExecutionListener), so the mass rides the job that runs
+    anyway and the old separate 1-row aggregate job per round (plus
+    one before round 1) disappears (r10 optimization: per-round jobs
+    2 -> 1; measured, the observed mass equals the collected mass).
+    Non-integral ids (string url/hash keys, floats) cannot ride the
+    decimal cast losslessly, so they dispatch to the type-agnostic
+    moved-label equi-join check instead -- correctness never depends
+    on the id type.
     """
+    from contextlib import nullcontext
+
+    from .kmeans import iteration_confs
+
+    confs = (
+        iteration_confs(edges.sparkSession) if small_graph else nullcontext()
+    )
+    with confs:
+        return _connected_components_loop(edges, a, b, max_iter, jump)
+
+
+def _connected_components_loop(
+    edges: DataFrame, a: str, b: str, max_iter: int, jump: bool
+) -> "Components":
     # Persist the symmetric edge list PRE-PARTITIONED on the join key:
     # every round joins sym on src, and without this the edge list --
     # the data-scale side of the loop -- would be re-shuffled once per
@@ -548,15 +597,8 @@ def connected_components(
         .persist()
     )
     try:
-        labels = (
-            sym.select(F.col("src").alias("node"))
-            .distinct()
-            .withColumn("comp", F.col("node"))
-            .localCheckpoint(eager=True)
-        )
-
-        # Fixpoint detection is type-dispatched.  The 1-job sum-mass
-        # check (sum is unchanged iff no monotone-non-increasing label
+        # Fixpoint detection is type-dispatched.  The sum-mass check
+        # (sum is unchanged iff no monotone-non-increasing label
         # moved) requires ids whose DECIMAL(38,0) cast is lossless and
         # injective -- integral types only.  Any other id type (string
         # urls/hash keys, floats whose cast truncates) falls back to
@@ -564,14 +606,30 @@ def connected_components(
         # checkpoint equi-join that costs one extra shuffle per round
         # but compares labels by real equality.
         integral_ids = isinstance(
-            labels.schema["comp"].dataType,
+            sym.schema["src"].dataType,
             (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
         )
+        _mass_agg = F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
 
-        def _label_mass(df: DataFrame):
-            return df.agg(
-                F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-            ).collect()[0][0]
+        def _checkpoint_with_mass(df: DataFrame):
+            """Eager localCheckpoint; for integral ids the fixpoint
+            mass rides the checkpoint's own job via observe (the
+            eager checkpoint is a tracked action, so the listener
+            fires) instead of a second 1-row aggregate job."""
+            if not integral_ids:
+                return df.localCheckpoint(eager=True), None
+            obs = Observation()
+            ck = df.observe(obs, _mass_agg).localCheckpoint(eager=True)
+            return ck, obs.get["s"]
+
+        # Seed with round 1's result directly (see docstring: at
+        # identity labels round 1 reduces to min(node, min neighbor),
+        # one exchange-free aggregate over the pre-partitioned sym).
+        labels, prev_mass = _checkpoint_with_mass(
+            sym.groupBy("src")
+            .agg(F.min(F.least("src", "dst")).alias("comp"))
+            .select(F.col("src").alias("node"), "comp")
+        )
 
         def _moved(old: DataFrame, new: DataFrame) -> bool:
             o = old.select(
@@ -584,7 +642,6 @@ def connected_components(
                 .count()
             )
 
-        prev_mass = _label_mass(labels) if integral_ids else None
         for it in range(max_iter):
             msgs = sym.join(labels, sym.src == labels.node).select(
                 F.col("dst").alias("node"), F.col("comp")
@@ -596,17 +653,14 @@ def connected_components(
                     l2, F.col("l1.comp") == F.col("l2.node")
                 ).select(F.col("l1.node").alias("node"), F.col("l2.comp"))
                 cand = cand.unionAll(jumped)
-            new = (
-                cand.groupBy("node")
-                .agg(F.min("comp").alias("comp"))
-                .localCheckpoint(eager=True)
+            new, cur_mass = _checkpoint_with_mass(
+                cand.groupBy("node").agg(F.min("comp").alias("comp"))
             )
             if it == max_iter - 1:  # no next round: the check can't matter
                 _release_local_checkpoint(labels)
                 labels = new
                 break
             if integral_ids:
-                cur_mass = _label_mass(new)
                 _release_local_checkpoint(labels)
                 labels = new
                 if cur_mass == prev_mass:  # exact fixpoint: no label moved

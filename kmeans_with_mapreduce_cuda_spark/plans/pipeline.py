@@ -3328,8 +3328,11 @@ def dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = edges.unionByName(clone_edges)
     # Candidate edges are pair-scale small; materialize them and
     # release the build's persisted intermediates before iterating.
+    # small_graph: the edge list was just _eager-collected, so the
+    # label loop is collect-bounded -- run it under iteration confs
+    # (see the operator docstring; r10 optimization).
     edges = _eager(spark, edges, deps=deps)
-    comp = connected_components(edges)
+    comp = connected_components(edges, small_graph=True)
     # Materialize only the LOSERS (bounded by the pair graph's node
     # count -- never corpus-scale) and release the CC checkpoints;
     # the corpus-scale survivor relation stays LAZY as a broadcast
@@ -3685,7 +3688,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     res = minhash_lsh_pairs(d, max_bucket=1000)
     pairs = _eager(spark, res.pairs.select("doc_a", "doc_b"), deps=res.deps)
-    comp = connected_components(pairs)
+    # small_graph: pairs were just _eager-collected (collect-bounded
+    # label loop) -- iteration confs per the operator docstring (r10).
+    comp = connected_components(pairs, small_graph=True)
     return _eager(
         spark,
         comp.labels.select(
@@ -3800,7 +3805,9 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     res = minhash_lsh_pairs(d, max_bucket=1000)
     pairs = _eager(spark, res.pairs.select("doc_a", "doc_b"), deps=res.deps)
-    comp = connected_components(pairs)
+    # small_graph: pairs were just _eager-collected (collect-bounded
+    # label loop) -- iteration confs per the operator docstring (r10).
+    comp = connected_components(pairs, small_graph=True)
     dupes = _eager(
         spark,
         comp.labels.where(F.col("node") != F.col("comp")).select("node"),

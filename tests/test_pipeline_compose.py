@@ -119,9 +119,11 @@ def test_connected_components_string_ids(spark):
 
 
 def test_connected_components_max_iter_bounds_rounds(spark):
-    """max_iter is a hard round bound: a 6-node path needs ~5
-    propagation rounds; max_iter=1 must stop early (labels then only
-    reflect direct neighbors) without erroring."""
+    """max_iter is a hard bound on LOOP rounds (the seeded init counts
+    as the free first propagation round -- operator docstring): a
+    6-node path has diameter 5, and init + one jump loop round covers
+    label depth at most 2, so max_iter=1 must stop early (node 6 not
+    yet labeled 1) without erroring."""
     from kmeans_with_mapreduce_cuda_spark.operators.dedup import (
         connected_components,
     )
@@ -136,8 +138,9 @@ def test_connected_components_max_iter_bounds_rounds(spark):
     finally:
         for dep in res.deps:
             dep.unpersist()
-    # after one round node 6 has only seen 5's initial label
-    assert got[1] == 1 and got[6] == 5
+    # init seeds 6 -> 5; one loop round reaches depth 2 (6 -> 4), not
+    # the component min -- the bound stopped the loop mid-propagation
+    assert got[1] == 1 and got[6] == 4 and got[6] != 1
 
 
 def test_connected_components_matches_union_find_property(spark):
@@ -218,10 +221,12 @@ def test_incremental_dedup_cross_batch_semantics(spark):
 
 
 def test_pointer_jumping_converges_logarithmically(spark):
-    """A 64-node path needs 63 plain-propagation rounds; pointer
-    jumping covers distance 2^r - 1 after r rounds, so 8 rounds must
-    reach the fixpoint -- and plain propagation at the same budget
-    must NOT (the adversarial-chain defense the jump join buys)."""
+    """A 64-node path needs 63 plain-propagation rounds; with the
+    seeded init (depth 1) pointer jumping doubles the covered depth
+    each round (1 -> 2 -> 4 -> ... -> 64 after 6 loop rounds), so 8
+    rounds must reach the fixpoint -- and plain propagation at the
+    same budget must NOT (the adversarial-chain defense the jump
+    join buys on id-monotone chains)."""
     from kmeans_with_mapreduce_cuda_spark.operators.dedup import (
         connected_components,
     )
@@ -244,7 +249,8 @@ def test_pointer_jumping_converges_logarithmically(spark):
     finally:
         for dep in res.deps:
             dep.unpersist()
-    assert got[63] != 0  # 8 plain rounds only see distance 8
+    # init covers depth 1; 8 plain rounds add 8 more -- far short of 63
+    assert got[63] != 0
 
 
 def test_connected_components_releases_checkpoint_blocks(spark):
