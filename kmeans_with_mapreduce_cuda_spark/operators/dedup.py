@@ -172,10 +172,16 @@ def minhash_lsh_pairs(
         ]
     )
     # materialize signatures ONCE: both self-join sides would otherwise
-    # re-run the full shingle+hash pipeline (the expensive part)
+    # re-run the full shingle+hash pipeline (the expensive part).
+    # persist() alone is NOT enough -- the first consuming job has
+    # three branches (sizes + both self-join sides) whose stages race
+    # on the cold cache and each recompute the pipeline; the eager
+    # count() fills the cache in one pass first (r10: measured 2.1-2.7
+    # -> 1.8-2.0 s at sf0.1, and the 4x cold-start variance collapses).
     banded = sig.select(
         F.col(id_col).alias("id"), F.col("sig"), F.explode(band_structs).alias("bk")
     ).persist()
+    banded.count()
 
     sizes = banded.groupBy("bk").agg(F.count(F.lit(1)).alias("n_docs"))
     if max_bucket is not None:
@@ -266,6 +272,11 @@ def minhash_cross_pairs(
         )
 
     banded_ref = banded(ref_df).persist()
+    # eager cache fill: the sizes/anti-join/join branches of the first
+    # consuming job otherwise race on the cold cache and re-run the
+    # reference-side signature pipeline per branch (minhash_lsh_pairs
+    # comment; r10)
+    banded_ref.count()
     banded_new = banded(new_df)
 
     if max_bucket is not None:
@@ -407,6 +418,9 @@ def simhash_near_pairs(
         ]
     )
     banded = sh.select("id", "sh", F.explode(band_structs).alias("bk")).persist()
+    # eager cache fill before the multi-branch consumer (see
+    # minhash_lsh_pairs; r10)
+    banded.count()
 
     sizes = banded.groupBy("bk").agg(F.count(F.lit(1)).alias("n_docs"))
     if max_bucket is not None:

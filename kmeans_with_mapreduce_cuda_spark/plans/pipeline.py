@@ -186,8 +186,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the per-doc shingle array ONCE: three consumers (both
     # join sides + sizes) would otherwise each re-run the string-heavy
     # shingle expression (and each get their own codegen compile).
-    # Unpersisted via _eager below -- the pair set is tiny.
+    # The count() is required, not just persist(): the first consuming
+    # job's branches race on the cold cache and recompute per branch
+    # (r10, the minhash_lsh_pairs finding).  Unpersisted via _eager
+    # below -- the pair set is tiny.
     arrs = d.select("doc_id", sh.alias("_sh")).persist()
+    arrs.count()
     shingles = arrs.select("doc_id", F.explode("_sh").alias("shingle"))
     sizes = arrs.select("doc_id", F.size("_sh").alias("n"))
     a = shingles.alias("a")
@@ -253,7 +257,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
     sh = F.array_distinct(word_shingles("text", 3))
+    # persist + eager count: cold-cache race across the consumer job's
+    # branches (dedup_ngram_jaccard comment; r10)
     arrs = d.select("doc_id", sh.alias("_sh")).persist()
+    arrs.count()
     shingles = arrs.select("doc_id", F.explode("_sh").alias("shingle"))
     sizes = arrs.select("doc_id", F.size("_sh").alias("n"))
     a, b = shingles.alias("a"), shingles.alias("b")
@@ -758,6 +765,9 @@ def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size("sh") > 0)
         .persist()
     )
+    # eager cache fill before the ~6-branch consumer DAG (r10, the
+    # minhash_lsh_pairs cold-cache-race finding)
+    arrs.count()
     feat = HashingTF(
         inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True
     ).transform(arrs)
@@ -2713,6 +2723,11 @@ def _semantic_dedup_build(
         )
         .persist()
     )
+    # eager cache fill: the within-cell join's branches (counts + both
+    # self-join sides) otherwise race on the cold cache and re-run the
+    # k x 64-dim assignment per branch (r10, the minhash_lsh_pairs
+    # finding; measured ~1.7 -> ~1.5 s on the clustered pass at sf0.1)
+    assigned.count()
     # dedup_semantic_clustered passes max_cell=None (the fixture's
     # cells are bounded by construction, and its oracle states the
     # uncapped contract); dedup_semantic_capped exercises the guard
@@ -2999,6 +3014,10 @@ def _semantic_recursive_build_uncached(
         )
         .persist()  # consumed by subcounts + both pair-join sides
     )
+    # eager cache fill before the multi-branch consumer job (r10, the
+    # minhash_lsh_pairs cold-cache-race finding): the sub-assignment
+    # CASE distance expression is the expensive lineage here
+    subassigned.count()
     subcounts = subassigned.groupBy("cell_id", "sub_id", "blk").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -4599,6 +4618,9 @@ def lsh_verified_plan(
     arrs = d.select(
         "doc_id", F.array_distinct(word_shingles("text", 3)).alias("_sh")
     ).persist()
+    # eager cache fill before the two-branch verify join (r10, the
+    # minhash_lsh_pairs cold-cache-race finding)
+    arrs.count()
     a = arrs.select(
         F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sha")
     )
@@ -6639,7 +6661,10 @@ def pipe_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     sh = F.array_distinct(word_shingles("text", 3))
+    # persist + eager count: cold-cache race across the consumer job's
+    # branches (dedup_ngram_jaccard comment; r10)
     arrs = d.select("doc_id", sh.alias("_sh")).persist()
+    arrs.count()
     shingles = arrs.select("doc_id", F.explode("_sh").alias("shingle"))
     sizes = arrs.select("doc_id", F.size("_sh").alias("n"))
     a, b = shingles.alias("a"), shingles.alias("b")
@@ -7127,8 +7152,10 @@ def sim_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term")
     )
     # pruned postings feed three consumers (both join sides + norms):
-    # persist once, release via _eager (the dedup_ngram_jaccard pattern)
+    # persist once, release via _eager (the dedup_ngram_jaccard pattern);
+    # eager count = cold-cache-race guard (r10)
     p = tf.join(keep, "term").persist()
+    p.count()
     norms = p.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("tf") * F.col("tf")).cast("double")).alias("nrm")
     )

@@ -2706,6 +2706,9 @@ def rel_theta_sketch_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("theta_sketch_agg(user_id)").alias("sk"))
         .persist()
     )
+    # eager cache fill: three rollup branches otherwise race on the
+    # cold cache and re-run the sketch aggregation per branch (r10)
+    sk.count()
     per_type = sk.select(
         F.concat(F.lit("type:"), F.col("event_type")).alias("scope"),
         F.expr("theta_sketch_estimate(sk)").cast("bigint").alias("est"),
