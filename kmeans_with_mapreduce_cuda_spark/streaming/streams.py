@@ -586,11 +586,16 @@ def upsert_latest_foreach_batch(
     ``rel_merge_upsert`` query.
 
     Per batch: collapse the batch to its per-key latest, merge with the
-    current state (same ``upsert_latest``), localCheckpoint the merge
-    (the state must be READ before the overwrite replaces it -- and the
-    lineage cut keeps the per-batch plan constant-size across an
-    unbounded stream), then commit the new state dir via the move-aside/
-    rename protocol (``sources.readers.committed_write``).
+    current state (same ``upsert_latest``), then commit the new state
+    dir via the move-aside/rename protocol
+    (``sources.readers.committed_write``).  The merge plan writes
+    DIRECTLY to the protocol's tmp sibling: the old state files stay
+    untouched (and readable by the running write job) until the commit
+    rename, so the pre-write localCheckpoint an earlier round inserted
+    was a redundant second materialization of the whole state per batch
+    -- removed r10 (one state pass per batch instead of two; the
+    per-batch plan is constant-size anyway because each batch re-reads
+    the state from parquet, never from lineage).
     At scale the state table is partitioned/bucketed by key so the
     merge is a co-located join and only changed partitions rewrite
     (dynamic partition overwrite, sources/writers.py); the semantics
@@ -598,7 +603,6 @@ def upsert_latest_foreach_batch(
     """
     from pyspark.sql.utils import AnalysisException
 
-    from ..operators.dedup import _release_local_checkpoint
     from ..sources.readers import committed_write
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
@@ -615,21 +619,17 @@ def upsert_latest_foreach_batch(
             if cond != "PATH_NOT_FOUND":
                 raise
             merged = batch_latest
-        merged = merged.localCheckpoint(eager=True)
-        try:
-            # committed_write, not in-place overwrite: mode("overwrite")
-            # deletes the state dir before writing, so a crash between
-            # delete and commit destroys the accumulated SCD1 state
-            # permanently (the next restart's read is not PATH_NOT_FOUND
-            # and fails loudly, but the state is gone).  The move-aside/
-            # rename protocol keeps the previous state readable until
-            # the new one is fully committed (code-review r10).
-            committed_write(
-                state_path,
-                lambda tmp: merged.write.mode("overwrite").parquet(tmp),
-            )
-        finally:
-            _release_local_checkpoint(merged)
+        # committed_write, not in-place overwrite: mode("overwrite")
+        # deletes the state dir before writing, so a crash between
+        # delete and commit destroys the accumulated SCD1 state
+        # permanently (the next restart's read is not PATH_NOT_FOUND
+        # and fails loudly, but the state is gone).  The move-aside/
+        # rename protocol keeps the previous state readable until
+        # the new one is fully committed (code-review r10).
+        committed_write(
+            state_path,
+            lambda tmp: merged.write.mode("overwrite").parquet(tmp),
+        )
 
     return fn
 
