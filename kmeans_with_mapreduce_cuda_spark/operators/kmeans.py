@@ -393,19 +393,23 @@ def seed_centroids_farthest(
     Cost: k narrow scans, each ending in one max_by aggregate (partial
     agg -> 1 row per partition -> 1 row to the driver).  Nothing but k
     rows ever leaves the executors, so the 100 TB path is k passes over
-    a cached projection.
+    a cached projection.  The loop runs under ``iteration_confs`` --
+    the lloyd_2d discipline (r10): every pass bakes fresh centroid
+    literals into a throwaway plan and ends in a 1-row aggregate, so
+    per-pass AQE re-planning and Janino compiles are pure overhead.
     """
-    first = points.select(key, x, y).orderBy(key).limit(1).collect()[0]
-    cents: list[tuple[float, float]] = [(float(first[x]), float(first[y]))]
-    for _ in range(k - 1):
-        d = points.withColumn("_d", F.expr(_dists_sql_2d(cents, x, y)))
-        best = d.select(
-            F.expr(
-                f"max_by(struct(`{x}`, `{y}`), "
-                f"struct(array_min(_d), -`{key}`))"
-            ).alias("s")
-        ).collect()[0]["s"]
-        cents.append((float(best[x]), float(best[y])))
+    with iteration_confs(points.sparkSession):
+        first = points.select(key, x, y).orderBy(key).limit(1).collect()[0]
+        cents: list[tuple[float, float]] = [(float(first[x]), float(first[y]))]
+        for _ in range(k - 1):
+            d = points.withColumn("_d", F.expr(_dists_sql_2d(cents, x, y)))
+            best = d.select(
+                F.expr(
+                    f"max_by(struct(`{x}`, `{y}`), "
+                    f"struct(array_min(_d), -`{key}`))"
+                ).alias("s")
+            ).collect()[0]["s"]
+            cents.append((float(best[x]), float(best[y])))
     return cents
 
 

@@ -970,6 +970,8 @@ _KPP_ORACLE = (
     "17-28) with the seeding you would actually run on a cluster.",
 )
 def o02_seed_kmeanspp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmeans import iteration_confs
+
     p = _points(spark, sf_dir).where(F.col("id") <= 20000)
     pts = p.select(
         "id",
@@ -978,6 +980,14 @@ def o02_seed_kmeanspp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("x"), 0).cast("bigint").alias("xi"),
         F.round(F.col("y") * 100, 0).cast("bigint").alias("yi"),
     ).persist()
+    # iteration confs (the lloyd_2d discipline, r10): each round bakes
+    # fresh center literals into a throwaway plan and collects <= l+1
+    # rows, so per-job AQE re-planning and Janino compiles buy nothing.
+    with iteration_confs(spark):
+        return _o02_seed_kmeanspp_body(spark, pts)
+
+
+def _o02_seed_kmeanspp_body(spark: SparkSession, pts) -> DataFrame:
     try:
         r0 = (
             pts.select("id", "xi", "yi", md5_long("id", "kpp0:").alias("_k"))
@@ -1132,11 +1142,25 @@ def _minibatch_sql() -> str:
     "the sublinear refinement you would run when one pass is hours.",
 )
 def o12_kmeans_minibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmeans import iteration_confs
+
     p = _points(spark, sf_dir)
     # state rows: (cluster_id, cx, cy, n_seen) -- driver-side, k rows
     state: list[tuple[int, float, float, int]] = [
         (i, cx, cy, 0) for i, (cx, cy) in enumerate(INIT_CENTROIDS_2D)
     ]
+    with iteration_confs(spark):
+        state = _o12_minibatch_rounds(p, state)
+    return spark.createDataFrame(
+        state, "cluster_id int, cx double, cy double, n_seen bigint"
+    )
+
+
+def _o12_minibatch_rounds(p, state):
+    """The mini-batch rounds, run under iteration_confs (the lloyd_2d
+    discipline, r10): each round bakes the previous state into literal
+    arrays and collects k rows -- per-job AQE re-planning and Janino
+    compiles are throwaway overhead."""
     for r in range(1, _MB_ROUNDS + 1):
         cents = [(cx, cy) for (_i, cx, cy, _n) in state]
         batch = p.where(md5_long("id", f"mb{r}:") % _MB_MOD == 0)
@@ -1180,6 +1204,4 @@ def o12_kmeans_minibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             else (i, cx0, cy0, n0)
             for (i, cx0, cy0, n0) in state
         ]
-    return spark.createDataFrame(
-        state, "cluster_id int, cx double, cy double, n_seen bigint"
-    )
+    return state
