@@ -36,7 +36,7 @@ def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "o01_scan_limit",
-    oracle=f"WITH points AS ({POINTS_SQL}) "
+    oracle=f"WITH points AS MATERIALIZED ({POINTS_SQL}) "
     "SELECT id, x, y FROM points ORDER BY id LIMIT 1000",
     doc="O1 scan: projection + deterministic first-N (NUM_INPUT row cap, "
     "config.cuh:12).  Pushdown check: only 3 lineitem columns are read.",
@@ -49,7 +49,7 @@ def o01_scan_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "o02_seed_sample",
-    oracle=f"WITH points AS ({POINTS_SQL}) "
+    oracle=f"WITH points AS MATERIALIZED ({POINTS_SQL}) "
     f"SELECT id, x, y FROM points ORDER BY {md5_long_sql('id', f'seed{SEED}:')}, id "
     "LIMIT 8",
     doc="O2 Forgy seeding, made deterministic + engine-portable: k rows by "
@@ -72,7 +72,7 @@ _PX, _PY = 25.0, 60000.0
 
 @query(
     "o03_distance_expr",
-    oracle=f"WITH points AS ({POINTS_SQL}) "
+    oracle=f"WITH points AS MATERIALIZED ({POINTS_SQL}) "
     f"SELECT id, round((x - {_PX!r}) * (x - {_PX!r}) + (y - {_PY!r}) * (y - {_PY!r}), 2)"
     " AS dist FROM points WHERE id <= 20000",
     doc="O3 distance as a scalar column expression: (x1-x2)^2 + (y1-y2)^2, "
@@ -90,7 +90,7 @@ def o03_distance_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "o04_assign_argmin",
-    oracle=f"WITH points AS ({POINTS_SQL}), cents AS {cents_sql(INIT_CENTROIDS_2D)} "
+    oracle=f"WITH points AS MATERIALIZED ({POINTS_SQL}), cents AS {cents_sql(INIT_CENTROIDS_2D)} "
     + assign_sql() + " AND id <= 20000",
     doc="O4 map: per-point argmin over k broadcast centroid literals; ties "
     "to lowest cluster_id (strict < at kmeans_mapreduce_core.cu:27). "
@@ -109,7 +109,7 @@ def o04_assign_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "o05_multi_emit",
     oracle=f"""
-    WITH points AS ({POINTS_SQL}), cents AS {cents_sql(INIT_CENTROIDS_2D)}
+    WITH points AS MATERIALIZED ({POINTS_SQL}), cents AS {cents_sql(INIT_CENTROIDS_2D)}
     SELECT id, x, y, CAST(rn AS INTEGER) AS emit_rank, cluster_id FROM (
         SELECT p.id, p.x, p.y, c.cluster_id,
                ROW_NUMBER() OVER (
@@ -259,7 +259,7 @@ def o09_centroid_update_nd(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "o06_sort_by_key",
     oracle=f"""
-    WITH points AS ({POINTS_SQL}), cents AS {cents_sql(INIT_CENTROIDS_2D)},
+    WITH points AS MATERIALIZED ({POINTS_SQL}), cents AS {cents_sql(INIT_CENTROIDS_2D)},
     assigned AS ({assign_sql()})
     SELECT id, cluster_id,
            ROW_NUMBER() OVER (ORDER BY cluster_id, id) AS pos
@@ -285,7 +285,7 @@ def o06_sort_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "o07_group_counts",
     oracle=f"""
-    WITH points AS ({POINTS_SQL}), cents AS {cents_sql(INIT_CENTROIDS_2D)},
+    WITH points AS MATERIALIZED ({POINTS_SQL}), cents AS {cents_sql(INIT_CENTROIDS_2D)},
     assigned AS ({assign_sql()})
     SELECT cluster_id, CAST(count(*) AS BIGINT) AS n
     FROM assigned GROUP BY cluster_id
@@ -302,7 +302,7 @@ def o07_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- O8/O9: reduce -- per-cluster mean (core.cu:54-69, 108-139) ------------
 
 _UPDATE_SQL = f"""
-    WITH points AS ({POINTS_SQL}), cents AS {cents_sql(INIT_CENTROIDS_2D)},
+    WITH points AS MATERIALIZED ({POINTS_SQL}), cents AS {cents_sql(INIT_CENTROIDS_2D)},
     assigned AS ({assign_sql()})
     SELECT cluster_id, round(avg(x), {ROUND_CENT}) AS cx,
            round(avg(y), {ROUND_CENT}) AS cy,
@@ -343,7 +343,7 @@ def _iterated_sql(n_steps: int, id_cap: int | None = None) -> str:
     if id_cap is not None:
         pts = f"SELECT * FROM ({POINTS_SQL}) WHERE id <= {id_cap}"
     ctes = [
-        f"points AS ({pts})",
+        f"points AS MATERIALIZED ({pts})",
         f"cents0 AS (SELECT * FROM {cents_sql(INIT_CENTROIDS_2D)})",
     ]
     for i in range(1, n_steps):
@@ -463,7 +463,7 @@ def _sse_sql_for(cents) -> str:
 @query(
     "o14_sse_by_k",
     oracle=f"""
-    WITH points AS ({POINTS_SQL})
+    WITH points AS MATERIALIZED ({POINTS_SQL})
     SELECT 4 AS k, ({_sse_sql_for(INIT_CENTROIDS_2D[:4])}) AS sse_millions
     UNION ALL
     SELECT 8 AS k, ({_sse_sql_for(INIT_CENTROIDS_2D)}) AS sse_millions
@@ -495,7 +495,7 @@ def o14_sse_by_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "o14_sse",
     oracle=f"""
-    WITH points AS ({POINTS_SQL}), cents AS {cents_sql(INIT_CENTROIDS_2D)}
+    WITH points AS MATERIALIZED ({POINTS_SQL}), cents AS {cents_sql(INIT_CENTROIDS_2D)}
     SELECT CAST(round(sum(mind) / 1000000.0) AS BIGINT) AS sse_millions FROM (
         SELECT min((p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy)) AS mind
         FROM points p CROSS JOIN cents c GROUP BY p.id
@@ -514,7 +514,7 @@ def o14_sse(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "o14_silhouette",
     oracle=f"""
-    WITH points AS ({POINTS_SQL}), cents AS {cents_sql(INIT_CENTROIDS_2D)},
+    WITH points AS MATERIALIZED ({POINTS_SQL}), cents AS {cents_sql(INIT_CENTROIDS_2D)},
     d AS (
         SELECT p.id, c.cluster_id,
                sqrt((p.x - c.cx) * (p.x - c.cx)
@@ -579,7 +579,7 @@ def o14_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "o14_calinski",
     oracle=f"""
-    WITH points AS ({POINTS_SQL}), cents AS {cents_sql(INIT_CENTROIDS_2D)},
+    WITH points AS MATERIALIZED ({POINTS_SQL}), cents AS {cents_sql(INIT_CENTROIDS_2D)},
     assigned AS (
         SELECT id, x, y, cluster_id, mind FROM (
             SELECT p.id, p.x, p.y, c.cluster_id,
@@ -711,7 +711,7 @@ def _fp_step_sql(prev_d: str, prev_c: str, out_d: str, out_c: str) -> str:
 
 
 _FP_ORACLE = (
-    f"WITH points AS ({POINTS_SQL}),\n"
+    f"WITH points AS MATERIALIZED ({POINTS_SQL}),\n"
     "c0 AS (SELECT x AS cx, y AS cy FROM points ORDER BY id LIMIT 1),\n"
     "d1 AS (SELECT p.id, p.x, p.y, (p.x - c.cx) * (p.x - c.cx)"
     " + (p.y - c.cy) * (p.y - c.cy) AS d FROM points p CROSS JOIN c0 c),\n"
@@ -776,7 +776,7 @@ def _db_oracle() -> str:
         f"({i}, {j}, {d!r})" for i, j, d in _db_centroid_dists()
     )
     return f"""
-    WITH points AS ({POINTS_SQL}), cents AS {cents_sql(INIT_CENTROIDS_2D)},
+    WITH points AS MATERIALIZED ({POINTS_SQL}), cents AS {cents_sql(INIT_CENTROIDS_2D)},
     lab AS (
         SELECT id, mind, cluster_id FROM (
             SELECT p.id, c.cluster_id,
@@ -912,8 +912,8 @@ def _kpp_accept_sql(d: str, t: str, salt: str, out: str) -> str:
 
 
 _KPP_ORACLE = (
-    f"WITH points AS ({POINTS_SQL}),\n"
-    "pts AS (SELECT id, x, y, CAST(round(x, 0) AS BIGINT) AS xi,"
+    f"WITH points AS MATERIALIZED ({POINTS_SQL}),\n"
+    "pts AS MATERIALIZED (SELECT id, x, y, CAST(round(x, 0) AS BIGINT) AS xi,"
     " CAST(round(y * 100, 0) AS BIGINT) AS yi FROM points"
     " WHERE id <= 20000),\n"
     f"c0 AS (SELECT id, xi, yi FROM pts ORDER BY {md5_long_sql('id', 'kpp0:')}, id LIMIT 1),\n"
@@ -1080,7 +1080,7 @@ def _minibatch_sql() -> str:
     to ROUND_CENT between rounds (the o12 cross-engine contract);
     clusters absent from a batch keep centroid and count unchanged."""
     ctes = [
-        f"points AS ({POINTS_SQL})",
+        f"points AS MATERIALIZED ({POINTS_SQL})",
         "cents0 AS (SELECT cluster_id, cx, cy, CAST(0 AS BIGINT) AS n "
         f"FROM {cents_sql(INIT_CENTROIDS_2D)})",
     ]

@@ -3672,7 +3672,7 @@ def sim_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_components",
     oracle=f"""
-    WITH RECURSIVE mh AS ({_minhash_sql()}),
+    WITH RECURSIVE mh AS MATERIALIZED ({_minhash_sql()}),
     edges AS (
         SELECT doc_a AS a, doc_b AS b FROM mh
         UNION ALL
@@ -3793,7 +3793,7 @@ def pipe_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_survivors",
     oracle=f"""
-    WITH RECURSIVE mh AS ({_minhash_sql()}),
+    WITH RECURSIVE mh AS MATERIALIZED ({_minhash_sql()}),
     edges AS (
         SELECT doc_a AS a, doc_b AS b FROM mh
         UNION ALL
@@ -5728,7 +5728,7 @@ def sim_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                regexp_split_to_array(trim(lower(text)), '\s+') AS toks
         FROM documents
     ),
-    scored AS (
+    scored AS MATERIALIZED (
         SELECT doc_id,
                CAST(len(toks) AS BIGINT) AS n_tokens,
                CAST(list_sum([
