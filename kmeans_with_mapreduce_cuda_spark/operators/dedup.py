@@ -102,8 +102,14 @@ def minhash_signatures(
     output and treat missing as "no candidate".)
     """
     from ..functions.hashing import MINHASH_P, minhash_params
+    from ..sources.readers import spread_scan
 
-    ex = df.select(
+    # Shingle explode + per-shingle md5 is the expensive narrow stage of
+    # the whole MinHash family, and the single-row-group fixture scan
+    # feeds it as ONE task (r11; guide §2.5) -- spread the input across
+    # the session's cores first.  No-op whenever the source already
+    # offers >= defaultParallelism splits (any real corpus).
+    ex = spread_scan(df).select(
         id_col, F.explode(word_shingles(text_col, shingle_n)).alias("_s")
     )
     x = F.conv(
@@ -486,6 +492,53 @@ class Components(NamedTuple):
 
     labels: DataFrame
     deps: list
+
+
+def connected_components_local(pairs) -> dict:
+    """Exact min-label connected components over a DRIVER-MATERIALIZED
+    pair iterable -- union-find with path compression, roots kept at the
+    component's MINIMUM node id.  Returns {node: min reachable node id},
+    the same fixpoint :func:`connected_components` converges to.
+
+    This is the r11 optimization for the gate consumers whose edge list
+    is ALREADY collected to the driver (the adjudicated pair-scale
+    ``_eager`` sites: LSH band caps bound the candidate set by
+    construction): once the pairs are driver rows, re-distributing them
+    so a 4-10-round label-propagation loop can run 1-2 Spark jobs per
+    round is pure fixed latency -- measured 2.0-5.2 s per bench key at
+    sf0.1 over graphs of 540-1294 edges that union-find resolves in
+    well under a millisecond.  Callers with a genuinely distributed,
+    corpus-scale edge list (curate.py) keep the distributed operator;
+    nothing about ITS contract changes.
+
+    Exactness: union-by-min-root keeps every tree's root at the
+    component minimum, and find() path-compresses to the root, so after
+    one pass every node maps to the min id reachable through the pair
+    graph -- the definition the oracle's transitive closure checks.
+    Deterministic: the result is a pure function of the edge SET
+    (iteration order only changes transient tree shapes, never roots).
+    """
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {n: find(n) for n in parent}
 
 
 def connected_components(

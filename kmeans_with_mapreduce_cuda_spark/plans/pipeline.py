@@ -2680,9 +2680,15 @@ def _semantic_dedup_build(
     from ..functions.distance import dot_product_sql
     from ..operators.kmeans import assign_nd
     from ..operators.similarity import within_cell_cosine_pairs
+    from ..sources.readers import spread_scan
     from .kmeans_queries import _cents_nd
 
-    e = load_table(spark, sf_dir, "embeddings")
+    # The single-row-group fixture scan is ONE task by format; without
+    # this the assignment/norm projection AND the within-cell pair
+    # join's 64-term dot filter (which streams the cached 1-partition
+    # assignment through a BroadcastHashJoin) run serially on one core
+    # (r11 measurement: ~1.0 s of the pair join was one task).
+    e = spread_scan(load_table(spark, sf_dir, "embeddings"))
     cents = _cents_nd(spark, sf_dir, k=8)
     if not cents:
         # Empty corpus: no seed vectors exist, so there is no quantizer
@@ -3322,7 +3328,7 @@ def _minlabel_closure_sql(rounds: int) -> str:
     "family is dedup_semantic_clustered (uncapped-join contract).",
 )
 def dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import connected_components
+    from ..operators.dedup import connected_components_local
 
     out, deps, parts = _semantic_recursive_build(
         spark, sf_dir, consumer="survivors"
@@ -3345,25 +3351,25 @@ def dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         edges = edges.unionByName(clone_edges)
-    # Candidate edges are pair-scale small; materialize them and
-    # release the build's persisted intermediates before iterating.
-    # small_graph: the edge list was just _eager-collected, so the
-    # label loop is collect-bounded -- run it under iteration confs
-    # (see the operator docstring; r10 optimization).
-    edges = _eager(spark, edges, deps=deps)
-    comp = connected_components(edges, small_graph=True)
-    # Materialize only the LOSERS (bounded by the pair graph's node
-    # count -- never corpus-scale) and release the CC checkpoints;
-    # the corpus-scale survivor relation stays LAZY as a broadcast
-    # anti-join, honoring _eager's small-results-only contract
-    # (review finding: eagering the cleaned corpus itself would
-    # double-materialize the data-scale side through the driver).
-    losers = _eager(
-        spark,
-        comp.labels.where(F.col("node") != F.col("comp")).select(
-            F.col("node").alias("vec_id")
-        ),
-        deps=comp.deps,
+    # Candidate edges are pair-scale small (collect-bounded by the
+    # stage-1/2 caps); collect them once, release the build's persisted
+    # intermediates, and resolve the min-label fixpoint with a driver
+    # union-find (r11: the distributed small_graph loop spent 2.8-5.2 s
+    # of fixed job latency on a 540-edge graph; see dedup_components).
+    # Only the LOSERS -- bounded by the pair graph's node count, never
+    # corpus-scale -- go back out, as a broadcast anti-join, so the
+    # corpus side still never shuffles.
+    try:
+        edge_rows = edges.collect()
+    finally:
+        for dep in deps:
+            dep.unpersist()
+    labels = connected_components_local(
+        (r["doc_a"], r["doc_b"]) for r in edge_rows
+    )
+    losers = spark.createDataFrame(
+        sorted((int(n),) for n, c in labels.items() if n != c),
+        "vec_id bigint",
     )
     return (
         load_table(spark, sf_dir, "embeddings")
@@ -3702,21 +3708,27 @@ def sim_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "large-star/small-star formulation, documented in the operator).",
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import connected_components, minhash_lsh_pairs
+    from ..operators.dedup import connected_components_local, minhash_lsh_pairs
 
     d = load_table(spark, sf_dir, "documents")
     res = minhash_lsh_pairs(d, max_bucket=1000)
-    pairs = _eager(spark, res.pairs.select("doc_a", "doc_b"), deps=res.deps)
-    # small_graph: pairs were just _eager-collected (collect-bounded
-    # label loop) -- iteration confs per the operator docstring (r10).
-    comp = connected_components(pairs, small_graph=True)
-    return _eager(
-        spark,
-        comp.labels.select(
-            F.col("node").alias("doc_id"),
-            F.col("comp").alias("component_id"),
-        ),
-        deps=comp.deps,
+    # The pair set is collect-bounded by the band cap (the adjudicated
+    # _eager contract since r5); once its rows are on the driver, the
+    # min-label fixpoint is a union-find, not 4+ Spark jobs per
+    # propagation round over a 1294-edge graph (r11: the distributed
+    # small_graph loop cost 2.0-2.6 s of pure fixed job latency here;
+    # corpus-scale edge lists -- curate.py -- keep the distributed
+    # operator).
+    try:
+        pair_rows = res.pairs.select("doc_a", "doc_b").collect()
+    finally:
+        for dep in res.deps:
+            dep.unpersist()
+    labels = connected_components_local(
+        (r["doc_a"], r["doc_b"]) for r in pair_rows
+    )
+    return spark.createDataFrame(
+        sorted(labels.items()), "doc_id bigint, component_id bigint"
     )
 
 
@@ -3819,18 +3831,23 @@ def pipe_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     "twin) and dedup_components (the cluster view this consumes).",
 )
 def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import connected_components, minhash_lsh_pairs
+    from ..operators.dedup import connected_components_local, minhash_lsh_pairs
 
     d = load_table(spark, sf_dir, "documents")
     res = minhash_lsh_pairs(d, max_bucket=1000)
-    pairs = _eager(spark, res.pairs.select("doc_a", "doc_b"), deps=res.deps)
-    # small_graph: pairs were just _eager-collected (collect-bounded
-    # label loop) -- iteration confs per the operator docstring (r10).
-    comp = connected_components(pairs, small_graph=True)
-    dupes = _eager(
-        spark,
-        comp.labels.where(F.col("node") != F.col("comp")).select("node"),
-        deps=comp.deps,
+    # Collect-bounded pair set -> driver union-find (see dedup_components;
+    # r11).  The corpus side still never shuffles: losers are broadcast
+    # into a left_anti join exactly as before.
+    try:
+        pair_rows = res.pairs.select("doc_a", "doc_b").collect()
+    finally:
+        for dep in res.deps:
+            dep.unpersist()
+    labels = connected_components_local(
+        (r["doc_a"], r["doc_b"]) for r in pair_rows
+    )
+    dupes = spark.createDataFrame(
+        sorted((n,) for n, c in labels.items() if n != c), "node bigint"
     )
     return d.join(
         F.broadcast(dupes), d.doc_id == dupes.node, "left_anti"

@@ -138,6 +138,37 @@ def adapt_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Raise a SCAN-bounded plan's parallelism to the session default
+    when the source offers fewer splits (guide §2.5 "input skew: one
+    huge unsplittable file ... repartition immediately after the read").
+
+    The fixture parquet is written as a single row group per file, so
+    by format a scan is ONE task no matter how many cores the session
+    has -- and every narrow per-row compute stage stacked on it (md5
+    shingle hashing, k x 64-dim assignment distances, 64-term pair dot
+    products through an in-memory cache built from the scan) runs
+    serially on one core (r11 measurement: the SemDeDup pair join's
+    250k x 64-term dot filter ran in ONE task, ~1.0 s that 32 cores
+    never touched).  Round-robin repartition to defaultParallelism
+    spreads those stages across the session's cores; the exchange
+    moves only the scan's own rows once, before the expensive lineage.
+
+    Scale-adaptive, not local-tuned: ``defaultParallelism`` is the
+    session's core count at any deployment size, and a corpus-scale
+    input (more splits than cores) short-circuits to the identity --
+    no exchange is ever added to a scan that already parallelizes.
+    Row-level results are unaffected: round-robin repartition only
+    changes physical placement, and every consumer below is a
+    row-order-agnostic aggregate/join.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

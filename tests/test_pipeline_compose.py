@@ -91,6 +91,56 @@ def test_connected_components_resolves_chains_and_islands(spark):
     }
 
 
+def test_connected_components_local_matches_distributed(spark):
+    """The driver union-find (r11, used by the collect-bounded gate
+    sites) must compute the SAME fixpoint as the distributed operator:
+    min reachable node id per component.  Checked on the handcrafted
+    shapes plus a seeded random graph, against both the distributed
+    result and a brute-force BFS closure."""
+    import random
+
+    from kmeans_with_mapreduce_cuda_spark.operators.dedup import (
+        connected_components,
+        connected_components_local,
+    )
+
+    handmade = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+                (10, 11), (11, 12), (10, 12), (20, 21)]
+    rng = random.Random(42)
+    rand = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    for pairs in (handmade, rand, [], [(7, 7)]):
+        got = connected_components_local(pairs)
+        # brute-force closure
+        adj: dict = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want = {}
+        for start in adj:
+            seen, todo = {start}, [start]
+            while todo:
+                x = todo.pop()
+                for y in adj[x]:
+                    if y not in seen:
+                        seen.add(y)
+                        todo.append(y)
+            want[start] = min(seen)
+        assert got == want
+        if pairs:
+            edges = spark.createDataFrame(
+                pairs, "doc_a bigint, doc_b bigint"
+            )
+            res = connected_components(edges)
+            try:
+                dist = {
+                    r["node"]: r["comp"] for r in res.labels.collect()
+                }
+            finally:
+                for dep in res.deps:
+                    dep.unpersist()
+            assert got == dist
+
+
 def test_connected_components_string_ids(spark):
     """Node ids are not required to be numeric: string keys (urls,
     content hashes) must converge via the type-agnostic moved-label
