@@ -254,14 +254,32 @@ def within_cell_cosine_pairs(
     ``_semantic_dedup_build`` + ``_eager``).  The operator does not
     persist internally so lifetime stays with the caller.
 
-    Two codegen stages on purpose -- see the gate query's comment: the
-    64-term dot evaluates once as the join filter, survivors reshuffle
-    through a deliberate boundary, and the output column re-derives
-    the identical IEEE value for survivors only (measured 3x on the
-    probe loop at sf0.1).
-    """
-    from ..functions.distance import dot_product_sql
+    Pair scoring runs as a grouped-map pandas kernel, one cell per
+    group (guide §4.2: hand whole batches to vectorized native code):
+    the r10 SQL self-join evaluated the ``dim``-term dot inside the
+    BroadcastHashJoin CONDITION, where Spark's expression evaluation
+    measured 4-120 us per PAIR (the giant condition never reached
+    whole-stage codegen; per-pair cost even varied 25x with the task
+    layout) -- ~1.2-2.6 s at sf0.1 for 250k candidate pairs whose raw
+    float work is ~16M FLOP.  The kernel reproduces the SQL result
+    BIT-EXACTLY: products and the left-associated accumulation order
+    of ``dot_product_sql`` are replayed as one numpy op per dimension
+    (``G += outer(A[:,j], B[:,j])`` rounds each product and each
+    partial sum exactly like the SQL chain), the threshold compares
+    the same unrounded double, and rounding stays in the JVM
+    (``F.round``, Spark HALF_UP semantics -- numpy's round differs).
+    Measured at sf0.1: 1.2-2.6 s -> ~0.4 s for the stage-1 join, and
+    the result set is byte-identical (asserted by
+    tests/test_similarity.py::test_within_cell_pairs_matches_sql_join).
 
+    Scale shape: one cell = one group = one task, exactly like the
+    previous equi-join (one cell = one hash bucket); ``max_cell``
+    bounds the group where it is set, and the kernel accumulates G in
+    row/col BLOCKS so its transient memory is O(block^2), not O(n^2),
+    for the uncapped contract.  Only (id, emb, nrm, cell) cross the
+    Arrow boundary -- candidate PAIRS never do; output is the
+    surviving pairs only.
+    """
     counts = assigned.groupBy(cell_col).agg(F.count(F.lit(1)).alias("n"))
     if max_cell is not None:
         capped = counts.where(F.col("n") > max_cell)
@@ -270,29 +288,98 @@ def within_cell_cosine_pairs(
         )
     else:
         capped = counts.where(F.lit(False))
-    a = assigned.select(
-        F.col(id_col).alias("vec_a"),
-        F.col(emb_col).alias("emb_a"),
-        F.col(norm_col).alias("nrm_a"),
+    id_t = assigned.schema[id_col].dataType.simpleString()
+    # Null semantics of the old join, preserved: a NULL cell never
+    # equi-joined (dropped); NULL emb/nrm/id made the join condition
+    # NULL -> row dropped.  Filter them out before grouping.
+    narrowed = assigned.select(
+        F.col(id_col).alias("_pid"),
+        F.col(emb_col).alias("_pemb"),
+        F.col(norm_col).alias("_pnrm"),
         cell_col,
+    ).where(
+        F.col(cell_col).isNotNull()
+        & F.col("_pid").isNotNull()
+        & F.col("_pemb").isNotNull()
+        & F.col("_pnrm").isNotNull()
     )
-    b = assigned.select(
-        F.col(id_col).alias("vec_b"),
-        F.col(emb_col).alias("emb_b"),
-        F.col(norm_col).alias("nrm_b"),
-        cell_col,
+    raw = narrowed.groupBy(cell_col).applyInPandas(
+        _cell_pairs_kernel(float(threshold), _PAIR_BLOCK),
+        f"vec_a {id_t}, vec_b {id_t}, cos_sim double",
     )
-    sim = F.expr(dot_product_sql("emb_a", "emb_b", dim)) / (
-        F.col("nrm_a") * F.col("nrm_b")
+    pairs = raw.select(
+        "vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim")
     )
-    kept = (
-        a.join(b, cell_col)
-        .where((F.col("vec_a") < F.col("vec_b")) & (sim >= threshold))
-        .select("vec_a", "vec_b", "emb_a", "emb_b", "nrm_a", "nrm_b")
-        .repartition("vec_a")
-    )
-    pairs = kept.select("vec_a", "vec_b", F.round(sim, 6).alias("cos_sim"))
     return pairs, capped
+
+
+#: row/col block edge for the pair kernel's G accumulation: transient
+#: memory is O(block^2) doubles (~32 MB at 2048) no matter how large an
+#: uncapped cell grows.
+_PAIR_BLOCK = 2048
+
+
+def _cell_pairs_kernel(threshold: float, block: int):
+    """Grouped-map kernel factory for within_cell_cosine_pairs: all
+    pairs (i, k) of one cell with id_i < id_k and cosine >= threshold.
+    ``block`` is closed over (picked up driver-side) so tests can
+    exercise block boundaries.  See the caller's docstring for the
+    bit-exactness argument."""
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series([], dtype="int64"),
+                "vec_b": pd.Series([], dtype="int64"),
+                "cos_sim": pd.Series([], dtype="float64"),
+            }
+        )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        # sort by id so the strict upper triangle IS id_a < id_b
+        pdf = pdf.sort_values("_pid", kind="mergesort")
+        ids = pdf["_pid"].to_numpy()
+        A = np.stack(
+            [np.asarray(x, dtype=np.float64) for x in pdf["_pemb"]]
+        )
+        nrm = pdf["_pnrm"].to_numpy(dtype=np.float64)
+        dim = A.shape[1]
+        out_a, out_b, out_c = [], [], []
+        for i0 in range(0, n, block):
+            i1 = min(i0 + block, n)
+            for k0 in range(i0, n, block):
+                k1 = min(k0 + block, n)
+                # left-associated over dims, like dot_product_sql:
+                # each product and each partial sum rounds once
+                G = np.multiply.outer(A[i0:i1, 0], A[k0:k1, 0])
+                for j in range(1, dim):
+                    G += np.multiply.outer(A[i0:i1, j], A[k0:k1, j])
+                S = G / np.multiply.outer(nrm[i0:i1], nrm[k0:k1])
+                ii, kk = np.nonzero(S >= threshold)
+                gi, gk = ii + i0, kk + k0
+                # strict upper triangle on ids (ids are sorted, so
+                # index order is id order; equal ids never pair)
+                m = ids[gi] < ids[gk]
+                gi, gk, sv = gi[m], gk[m], S[ii, kk][m]
+                if len(gi):
+                    out_a.append(ids[gi])
+                    out_b.append(ids[gk])
+                    out_c.append(sv)
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "cos_sim": np.concatenate(out_c),
+            }
+        )
+
+    return kernel
 
 
 def _emb_dim(df: DataFrame, features: str) -> int:

@@ -504,6 +504,87 @@ def test_within_cell_pairs_cap_returns_capped_cells_as_data(spark):
     assert un_capped.count() == 0
 
 
+def test_within_cell_pairs_matches_sql_join(spark):
+    """The grouped-map pandas kernel (r11) must reproduce the r10 SQL
+    self-join formulation BIT-EXACTLY on the fixture: same pair set,
+    same rounded cos_sim doubles.  This is the regression guard for the
+    kernel's left-associated accumulation order (dot_product_sql) and
+    JVM-side rounding."""
+    from kmeans_with_mapreduce_cuda_spark.functions.distance import (
+        dot_product_sql,
+    )
+    from kmeans_with_mapreduce_cuda_spark.operators.similarity import (
+        within_cell_cosine_pairs,
+    )
+    from kmeans_with_mapreduce_cuda_spark.plans.pipeline import (
+        _semantic_dedup_build,
+    )
+
+    out, _, assigned = _semantic_dedup_build(spark, SF_DIR)
+    try:
+        got = sorted(map(tuple, out.collect()))
+        a = assigned.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("emb").alias("emb_a"),
+            F.col("nrm").alias("nrm_a"),
+            "cell_id",
+        )
+        b = assigned.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("emb").alias("emb_b"),
+            F.col("nrm").alias("nrm_b"),
+            "cell_id",
+        )
+        sim = F.expr(dot_product_sql("emb_a", "emb_b", 64)) / (
+            F.col("nrm_a") * F.col("nrm_b")
+        )
+        want = sorted(
+            map(
+                tuple,
+                a.join(b, "cell_id")
+                .where((F.col("vec_a") < F.col("vec_b")) & (sim >= 0.35))
+                .select("vec_a", "vec_b", F.round(sim, 6).alias("cos_sim"))
+                .collect(),
+            )
+        )
+    finally:
+        assigned.unpersist()
+    assert got == want
+
+
+def test_within_cell_pairs_block_boundary(spark):
+    """The kernel's O(block^2) G accumulation must agree with the
+    single-block path across block edges: force _PAIR_BLOCK below the
+    cell size and compare."""
+    import kmeans_with_mapreduce_cuda_spark.operators.similarity as S
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 5) / 5 for j in range(4)], None, 0)
+        for i in range(50)
+    ]
+    rows = [
+        (i, v, sum(x * x for x in v) ** 0.5, c)
+        for (i, v, _, c) in rows
+    ]
+    assigned = spark.createDataFrame(
+        rows, "vec_id bigint, emb array<double>, nrm double, cell_id int"
+    )
+    pairs_full, _ = S.within_cell_cosine_pairs(
+        assigned, dim=4, threshold=0.35, max_cell=None
+    )
+    want = sorted(map(tuple, pairs_full.collect()))
+    old = S._PAIR_BLOCK
+    S._PAIR_BLOCK = 7  # forces many ragged blocks incl. diagonal splits
+    try:
+        pairs_blk, _ = S.within_cell_cosine_pairs(
+            assigned, dim=4, threshold=0.35, max_cell=None
+        )
+        got = sorted(map(tuple, pairs_blk.collect()))
+    finally:
+        S._PAIR_BLOCK = old
+    assert got == want and len(want) > 100
+
+
 def test_range_search_consistent_with_topk(spark):
     """brute_force_range(t) and brute_force_topk must tell one story:
     every top-k hit scoring >= t is in the range result, every range
