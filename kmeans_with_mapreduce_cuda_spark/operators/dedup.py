@@ -199,14 +199,32 @@ def minhash_lsh_pairs(
         capped = sizes.where(F.lit(False))
         joinable = banded
 
-    a, b = joinable.alias("a"), joinable.alias("b")
+    # Per-bucket pair expansion instead of the banded SELF-JOIN (r11):
+    # one groupBy exchange replaces the join's two cache reads + two
+    # hash exchanges -- each band key's members are collected into ONE
+    # row (bounded: the max_bucket cap already excluded degenerate
+    # buckets BEFORE this aggregate, so a member list is <= max_bucket
+    # structs by construction), sorted by id so the strict upper
+    # triangle IS doc_a < doc_b, and pairs are emitted by a codegen'd
+    # posexplode x slice-tail explode.  Result set identical to the
+    # join (same pairs, same sigs); dropDuplicates still canonicalizes
+    # across bands.
+    grouped = joinable.groupBy("bk").agg(
+        F.sort_array(F.collect_list(F.struct("id", "sig"))).alias("_ms")
+    )
     pairs = (
-        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")))
+        grouped.select(F.posexplode("_ms").alias("_i", "_ma"), "_ms")
         .select(
-            F.col("a.id").alias("doc_a"),
-            F.col("b.id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            "_ma",
+            F.explode(
+                F.slice("_ms", F.col("_i") + 2, F.size("_ms"))
+            ).alias("_mb"),
+        )
+        .select(
+            F.col("_ma.id").alias("doc_a"),
+            F.col("_mb.id").alias("doc_b"),
+            F.col("_ma.sig").alias("sig_a"),
+            F.col("_mb.sig").alias("sig_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
