@@ -253,6 +253,10 @@ def main() -> None:
                 "sf": sf,
                 "n_points": n_points,
                 "best_of": REPS,
+                # the resolved core count (r10 verdict item 2): makes the
+                # $SPARK_GRAFT_CPUS contract visible in the output line
+                # itself, so a scaling run is self-describing
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
                 "load_avg_start": round(load_start, 2),
                 "load_avg_end": round(load_end, 2),
                 "noise_ratio": noise,

@@ -60,16 +60,32 @@ def iteration_confs(spark, shuffle_partitions: int = 8):
     iteration compile.  Restores prior values on exit.  Measured on
     sf0.1: 0.62 -> 0.33 s/iteration cold (warm same-trajectory runs hit
     the Janino cache either way).
+
+    Session-global by design (Spark confs are session state), so two
+    rules guard it (r10 verdict item 7): the session must not plan
+    unrelated queries concurrently during the window (true for every
+    harness/gate/bench entry point -- all single-threaded), and nesting
+    is made SAFE rather than forbidden -- an inner ``iteration_confs``
+    becomes a no-op, so the OUTERMOST exit restores the true pre-loop
+    values instead of an inner exit "restoring" the loop confs as if
+    they were user state (the bug a naive save/restore has under
+    nesting, exception paths included).
     """
+    already = getattr(spark, "_iteration_confs_active", False)
+    if already:
+        yield
+        return
     old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     old_ws = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark._iteration_confs_active = True
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     try:
         yield
     finally:
+        spark._iteration_confs_active = False
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         spark.conf.set("spark.sql.codegen.wholeStage", old_ws)

@@ -333,3 +333,39 @@ def test_kmeanspp_acceptance_collect_is_structurally_bounded(spark, monkeypatch)
     monkeypatch.setattr(kq, "_KPP_ACCEPT_CAP", 0)
     with pytest.raises(RuntimeError, match="k-means\\|\\| round"):
         kq.o02_seed_kmeanspp(spark, SF_DIR)
+
+
+def test_iteration_confs_nesting_and_exception_restore(spark):
+    """iteration_confs must restore the TRUE pre-loop confs when nested
+    (r10 verdict item 7): an inner use is a no-op and only the outermost
+    exit restores, including on the exception path -- a naive
+    save/restore would have the inner exit reinstate the LOOP confs as
+    if they were user state."""
+    from kmeans_with_mapreduce_cuda_spark.operators.kmeans import (
+        iteration_confs,
+    )
+
+    before_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    before_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    with iteration_confs(spark, shuffle_partitions=8):
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        with iteration_confs(spark, shuffle_partitions=4):
+            # inner is a no-op: the outer window's values stay
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+        # inner exit must NOT have restored anything
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == before_aqe
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before_sp
+
+    class Boom(Exception):
+        pass
+
+    try:
+        with iteration_confs(spark):
+            with iteration_confs(spark):
+                raise Boom()
+    except Boom:
+        pass
+    assert spark.conf.get("spark.sql.adaptive.enabled") == before_aqe
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before_sp
