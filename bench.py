@@ -151,6 +151,47 @@ def main() -> None:
     ]:
         entries.append((bench_name, lambda n=reg_name: run_registry(n), 1))
 
+    # Round-11 addition (r10 verdict item 2): a key whose cost is
+    # DOMINATED by parallel per-row compute, so the driver's 8c-vs-32c
+    # scaling block has a key that can demonstrate core scaling at
+    # sf0.1 at all.  Every other key is fixed-job-latency-bound at this
+    # SF (sub-second jobs, k-row shuffles), so their 32c/8c ratios sit
+    # at ~1 regardless of whether the engine honors $SPARK_GRAFT_CPUS
+    # -- which made the driver's suspect_cpus_ignored heuristic misfire
+    # in r10.  This key reads the SF-scaled lineitem fixture fresh each
+    # sample (spread_scan parallelizes the single-row-group file),
+    # explodes each key 32 ways and runs a 64-deep xxhash64 chain per
+    # exploded row (2048 hashes/source row, pure long->long codegen --
+    # allocation-free so the parallel region is CPU, not GC, and the
+    # explode form reaches JIT steady state within one sample, unlike
+    # a deep md5 expression chain), then bit_xor-folds to one row
+    # map-side.  Measured on a quiet host: 1.58 s at 32c vs 3.40 s at
+    # 8c (2.15x -- at this VM's measured ceiling: the fixed-work
+    # 32-partition calibration itself only speeds up 1.96x from 8c to
+    # 32c, so ~2x is what perfectly-parallel work can show here; the
+    # residual floor is the serial single-row-group scan + its one-task
+    # spread exchange).  No caching, no state: work is recomputed from
+    # the parquet input per invocation like every key.
+    from pyspark.sql import functions as FB
+
+    def run_scan_hash_chain():
+        from kmeans_with_mapreduce_cuda_spark.sources.readers import (
+            spread_scan,
+        )
+
+        li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey")
+        base = spread_scan(li).select(FB.col("l_orderkey").alias("k"))
+        h = FB.xxhash64(FB.col("k"), FB.col("i"))
+        for _ in range(63):
+            h = FB.xxhash64(h, FB.col("k"))
+        base.select(
+            FB.explode(FB.sequence(FB.lit(0), FB.lit(31))).alias("i"), "k"
+        ).select(h.alias("h")).select(
+            FB.expr("bit_xor(h)").alias("s")
+        ).collect()
+
+    entries.append(("scan_hash_chain", run_scan_hash_chain, 1))
+
     # Fixed-work calibration (r9 verdict item 4): an IO-free, SF-free
     # aggregate over a cached 144M x 3-bigint in-memory relation
     # (~3.5 GB; quiet-host floor ~0.55 s, see BASELINE.md) -- exercises
