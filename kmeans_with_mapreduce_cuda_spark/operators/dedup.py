@@ -177,17 +177,20 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    # materialize signatures ONCE: both self-join sides would otherwise
-    # re-run the full shingle+hash pipeline (the expensive part).
-    # persist() alone is NOT enough -- the first consuming job has
-    # three branches (sizes + both self-join sides) whose stages race
-    # on the cold cache and each recompute the pipeline; the eager
-    # count() fills the cache in one pass first (r10: measured 2.1-2.7
-    # -> 1.8-2.0 s at sf0.1, and the 4x cold-start variance collapses).
+    # materialize signatures ONCE: the sizes aggregate and the pair
+    # expansion would otherwise re-run the full shingle+hash pipeline
+    # (the expensive part).  r10 additionally needed an eager count()
+    # here: the then SELF-JOIN's one consuming job read the cold cache
+    # from three concurrent branches (sizes + both join sides) that
+    # each recomputed the pipeline.  The r11 bucket-aggregate rewrite
+    # leaves a single gated chain -- the broadcast(capped) build runs
+    # sizes over the cold cache FIRST (one pass, fills it), and the
+    # grouped pair expansion cannot start before that broadcast -- so
+    # the dedicated fill job is a pure extra pass now and is removed
+    # (measured r11: ~0.2-0.4 s off every minhash-family key).
     banded = sig.select(
         F.col(id_col).alias("id"), F.col("sig"), F.explode(band_structs).alias("bk")
     ).persist()
-    banded.count()
 
     sizes = banded.groupBy("bk").agg(F.count(F.lit(1)).alias("n_docs"))
     if max_bucket is not None:
@@ -296,11 +299,10 @@ def minhash_cross_pairs(
         )
 
     banded_ref = banded(ref_df).persist()
-    # eager cache fill: the sizes/anti-join/join branches of the first
-    # consuming job otherwise race on the cold cache and re-run the
-    # reference-side signature pipeline per branch (minhash_lsh_pairs
-    # comment; r10)
-    banded_ref.count()
+    # No eager fill needed (r11, the minhash_lsh_pairs rationale): the
+    # reference side of the pair join is gated on broadcast(capped),
+    # whose build runs sizes over the cold cache first -- one pass,
+    # fills it; the new side never touches this cache.
     banded_new = banded(new_df)
 
     if max_bucket is not None:

@@ -2670,13 +2670,20 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semantic_dedup_build(
-    spark: SparkSession, sf_dir: str, max_cell: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    max_cell: int | None = None,
+    uniform_cap_share: int | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Lazy semantic-dedup plan (pairs, capped_cells, persisted dep) --
     exposed separately so tests/test_plans.py can audit the join shape
     without the _eager collect.  ``max_cell`` forwards to the operator's
-    skew guard (None = uncapped, the dedup_semantic_clustered contract;
-    dedup_semantic_capped passes the uniform-share cap)."""
+    skew guard (None = uncapped, the dedup_semantic_clustered contract);
+    ``uniform_cap_share`` computes max_cell = corpus_count // share FROM
+    the persisted assignment itself, so the count that fills the
+    multi-consumer cache IS the count the cap needs -- one job instead
+    of a separate n_total scan plus an eager-fill pass (r11, guide
+    §1.2/§5)."""
     from ..functions.distance import dot_product_sql
     from ..operators.kmeans import assign_nd
     from ..operators.similarity import within_cell_cosine_pairs
@@ -2729,11 +2736,23 @@ def _semantic_dedup_build(
         )
         .persist()
     )
-    # eager cache fill: the within-cell join's branches (counts + both
-    # self-join sides) otherwise race on the cold cache and re-run the
-    # k x 64-dim assignment per branch (r10, the minhash_lsh_pairs
-    # finding; measured ~1.7 -> ~1.5 s on the clustered pass at sf0.1)
-    assigned.count()
+    # Cache-fill discipline, revisited r11: the r10 eager count()
+    # guarded the SELF-JOIN pair stage, whose one consuming job read the
+    # cold cache from three concurrent branches.  The grouped-map kernel
+    # rewrite left each consumer a single gated chain (groupBy -> kernel,
+    # or broadcast-build THEN probe), so a dedicated fill pass is a pure
+    # extra job now:
+    # - uniform_cap_share: the corpus count the cap needs doubles as the
+    #   fill -- one job, same guard (capped/recursive consumers union
+    #   pairs with the capped branch, where a cold cache would still be
+    #   read twice concurrently).
+    # - explicit max_cell (tests): keep the plain eager fill.
+    # - uncapped (clustered): the single consuming job fills the cache
+    #   itself in its one pass; no fill job at all.
+    if uniform_cap_share is not None:
+        max_cell = assigned.count() // uniform_cap_share
+    elif max_cell is not None:
+        assigned.count()
     # dedup_semantic_clustered passes max_cell=None (the fixture's
     # cells are bounded by construction, and its oracle states the
     # uncapped contract); dedup_semantic_capped exercises the guard
@@ -2802,9 +2821,8 @@ def _semantic_dedup_build(
     "within_cell_cosine_pairs).",
 )
 def dedup_semantic_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n_total = load_table(spark, sf_dir, "embeddings").count()
     out, capped, assigned = _semantic_dedup_build(
-        spark, sf_dir, max_cell=n_total // 8
+        spark, sf_dir, uniform_cap_share=8
     )
     vec_t = assigned.schema["vec_id"].dataType
     both = out.select(
@@ -2964,9 +2982,8 @@ def _semantic_recursive_build_uncached(
     from ..operators.kmeans import _dists_sql_nd
     from ..operators.similarity import within_cell_cosine_pairs
 
-    n_total = load_table(spark, sf_dir, "embeddings").count()
     pairs, capped, assigned = _semantic_dedup_build(
-        spark, sf_dir, max_cell=n_total // 8
+        spark, sf_dir, uniform_cap_share=8
     )
     top = pairs.select(
         F.lit("pair").alias("kind"), "vec_a", "vec_b", "cos_sim"
@@ -3020,18 +3037,33 @@ def _semantic_recursive_build_uncached(
         )
         .persist()  # consumed by subcounts + both pair-join sides
     )
-    # eager cache fill before the multi-branch consumer job (r10, the
-    # minhash_lsh_pairs cold-cache-race finding): the sub-assignment
-    # CASE distance expression is the expensive lineage here
-    subassigned.count()
     subcounts = subassigned.groupBy("cell_id", "sub_id", "blk").agg(
         F.count(F.lit(1)).alias("n")
     )
     # Per-cell uniform-share cap one level down: integer floor division
     # in BOTH engines (the minhash MAX_BAND_BUCKET / capped precedent).
-    capped_sub = subcounts.join(
-        F.broadcast(capped.withColumnRenamed("n", "cell_n")), "cell_id"
-    ).where(F.col("n") > F.floor(F.col("cell_n") / sub_k))
+    # The capped-sub-block list is <= k * sub_k rows BY CONSTRUCTION
+    # (one row per sub-cell), so collect it (r11, guide §1.2/§5): this
+    # one job replaces the former dedicated eager-fill count() --
+    # computing subcounts populates the subassigned cache in a single
+    # gated pass -- AND turns every downstream capped_sub consumer
+    # (the anti-join broadcast, the residual semi-join, the
+    # kind='capped_subcell' union branch) into a driver-local literal,
+    # so the final union job stops recomputing the aggregate+join
+    # subtree.  Without the collect, the union's capped_subcell branch
+    # is NOT gated on the pair branches' broadcast and would race the
+    # broadcast build on the cold cache -- the r10 race, re-entered.
+    cap_rows = (
+        subcounts.join(
+            F.broadcast(capped.withColumnRenamed("n", "cell_n")), "cell_id"
+        )
+        .where(F.col("n") > F.floor(F.col("cell_n") / sub_k))
+        .select("blk", "n")
+        .collect()
+    )
+    capped_sub = spark.createDataFrame(
+        sorted((r["blk"], r["n"]) for r in cap_rows), "blk int, n bigint"
+    )
     sub_kept = subassigned.join(
         F.broadcast(capped_sub.select("blk")), "blk", "left_anti"
     )
